@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract, TESTDATA.md / BASELINE.md).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query executes through the noop sink — the full plan runs distributed
+(scan → shuffle → agg), nothing collects to the driver, so the timing is
+execution cost, not result-transfer cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per operator family (scan-agg, star join, top-k join,
+#: window, as-of, merge, dedup exact/fuzzy, ANN brute+LSH, text stats).
+HEADLINE = [
+    "pricing_summary",
+    "join_star_revenue",
+    "shipping_priority",
+    "join_theta_range",
+    "agg_cube",
+    "window_topk_per_group",
+    "window_running_frames",
+    "cdc_latest_by_key",
+    "cdc_merge_upsert",
+    "cdc_asof_join",
+    "llm_exact_dedup",
+    "llm_token_stats",
+    "llm_minhash_lsh",
+    "llm_cosine_topk",
+    "llm_cosine_lsh",
+]
+
+
+def main() -> None:
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries import all_queries
+    from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = all_queries()
+
+    # Warm the JVM + parquet footers outside the timed region.
+    spark.range(1).count()
+    qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -94,7 +94,9 @@ def merge_upsert(
     base = table.select(*row_cols).withColumn("__pri", F.lit(0))
     ups = upserts.select(
         *[
-            F.col(c) if c in upserts.columns else F.lit(None).cast(dict(table.dtypes)[c])
+            F.col(c)
+            if c in upserts.columns
+            else F.lit(None).cast(dict(table.dtypes)[c]).alias(c)
             for c in row_cols
         ]
     ).withColumn("__pri", F.lit(1))

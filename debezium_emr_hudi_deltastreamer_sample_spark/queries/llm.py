@@ -14,9 +14,9 @@ from ..functions import dround
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_candidates,
-    with_minhash_signature,
     with_shingles,
     with_simhash,
 )
@@ -201,7 +201,7 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join). The scale path for fuzzy dedup: candidate pairs only,
     never O(n²)."""
     docs = with_shingles(_t(spark, sf_dir, "documents"), n=3)
-    sigs = with_minhash_signature(docs, num_hashes=32)
+    sigs = minhash_signatures(docs, "doc_id", num_hashes=32)
     return minhash_lsh_candidates(sigs, "doc_id", num_hashes=32, bands=8).filter(
         F.col("est_jaccard") >= 0.5
     )

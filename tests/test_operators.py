@@ -1,0 +1,242 @@
+"""Operator unit tests: as-of join, dedup family, similarity, text,
+multimodal plumbing — each against an independent oracle (numpy / hand
+replay), not against another Spark path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_emr_hudi_deltastreamer_sample_spark.operators.asof import asof_join
+from debezium_emr_hudi_deltastreamer_sample_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+    with_shingles,
+    with_simhash,
+)
+from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import (
+    decode_images,
+    frame_sample_plan,
+    make_fake_media,
+)
+from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from debezium_emr_hudi_deltastreamer_sample_spark.operators.text import (
+    fingerprint_col,
+    language_id_col,
+    with_token_stats,
+)
+
+# ---------------------------------------------------------------- as-of join
+
+
+def test_asof_backward_inclusive(spark):
+    trades = spark.createDataFrame(
+        [("A", 3, 100), ("A", 7, 101), ("B", 5, 200), ("A", 1, 99)],
+        "sym string, ts int, trade_px int",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 2, 10.0), ("A", 3, 11.0), ("A", 6, 12.0), ("B", 9, 20.0)],
+        "sym string, ts int, px double",
+    )
+    out = asof_join(trades, quotes, ["sym"], "ts", "ts", ["px"]).collect()
+    got = {(r.sym, r.ts): r.px_asof for r in out}
+    # ts=3 matches quote at ts=3 (inclusive); ts=1 has no earlier quote;
+    # B@5 precedes B's only quote → null.
+    assert got == {("A", 1): None, ("A", 3): 11.0, ("A", 7): 12.0, ("B", 5): None}
+
+
+# ------------------------------------------------------------------- dedup
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (3, "completely different words about spark engines and parquet columnar files"),
+    (4, "the quick brown fox jumps over the lazy dog again and again today"),
+]
+
+
+def true_jaccard(a: str, b: str, n=3) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_groups_identical(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    out = exact_dedup(df, ["text"], "doc_id").collect()
+    by_id = {r.doc_id: r.dup_count for r in out}
+    assert by_id == {1: 2, 2: 1, 3: 1}  # doc 4 == doc 1, min id kept
+
+
+def test_minhash_estimates_jaccard(spark):
+    df = with_shingles(spark.createDataFrame(DOCS, "doc_id int, text string"))
+    sigs = minhash_signatures(df, "doc_id", num_hashes=128)
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_candidates(sigs, "doc_id", 128, bands=32).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # identical docs
+    tj = true_jaccard(DOCS[0][1], DOCS[1][1])
+    assert abs(pairs[(1, 2)] - tj) < 0.25  # 128 hashes → |err| ~ 1/sqrt(K)
+    assert (1, 3) not in pairs  # unrelated docs never share a band
+
+
+def test_ngram_jaccard_exact(spark):
+    df = with_shingles(spark.createDataFrame(DOCS, "doc_id int, text string"))
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", threshold=0.0).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert pairs[(1, 2)] == pytest.approx(true_jaccard(DOCS[0][1], DOCS[1][1]), abs=1e-4)
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    df = with_shingles(spark.createDataFrame(DOCS, "doc_id int, text string"))
+    sigs = with_simhash(df)
+    cands = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidates(sigs, "doc_id").collect()
+    }
+    assert cands[(1, 4)] == 0
+    near = cands.get((1, 2))
+    assert near is not None and near <= 16  # one-word-diff docs stay close
+
+
+# --------------------------------------------------------------- similarity
+
+
+def np_topk(vecs: dict[int, np.ndarray], k: int):
+    ids = sorted(vecs)
+    out = {}
+    for q in ids:
+        sims = []
+        for c in ids:
+            if c == q:
+                continue
+            s = float(
+                vecs[q] @ vecs[c] / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[c]))
+            )
+            sims.append((-round(s, 4), c))
+        sims.sort()
+        out[q] = [(c, -s) for s, c in sims[:k]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    vecs = {i: rng.standard_normal(16).astype("float32") for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id int, embedding array<float>",
+    )
+    return df, vecs
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") < 5)
+    got = {}
+    for r in cosine_topk_bruteforce(df, queries, k=3).collect():
+        got.setdefault(r.qid, []).append((r.cid, r.sim))
+    want = np_topk({i: v for i, v in vecs.items()}, k=3)
+    for q in got:
+        assert [c for c, _ in got[q]] == [c for c, _ in want[q][:3]]
+        for (gc, gs), (wc, ws) in zip(got[q], want[q]):
+            assert gs == pytest.approx(ws, abs=2e-4)
+
+
+def test_cosine_lsh_recall(spark, emb_df):
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.qid, r.cid) for r in cosine_topk_bruteforce(df, queries, k=3).collect()
+    }
+    approx = {
+        (r.qid, r.cid)
+        for r in cosine_topk_lsh(df, queries, k=3, dim=16).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    # Loose: LSH is approximate and 16-dim random vectors are a hard case
+    # (near-uniform similarities). Seed is fixed → the value is stable.
+    assert recall >= 0.4
+
+
+# --------------------------------------------------------------------- text
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "The cat sat, the cat ran!")], "id int, text string")
+    r = with_token_stats(df).first()
+    assert r.n_tokens == 6
+    assert r.n_uniq_tokens == 5  # The, cat, sat,, the, ran!
+    assert r.punct_ratio == pytest.approx(2 / 25, abs=1e-4)
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "el perro de la casa"), (2, "hello plain english words")],
+        "id int, text string",
+    )
+    out = {
+        r.id: r.lang
+        for r in with_token_stats(df).select("id", language_id_col().alias("lang")).collect()
+    }
+    assert out == {1: "es", 2: "en"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "id int, text string",
+    )
+    fps = {
+        r.id: r.fp
+        for r in with_token_stats(df).select("id", fingerprint_col().alias("fp")).collect()
+    }
+    assert fps[1] == fps[3] and fps[1] != fps[2]
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def test_fake_media_decode_roundtrip(spark):
+    base = spark.range(5).select(
+        F.col("id").alias("media_id"),
+        (F.col("id") % 3 + 2).cast("int").alias("w"),
+        (F.col("id") % 2 + 1).cast("int").alias("h"),
+    )
+    media = make_fake_media(base, "media_id", "w", "h")
+    out = {r.media_id: (r.width, r.height) for r in decode_images(media).collect()}
+    want = {i: (i % 3 + 2, i % 2 + 1) for i in range(5)}
+    assert out == want
+
+
+def test_decode_strict_is_stubbed(spark):
+    import pandas as pd
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import decode_image_batch
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.DataFrame({"media_id": [], "media": []}), strict=True)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), ("video", "fake", None, None, 3500))],
+        "media_id long, media binary, media_meta struct<media_type:string,format:string,width:int,height:int,duration_ms:long>",
+    )
+    ts = [r.frame_ts_ms for r in frame_sample_plan(df, every_ms=1000).collect()]
+    assert ts == [0, 1000, 2000]
