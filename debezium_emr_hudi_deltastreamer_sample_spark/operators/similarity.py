@@ -3,37 +3,54 @@ brute-force cosine top-k as the exactness baseline, LSH-bucketed
 (random-hyperplane) top-k as the 100 TB path.
 
 Scale design:
+- Vector math runs in Arrow-vectorized pandas UDFs (numpy matmul per
+  batch), NOT SQL higher-order functions: HOF lambdas are interpreted
+  per-element (no codegen), and inlining a 12×64 hyperplane matrix as
+  array literals bloats the plan until driver-side planning dominates.
+  A pandas_udf keeps the plan tiny and the math BLAS-speed — this is the
+  "UDFs are the slow path, except vectorized Arrow ones" tradeoff.
 - Brute force = broadcast(queries) ⋈ candidates: the fact-side embedding
-  table never shuffles; per-row dot products run JVM-side via
-  zip_with/aggregate (no Python). Cost O(|Q|·N) — right for small query
-  sets or as the oracle.
+  table never shuffles. Cost O(|Q|·N) — right for small query sets or as
+  the oracle.
 - LSH = R random hyperplanes → R-bit signature → bucket join on signature
-  band. Candidates per query drop from N to N/2^band_bits on average;
-  exact cosine re-ranks candidates. Hyperplanes are generated once on the
-  driver from a fixed seed and shipped as literals (tiny: R×dim floats).
+  band. Candidates per query drop from N to ~N/2^band_bits per band; exact
+  cosine re-ranks candidates. Hyperplanes are generated once on the driver
+  from a fixed seed and shipped inside the UDF closure (tiny: R×dim
+  floats).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def norm_col(vec: Column) -> Column:
+    """JVM-side L2 norm (used by aggregation queries where the plan is
+    small and a UDF would force an extra Arrow hop)."""
     return F.sqrt(
         F.aggregate(
             vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
+
+
+# NB: DataType objects, not DDL strings — string return types are parsed
+# through the active SparkContext, which doesn't exist at import time.
+@pandas_udf(T.DoubleType())
+def _cosine_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched cosine similarity between two array columns (Arrow in/out).
+    np.stack turns the batch into (n, dim) matrices → one BLAS pass."""
+    av = np.stack(a.to_numpy()).astype("float64")
+    bv = np.stack(b.to_numpy()).astype("float64")
+    num = (av * bv).sum(axis=1)
+    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(np.where(den > 0, num / den, 0.0))
 
 
 def cosine_topk_bruteforce(
@@ -47,16 +64,11 @@ def cosine_topk_bruteforce(
 
     Returns (qid, cid, sim) — ties broken by cid for determinism.
     """
-    q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
-    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
     c = embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
-    sim = _dot(F.col("qe"), F.col("ce")) / (
-        norm_col(F.col("qe")) * norm_col(F.col("ce"))
-    )
     pairs = (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
-        .withColumn("sim", sim)
+        .withColumn("sim", _cosine_sim("qe", "ce"))
         .select("qid", "cid", "sim")
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
@@ -67,25 +79,33 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def _signature_udf(n_planes: int, seed: int, dim: int):
+    planes = _hyperplanes(dim, n_planes, seed).T  # (dim, n_planes)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    @pandas_udf(T.LongType())
+    def sig(vec: pd.Series) -> pd.Series:
+        v = np.stack(vec.to_numpy()).astype("float64")  # (n, dim)
+        bits = (v @ planes) > 0  # (n, n_planes)
+        return pd.Series(bits @ weights)
+
+    return sig
 
 
 def with_lsh_signature(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = 12, seed: int = 42, dim: int = 64
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
-    """Random-hyperplane signature: bit i = sign(v · plane_i). Signature as
-    one long column `lsh_sig` (n_planes ≤ 63)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(F.col(vec_col), plane) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig + F.shiftleft(bit, i)
-    return df.withColumn("lsh_sig", sig)
+    """Random-hyperplane signature: bit i = sign(v · plane_i), packed into
+    one long `lsh_sig` (n_planes ≤ 63). One matmul per Arrow batch."""
+    return df.withColumn("lsh_sig", _signature_udf(n_planes, seed, dim)(F.col(vec_col)))
 
 
 def cosine_topk_lsh(
@@ -128,19 +148,33 @@ def cosine_topk_lsh(
             F.explode(bands).alias("bb"),
         ).select(f"{prefix}id", f"{prefix}e", "bb.band", "bb.bucket")
 
-    cands = (
+    # Dedup candidate IDs before the exact re-rank so the cosine UDF sees
+    # each (query, candidate) pair once, not once per colliding band; the
+    # distinct shuffles (long, long) pairs, never the vectors.
+    cand_ids = (
         banded(emb_sig, "c")
-        .join(F.broadcast(banded(q_sig, "q")), ["band", "bucket"])
+        .drop("ce")
+        .join(F.broadcast(banded(q_sig, "q").drop("qe")), ["band", "bucket"])
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "qe", "cid", "ce")
+        .select("qid", "cid")
         .distinct()
     )
-    sim = _dot(F.col("qe"), F.col("ce")) / (
-        norm_col(F.col("qe")) * norm_col(F.col("ce"))
+    cands = (
+        cand_ids.join(
+            embeddings.select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+            ),
+            "cid",
+        ).join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+            ),
+            "qid",
+        )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
-        cands.withColumn("sim", sim)
+        cands.withColumn("sim", _cosine_sim("qe", "ce"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "cid", F.round("sim", 4).alias("sim"))
