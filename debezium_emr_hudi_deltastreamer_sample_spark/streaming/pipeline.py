@@ -1,0 +1,129 @@
+"""The two reference pipelines, rebuilt correct.
+
+1. ``append_pipeline`` ≡ script.py (/root/reference/README.md:170-204):
+   Kafka → cast value → parse envelope → append parquet, with the declared
+   envelope schema replacing the reference's per-micro-batch inference
+   (README.md:179; crashes on empty batches — SURVEY.md §7.4.1) and the
+   delete before-image fix (§7.4.4).
+
+2. ``upsert_pipeline`` ≡ what hudi_script.py + the DeltaStreamer submit line
+   *intend* (README.md:277-348): latest-wins keyed upsert with delete
+   application, LSN-ordered. The reference's own Hudi sink is dead code
+   (foreachBatch at README.md:340 overrides format("hudi") — SURVEY.md
+   §3.2); here the COW merge is implemented natively via
+   operators.merge.merge_upsert and a partition-overwrite parquet table.
+
+Both are ``foreachBatch`` factories (A3) started with a checkpoint (A4); at
+100 TB this is the right shape for CDC — per-key state lives in the table,
+not the streaming state store (SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..envelope import EMPLOYEES_SCHEMA, parse_envelope
+from ..operators.merge import merge_upsert
+
+
+def append_batch_processor(
+    out_path: str,
+    row_schema: T.StructType = EMPLOYEES_SCHEMA,
+    partition_by: Sequence[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """Per-micro-batch fn for the append-only log (README.md:178-188):
+    parse → append parquet. Narrow pipeline: source partition → task →
+    file, no shuffle (SURVEY.md §3.1 step 5d)."""
+
+    def process(df: DataFrame, batch_id: int) -> None:
+        parsed = parse_envelope(df, row_schema)
+        writer = parsed.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_path)
+
+    return process
+
+
+def upsert_batch_processor(
+    table_path: str,
+    keys: Sequence[str],
+    row_schema: T.StructType = EMPLOYEES_SCHEMA,
+    ordering: Sequence[str] = ("_lsn",),
+    partition_by: Sequence[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """Per-micro-batch COW upsert (the intended DeltaStreamer lifecycle,
+    SURVEY.md §3.2): parse envelope → order by LSN → latest-wins merge with
+    delete application → rewrite the table.
+
+    Local/portable COW: read current snapshot, merge, overwrite. With
+    ``partition_by`` + the session's dynamic partitionOverwriteMode only
+    touched partitions rewrite — the Hudi file-group analogue (README.md:300).
+    """
+    def process(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        changes = parse_envelope(df, row_schema)
+        if not changes.head(1):
+            return
+        try:
+            current = spark.read.parquet(table_path)
+        except Exception:
+            current = spark.createDataFrame([], row_schema)
+        merged = merge_upsert(
+            current, changes, keys=keys, ordering=list(ordering), op_col="op"
+        )
+        # The merge reads the same files the write replaces — materialize
+        # before overwrite (localCheckpoint breaks the lineage; at scale a
+        # real table format's atomic commit replaces this).
+        merged = merged.localCheckpoint(eager=True)
+        writer = merged.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(table_path)
+
+    return process
+
+
+def start_pipeline(
+    stream: DataFrame,
+    process: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """writeStream.foreachBatch(...).start() with a checkpoint (A3+A4,
+    README.md:198-202). ``available_now=True`` = bounded replay of
+    everything pending (B13's earliest-offset bootstrap, then stop);
+    ``processing_time`` sets explicit pacing (the reference runs ASAP —
+    SURVEY.md §4 flags that as an anti-pattern)."""
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_until_drained(query: StreamingQuery, timeout_sec: float = 300.0) -> None:
+    """Block until an availableNow query finishes (test helper)."""
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+        raise TimeoutError("streaming query did not drain in time")
+
+
+def cast_value_projection(stream: DataFrame, keep_timestamp: bool = False) -> DataFrame:
+    """A2: the reference's only stream transformation before foreachBatch —
+    `CAST(value AS STRING)` (README.md:195), plus the ingest timestamp on
+    the Hudi path (README.md:335)."""
+    cols = (["timestamp"] if keep_timestamp else []) + [
+        F.col("value").cast("string").alias("value")
+    ]
+    return stream.select(*cols)

@@ -1,0 +1,165 @@
+"""Streaming-only operators (SURVEY.md §2.C streaming): event-time windows,
+watermarks, stateful dedup, and an applyInPandasWithState custom operator.
+
+All take a (possibly streaming) DataFrame and return a DataFrame — the same
+code path works in batch mode, which is what the stream≡batch equivalence
+tests exploit (SURVEY.md §5). Watermarks are no-ops on batch frames.
+
+Scale notes: windowed aggregations keep state per (key, window) in the
+state store — bounded by the watermark horizon; ``foreachBatch`` + table
+merge stays the preferred CDC shape (§7.4.5), with these operators reserved
+for genuinely time-windowed analytics (sessionization, rollups).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts: groupBy(window(ts, duration)) — the canonical
+    streaming rollup. Output: key cols + window_start/window_end + n."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(*keys, F.window(ts_col, duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    agg_col: str,
+    keys: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window sum/avg — each event lands in duration/slide windows."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(*keys, F.window(ts_col, duration, slide).alias("w"))
+        .agg(
+            F.sum(agg_col).alias("total"),
+            F.avg(agg_col).alias("mean"),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "total",
+            "mean",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into one
+    session per key (F.session_window)."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(*keys, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    df: DataFrame, keys: Sequence[str], ts_col: str | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stateful exactly-once-per-key dedup. With a watermark the state store
+    evicts keys older than the horizon — without one, state grows forever
+    (the 100 TB failure mode), so the watermark is required on streams."""
+    if df.isStreaming:
+        if ts_col is None:
+            raise ValueError("streaming dedup requires ts_col + watermark")
+        return df.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+#: Output schema of running_totals' state operator.
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("events", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_totals(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Arbitrary-stateful custom operator (applyInPandasWithState): per-key
+    running event count + value sum, emitted every micro-batch. The shape
+    for operators watermark/window aggs can't express — e.g. CDC-style
+    accumulators with custom eviction.
+
+    Batch frames take the equivalent groupBy path (same output schema) so
+    stream≡batch tests can compare results.
+    """
+    if not df.isStreaming:
+        return (
+            df.groupBy(F.col(key_col).alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("events"),
+                F.sum(F.col(value_col).cast("double")).alias("total"),
+            )
+        )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        events, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            events += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((events, total))
+        yield pd.DataFrame(
+            {"key": [key[0]], "events": [events], "total": [total]}
+        )
+
+    return (
+        df.select(F.col(key_col).cast("string").alias("key"), value_col)
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType="events long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

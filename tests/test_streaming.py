@@ -1,0 +1,247 @@
+"""Streaming tests (SURVEY.md §5 streaming level): the scripted envelope
+sequence is fed as a file-source stream with trigger(availableNow=True) and
+the result must equal the batch path on the same data — plus windowed /
+stateful operator checks against batch equivalents."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_emr_hudi_deltastreamer_sample_spark.envelope import parse_envelope
+from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+    append_batch_processor,
+    cast_value_projection,
+    start_pipeline,
+    run_until_drained,
+    upsert_batch_processor,
+)
+from debezium_emr_hudi_deltastreamer_sample_spark.streaming.sources import (
+    file_envelope_source,
+)
+from debezium_emr_hudi_deltastreamer_sample_spark.streaming.windows import (
+    dedup_stream,
+    running_totals,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def envelope_record(op, after=None, before=None, lsn=0, offset=0):
+    value = json.dumps(
+        {
+            "payload": {
+                "before": before,
+                "after": after,
+                "source": {"lsn": lsn, "ts_ms": lsn, "table": "employees"},
+                "op": op,
+                "ts_ms": lsn,
+            }
+        }
+    )
+    return {
+        "key": None,
+        "value": value,
+        "topic": "debezium1.public.employees",
+        "partition": 0,
+        "offset": offset,
+        "timestamp": "2024-01-01T00:00:00.000Z",
+    }
+
+
+def row(id_, name, salary):
+    return {
+        "id": id_,
+        "full_name": name,
+        "email": f"e{id_}@x.com",
+        "phone": "1",
+        "department": "IT",
+        "salary": salary,
+        "created_at": "2024-01-01",
+    }
+
+
+#: Batch 1: insert 1,2,3. Batch 2: update 1, delete 2, insert 4.
+BATCH1 = [
+    envelope_record("c", after=row(1, "a", 10), lsn=1, offset=0),
+    envelope_record("c", after=row(2, "b", 20), lsn=2, offset=1),
+    envelope_record("c", after=row(3, "c", 30), lsn=3, offset=2),
+]
+BATCH2 = [
+    envelope_record("u", after=row(1, "a2", 11), lsn=4, offset=3),
+    envelope_record("d", before=row(2, "b", 20), lsn=5, offset=4),
+    envelope_record("c", after=row(4, "d", 40), lsn=6, offset=5),
+]
+
+
+def write_batches(tmp_path, batches):
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    for i, batch in enumerate(batches):
+        # One file per scripted micro-batch (maxFilesPerTrigger=1).
+        (src / f"batch_{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in batch)
+        )
+    return str(src)
+
+
+def test_append_pipeline_stream_equals_batch(spark, tmp_path):
+    src = write_batches(tmp_path, [BATCH1, BATCH2])
+    out = str(tmp_path / "append_out")
+    stream = cast_value_projection(file_envelope_source(spark, src))
+    q = start_pipeline(
+        stream,
+        append_batch_processor(out),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    run_until_drained(q)
+
+    got = spark.read.parquet(out)
+    # Batch path over the same records:
+    want = parse_envelope(
+        spark.read.json(src).select(F.col("value").cast("string").alias("value"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 6  # append log keeps every event incl. the delete
+
+
+def test_upsert_pipeline_applies_cdc_across_batches(spark, tmp_path):
+    src = write_batches(tmp_path, [BATCH1, BATCH2])
+    table = str(tmp_path / "table")
+    stream = file_envelope_source(spark, src, max_files_per_trigger=1)
+    q = start_pipeline(
+        cast_value_projection(stream),
+        upsert_batch_processor(table, keys=["id"]),
+        checkpoint=str(tmp_path / "ckpt2"),
+        available_now=True,
+    )
+    run_until_drained(q)
+
+    final = {
+        r.id: (r.full_name, r.salary)
+        for r in spark.read.parquet(table).collect()
+    }
+    # Dict replay: 1 updated, 2 deleted, 3 untouched, 4 inserted.
+    assert final == {1: ("a2", 11), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_upsert_pipeline_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpointed offsets (A4/B3): run batch1, stop, add batch2, restart
+    with the same checkpoint — batch1 must not re-apply."""
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "batch_0.json").write_text("\n".join(json.dumps(r) for r in BATCH1))
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt3")
+
+    def run_once():
+        stream = file_envelope_source(spark, str(src))
+        q = start_pipeline(
+            cast_value_projection(stream),
+            upsert_batch_processor(table, keys=["id"]),
+            checkpoint=ckpt,
+            available_now=True,
+        )
+        run_until_drained(q)
+
+    run_once()
+    assert spark.read.parquet(table).count() == 3
+    (src / "batch_1.json").write_text("\n".join(json.dumps(r) for r in BATCH2))
+    run_once()
+    final = {r.id: r.full_name for r in spark.read.parquet(table).collect()}
+    assert final == {1: "a2", 3: "c", 4: "d"}
+
+
+# ------------------------------------------------------- windowed / stateful
+
+
+def events_stream_and_batch(spark, tmp_path):
+    rows = [
+        {"user": "u1", "ts": "2024-01-01T00:00:10", "v": 1.0},
+        {"user": "u1", "ts": "2024-01-01T00:00:50", "v": 2.0},
+        {"user": "u1", "ts": "2024-01-01T00:02:05", "v": 3.0},
+        {"user": "u2", "ts": "2024-01-01T00:01:30", "v": 4.0},
+    ]
+    src = tmp_path / "events_in"
+    src.mkdir()
+    (src / "f.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "user string, ts timestamp, v double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    batch = spark.read.schema(schema).json(str(src))
+    return stream, batch
+
+
+def drain_to_memory(df, name, tmp_path, output_mode="update"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_until_drained(q)
+    return df.sparkSession.table(name)
+
+
+def test_tumbling_window_stream_equals_batch(spark, tmp_path):
+    stream, batch = events_stream_and_batch(spark, tmp_path)
+    # Complete mode: in a bounded availableNow run the watermark never
+    # passes the last windows, so append mode would hold them in state
+    # forever — complete emits the full result for the equivalence check.
+    got = drain_to_memory(
+        tumbling_counts(stream, "ts", "1 minute", keys=["user"], watermark="1 minute"),
+        "tumbling_t",
+        tmp_path,
+        output_mode="complete",
+    )
+    want = tumbling_counts(batch, "ts", "1 minute", keys=["user"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_window_gap_merges(spark, tmp_path):
+    _, batch = events_stream_and_batch(spark, tmp_path)
+    out = session_counts(batch, "ts", "1 minute", keys=["user"]).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user, []).append(r.n_events)
+    # u1: events at 00:10 and 00:50 merge (40 s gap), 02:05 is its own session.
+    assert sorted(by_user["u1"]) == [1, 2]
+    assert by_user["u2"] == [1]
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    rows = [
+        {"k": "a", "ts": "2024-01-01T00:00:01"},
+        {"k": "a", "ts": "2024-01-01T00:00:02"},
+        {"k": "b", "ts": "2024-01-01T00:00:03"},
+    ]
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    (src / "f.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("k string, ts timestamp").json(str(src))
+    got = drain_to_memory(
+        dedup_stream(stream, ["k"], ts_col="ts"), "dedup_t", tmp_path, "append"
+    )
+    assert sorted(r.k for r in got.collect()) == ["a", "b"]
+
+
+def test_running_totals_stateful_equals_batch(spark, tmp_path):
+    stream, batch = events_stream_and_batch(spark, tmp_path)
+    got = drain_to_memory(running_totals(stream, "user", "v"), "running_t", tmp_path)
+    want = running_totals(batch, "user", "v")
+    # Final state per key (single availableNow run ⇒ last emit per key).
+    got_final = {r.key: (r.events, r.total) for r in got.collect()}
+    want_final = {r.key: (r.events, r.total) for r in want.collect()}
+    assert got_final == want_final
+
+
+def test_streaming_dedup_requires_watermark(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )
+    with pytest.raises(ValueError):
+        dedup_stream(stream, ["value"])
