@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cdc, llm, relational, streaming
+from . import cdc, extended, llm, relational, streaming
 
-_MODULES = (relational, cdc, llm, streaming)
+_MODULES = (relational, cdc, llm, streaming, extended)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,217 @@
+"""Extended surface: SQL subqueries (Catalyst decorrelation), unpivot,
+grouped-map pandas UDFs, and the multimodal plumbing as oracle-checked
+queries (SURVEY.md §2.C UDF/LLM rows; BASELINE.json north star).
+
+Subqueries run through ``spark.sql`` over registered views — IN / correlated
+EXISTS / scalar subqueries are Catalyst rewrite territory (decorrelation to
+semi/anti joins, SURVEY.md §4 "standard Spark, never reimplemented"); the
+DataFrame-API equivalents (join_semi/join_anti) are covered in relational.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as _t
+from ..operators.multimodal import decode_images, frame_sample_plan, make_fake_media
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Register a fixture table as a temp view; return the view name."""
+    _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return name
+
+
+# ---------------------------------------------------------------- subqueries
+
+
+@_q(
+    "sql_subquery_in",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def sql_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN subquery — Catalyst rewrites to a left-semi join;
+    the inner distinct-key set broadcasts when small."""
+    _view(spark, sf_dir, "orders"), _view(spark, sf_dir, "customer")
+    return spark.sql(ORACLES["sql_subquery_in"])
+
+
+@_q(
+    "sql_subquery_exists",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """,
+)
+def sql_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS — decorrelated to a left-anti join with the
+    pushed-down price predicate on the build side."""
+    _view(spark, sf_dir, "orders"), _view(spark, sf_dir, "customer")
+    return spark.sql(ORACLES["sql_subquery_exists"])
+
+
+@_q(
+    "sql_subquery_scalar",
+    """
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.04 * (SELECT avg(p_retailprice) FROM part)
+    """,
+)
+def sql_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate subquery — one tiny agg job feeding a literal into
+    the scan filter (no join at all in the final plan)."""
+    _view(spark, sf_dir, "part")
+    return spark.sql(ORACLES["sql_subquery_scalar"])
+
+
+@_q(
+    "unpivot_metrics",
+    """
+    SELECT c_mktsegment, 'total_acctbal' AS metric,
+           round(sum(c_acctbal), 2) AS value
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'n_customers' AS metric, count(*)::DOUBLE AS value
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot via ``stack`` (the inverse of pivot): per-segment
+    metrics as (segment, metric, value) rows."""
+    wide = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+        )
+    )
+    return wide.selectExpr(
+        "c_mktsegment",
+        "stack(2, 'total_acctbal', total_acctbal, 'n_customers', n_customers) AS (metric, value)",
+    )
+
+
+# ------------------------------------------------------- grouped-map pandas
+
+
+@_q(
+    "udf_grouped_zscore",
+    """
+    SELECT event_id,
+           event_type,
+           round((value - avg(value) OVER w) / stddev_pop(value) OVER w, 3) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-event-type z-score of
+    `value`. The UDTF/UDAF shape of SURVEY.md §2.C — each group arrives as
+    one Arrow-backed pandas frame; numpy does the math.
+
+    Scale: one shuffle on the group key; group size must fit a worker's
+    memory (event types are low-cardinality but huge — for skewed groups
+    prefer the window-function form the oracle uses)."""
+    events = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        pdf = pdf.copy()
+        pdf["z"] = ((v - v.mean()) / v.std(ddof=0)).round(3)
+        return pdf[["event_id", "event_type", "z"]]
+
+    return events.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, z double"
+    )
+
+
+# ----------------------------------------------------------------- multimodal
+
+
+@_q(
+    "mm_decode_stats",
+    """
+    SELECT (doc_id % 7) AS size_class,
+           count(*) AS n,
+           round(avg((doc_id % 32 + 8) * (doc_id % 24 + 8)), 4) AS avg_pixels
+    FROM documents GROUP BY 1
+    """,
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing end-to-end: synthesize binary media blobs
+    (dimensions encoded in an 8-byte header), decode via mapInPandas (Arrow
+    batches), aggregate decoded dimensions. The oracle recomputes the same
+    stats from the dimension formulas — proving the bytes→decode→stats path
+    preserves the payload exactly."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 32 + 8).cast("int").alias("w"),
+        (F.col("doc_id") % 24 + 8).cast("int").alias("h"),
+    )
+    media = make_fake_media(docs, "media_id", "w", "h")
+    decoded = decode_images(media)
+    return (
+        decoded.withColumn("size_class", F.col("media_id") % 7)
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("width").cast("long") * F.col("height")), 4).alias(
+                "avg_pixels"
+            ),
+        )
+    )
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, (doc_id % 10 + 1) * 1000, 1000)) AS frame_ts_ms
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: each 'video' (duration derived from
+    doc_id) expands to its 1 Hz frame timestamps — the explode-shaped plan
+    where rows multiply but bytes don't."""
+    vids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit(b"").alias("media"),
+            F.struct(
+                F.lit("video").alias("media_type"),
+                F.lit("fake").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                ((F.col("doc_id") % 10 + 1) * 1000).alias("duration_ms"),
+            ).alias("media_meta"),
+        )
+    )
+    return frame_sample_plan(vids, every_ms=1000)

@@ -1,0 +1,179 @@
+"""Keyed, mutable, catalog-registered tables — the reference's table
+abstraction (Hudi COPY_ON_WRITE + Hive sync, /root/reference/README.md:
+295-313) implemented portably over partitioned parquet.
+
+Semantics owned here (reference tier B):
+- B5  upsert: latest-wins merge on a declared key + ordering field
+- B8  deletes: op='d' rows drop the key
+- B10 hive-style partition layout (``partition_by``)
+- B11 schema reconciliation on write (unionByName inside merge_upsert)
+- B12 catalog sync: ``register`` ≡ hive_sync (temp view locally; on a real
+  cluster ``saveAsTable`` against the metastore)
+
+COW strategy at scale: with ``partition_by`` set and the session's
+``partitionOverwriteMode=dynamic`` (session.py), an upsert rewrites ONLY
+the partitions containing changed keys — the Hudi file-group analogue. The
+merge shuffles once on the key; the unchanged-partition data is never read
+or written.
+
+A real Hudi writer is used if the jar happens to be present
+(``format("hudi")``, README.md:337 intent); this container ships none, so
+the native path is the default and the Hudi path stays behind a capability
+probe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.merge import merge_upsert
+
+
+def hudi_available(spark: SparkSession) -> bool:
+    """Probe for the Hudi DataSource (jar not shipped in this container)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.hudi.DefaultSource")
+        return True
+    except Exception:
+        return False
+
+
+class KeyedTable:
+    """A primary-keyed, upsertable parquet table at a fixed path.
+
+    >>> t = KeyedTable(spark, "/data/customers", keys=["id"],
+    ...                ordering=["_lsn"], partition_by=["region"])
+    >>> t.upsert(change_batch)   # latest-wins + deletes, COW
+    >>> t.register("customers")  # queryable by name
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        ordering: Sequence[str] = ("_lsn",),
+        partition_by: Sequence[str] = (),
+        op_col: str | None = "op",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.ordering = list(ordering)
+        self.partition_by = list(partition_by)
+        self.op_col = op_col
+
+    # -- read ---------------------------------------------------------------
+
+    def exists(self) -> bool:
+        try:
+            self.spark.read.parquet(self.path)
+            return True
+        except Exception:
+            return False
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def register(self, name: str) -> None:
+        """Catalog sync (B12). Locally a temp view; on a cluster this is
+        where saveAsTable/Glue registration goes."""
+        self.read().createOrReplaceTempView(name)
+
+    # -- write --------------------------------------------------------------
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        writer = df.write.mode(mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+    def _row_columns(self, changes: DataFrame) -> list[str]:
+        """Data columns = change columns minus CDC metadata (op/ordering)."""
+        meta = {self.op_col, "_lsn", "_ts_ms", *self.ordering}
+        return [c for c in changes.columns if c not in meta]
+
+    def init(self, df: DataFrame) -> None:
+        """Create/replace the table from a snapshot."""
+        self._write(df, "overwrite")
+
+    def upsert(self, changes: DataFrame) -> None:
+        """Apply a CDC change batch (B5/B6/B8/B11).
+
+        Without partitioning: full COW rewrite. With partitioning: only the
+        partitions that contain changed keys are re-merged and rewritten
+        (dynamic partition overwrite) — the rest of the table is untouched,
+        which is the property that makes this viable at 100 TB. Like Hudi's
+        non-global index, a key's partition value is assumed immutable.
+        """
+        from .operators.merge import latest_by_key
+
+        if not self.exists():
+            upserts = changes
+            if self.op_col and self.op_col in changes.columns:
+                upserts = changes.filter(F.col(self.op_col) != "d")
+            self._write(
+                latest_by_key(upserts, self.keys, self.ordering).select(
+                    *self._row_columns(changes)
+                ),
+                "overwrite",
+            )
+            return
+
+        current = self.read()
+        if self.partition_by:
+            # Partition-pruned COW: merge only partitions holding changed
+            # keys. The semi-join broadcast is small (distinct partition
+            # values of the change batch).
+            parts = changes.select(*self.partition_by).distinct()
+            current = current.join(F.broadcast(parts), self.partition_by, "left_semi")
+        merged = merge_upsert(
+            current, changes, self.keys, self.ordering, op_col=self.op_col
+        )
+        # Merge reads the files the write replaces — break the lineage.
+        merged = merged.localCheckpoint(eager=True)
+        if self.partition_by:
+            # Dynamic overwrite only replaces partitions PRESENT in the
+            # output: a touched partition whose rows were all deleted would
+            # survive as stale files. Detect and fall back to a full
+            # rewrite for that (rare) batch.
+            touched = {
+                tuple(r) for r in changes.select(*self.partition_by).distinct().collect()
+            }
+            remaining = {
+                tuple(r) for r in merged.select(*self.partition_by).distinct().collect()
+            }
+            if touched - remaining:
+                untouched = self.read().join(
+                    F.broadcast(
+                        self.spark.createDataFrame(
+                            list(touched), changes.select(*self.partition_by).schema
+                        )
+                    ),
+                    self.partition_by,
+                    "left_anti",
+                )
+                merged = untouched.unionByName(merged).localCheckpoint(eager=True)
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                try:
+                    self._write(merged, "overwrite")
+                finally:
+                    self.spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                    )
+                return
+        self._write(merged, "overwrite")
+
+    def compact_history(self, history: DataFrame) -> None:
+        """Bootstrap from a full change history (B13 earliest replay):
+        one global latest-wins pass instead of per-batch merges."""
+        empty = self.spark.createDataFrame(
+            [], history.select(*self._row_columns(history)).schema
+        )
+        merged = merge_upsert(empty, history, self.keys, self.ordering, self.op_col)
+        self._write(merged, "overwrite")
