@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Headline set: one per operator family (scan-agg, star join, top-k join,
-#: window, as-of, merge, dedup exact/fuzzy, ANN brute+LSH, text stats).
+#: window, as-of, merge, dedup exact/fuzzy, ANN brute+LSH, text stats,
+#: subquery decorrelation, grouped-map UDF, multimodal decode, and the
+#: end-to-end streaming CDC replay).
 HEADLINE = [
     "pricing_summary",
     "join_star_revenue",
@@ -31,6 +33,8 @@ HEADLINE = [
     "agg_cube",
     "window_topk_per_group",
     "window_running_frames",
+    "sql_subquery_exists",
+    "udf_grouped_zscore",
     "cdc_latest_by_key",
     "cdc_merge_upsert",
     "cdc_asof_join",
@@ -39,6 +43,9 @@ HEADLINE = [
     "llm_minhash_lsh",
     "llm_cosine_topk",
     "llm_cosine_lsh",
+    "mm_decode_stats",
+    "stream_tumbling_counts",
+    "stream_cdc_upsert",
 ]
 
 

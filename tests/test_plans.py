@@ -1,0 +1,103 @@
+"""Physical-plan audits: the properties that make queries survive a 100×
+scale-up are plan properties, not result properties — filters reaching the
+parquet scan, column pruning, dimension broadcast, map-side partial
+aggregation, whole-stage codegen. These tests pin them so a refactor that
+silently de-optimizes a plan fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from debezium_emr_hudi_deltastreamer_sample_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, qs):
+    p = plan(qs["pricing_summary"](spark, SF))
+    # Date filter reaches the parquet scan…
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # …and the scan reads only the 7 referenced columns, not the full table.
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") - 1 <= 8
+    assert "l_comment" not in read_schema
+    # Partial (map-side) + final aggregation.
+    assert p.count("HashAggregate") >= 2
+    # Codegen subtrees only materialize in a non-adaptive plan explain —
+    # toggle AQE off for the assertion (runtime behavior is unchanged).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cg = plan(qs["pricing_summary"](spark, SF), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in cg and "Found 0" not in cg
+
+
+def test_star_join_broadcasts_dimensions(spark, qs):
+    p = plan(qs["join_star_revenue"](spark, SF))
+    # Dimension sides must broadcast — a shuffled or nested-loop join on a
+    # star schema is the classic 100 TB regression.
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_semi_anti_joins_stay_joins(spark, qs):
+    for name in ("join_semi", "join_anti"):
+        p = plan(qs[name](spark, SF))
+        assert "LeftSemi" in p or "LeftAnti" in p, name
+
+
+def test_subquery_decorrelates_to_join(spark, qs):
+    # Correlated NOT EXISTS must not become a per-row subquery execution.
+    p = plan(qs["sql_subquery_exists"](spark, SF))
+    assert "LeftAnti" in p
+
+
+def test_projection_prunes_scan(spark, qs):
+    p = plan(qs["project_cast_drop"](spark, SF))
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "o_comment" not in read_schema and "o_clerk" not in read_schema
+
+
+def test_exact_dedup_partial_aggregates(spark, qs):
+    p = plan(qs["llm_exact_dedup"](spark, SF))
+    assert p.count("HashAggregate") >= 2  # map-side combine before shuffle
+
+
+def test_no_python_row_udfs_in_relational_plans(spark, qs):
+    """Relational/CDC plans must stay JVM-side: BatchEvalPython (row-at-a-
+    time Python UDF) in a hot path means a 10-100x slowdown at scale.
+    (ArrowEvalPython/FlatMapGroupsInPandas are the sanctioned vectorized
+    escape hatches for vector math and grouped-map ops.)"""
+    for name in (
+        "pricing_summary",
+        "join_star_revenue",
+        "window_topk_per_group",
+        "cdc_merge_upsert",
+        "llm_token_stats",
+        "llm_exact_dedup",
+    ):
+        assert "BatchEvalPython" not in plan(qs[name](spark, SF)), name
+
+
+def test_topk_uses_take_ordered(spark, qs):
+    # Global top-k must be TakeOrderedAndProject (no full sort + limit).
+    p = plan(qs["top_orders_global"](spark, SF))
+    assert "TakeOrderedAndProject" in p
