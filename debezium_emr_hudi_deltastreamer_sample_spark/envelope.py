@@ -102,3 +102,61 @@ def topic_to_table(topic_col: str = "topic"):
     """Derive table name from a Debezium topic ``<prefix>.<schema>.<table>``
     (reference B14: ``debezium1.public.employees``, README.md:104)."""
     return F.element_at(F.split(F.col(topic_col), r"\."), -1)
+
+
+def avro_available(spark) -> bool:
+    """Probe for the spark-avro data source (reference B4: the Hudi path is
+    Avro-serialized — AvroConverter/KafkaAvroDeserializer, README.md:262-263,
+    309; the reference's own submit line ships spark-avro, README.md:348).
+    The package is an external jar, absent in this container."""
+    try:
+        from pyspark.sql import functions as F  # noqa: F401 (local import)
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(
+            to_avro(F.struct(F.col("id"))).alias("b")
+        ).head(1)
+        return True
+    except Exception:
+        return False
+
+
+def parse_envelope_avro(
+    raw: DataFrame,
+    avro_schema_json: str,
+    row_schema: T.StructType = EMPLOYEES_SCHEMA,
+    value_col: str = "value",
+) -> DataFrame:
+    """Avro-serialized envelope path (README.md:262-263): ``from_avro`` on
+    the Kafka value, then the same delete-aware projection as the JSON
+    path. Requires the spark-avro package (``avro_available``) — raises a
+    clear error instead of failing deep inside py4j when it's absent.
+
+    Note: Confluent wire format prepends a 5-byte schema-id header which
+    must be stripped before ``from_avro`` (``substring(value, 6, ...)``) —
+    callers using a schema registry pass ``confluent_header=True``-shaped
+    data through ``F.expr("substring(value, 6, length(value)-5)")`` first.
+    """
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except Exception as exc:  # pragma: no cover - import itself succeeds in 4.x
+        raise RuntimeError("spark-avro package not loaded") from exc
+    if not avro_available(raw.sparkSession):
+        raise RuntimeError(
+            "spark-avro data source not loaded; restart with the spark-avro "
+            "package (reference README.md:348 ships it via --packages)"
+        )
+    parsed = raw.withColumn("json", from_avro(F.col(value_col), avro_schema_json))
+    img = F.when(
+        F.col("json.payload.op") == "d", F.col("json.payload.before")
+    ).otherwise(F.col("json.payload.after"))
+    return (
+        parsed.withColumn("_row", img)
+        .select(
+            F.col("json.payload.op").alias("op"),
+            F.col("json.payload.source.lsn").alias("_lsn"),
+            F.col("json.payload.ts_ms").alias("_ts_ms"),
+            F.col("_row.*"),
+        )
+        .filter(F.col("op").isNotNull())
+    )

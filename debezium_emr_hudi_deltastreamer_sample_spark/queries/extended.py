@@ -116,6 +116,34 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "scalar_map_ops",
+    """
+    SELECT event_id,
+           'k' AS map_key,
+           (props->>'k')::INT AS map_val,
+           1 AS n_keys
+    FROM events WHERE event_id < 2000
+    """,
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY.md §2.C scalar/map): parse JSON props into a
+    map<string,int>, explode entries, count keys via map_keys. The fixture
+    props carry a single key 'k', which keeps the oracle a plain JSON
+    extract."""
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,int>")
+    return (
+        events.withColumn("m", m)
+        .select(
+            "event_id",
+            F.size(F.map_keys("m")).alias("n_keys"),
+            F.explode("m").alias("map_key", "map_val"),
+        )
+        .select("event_id", "map_key", "map_val", "n_keys")
+    )
+
+
 # ------------------------------------------------------- grouped-map pandas
 
 

@@ -20,7 +20,12 @@ from ..operators.dedup import (
     with_shingles,
     with_simhash,
 )
-from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh, norm_col
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    ivf_topk,
+    norm_col,
+)
 from ..operators.text import (
     STOPWORDS,
     fingerprint_col,
@@ -252,6 +257,40 @@ def llm_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_lsh(emb, queries, k=5)
+
+
+@_q("llm_cosine_ivf")  # approximate — rows-only; recall asserted in tests/
+def llm_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the other 100 TB ANN path): k-means coarse
+    quantizer → probe nprobe nearest cells → exact re-rank. Candidates per
+    query ≈ N·nprobe/nlist vs N for brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+
+
+@_q(
+    "llm_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_ish,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents
+    """,
+)
+def llm_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimator: alpha runs, digit runs and single
+    punctuation marks each count as one token (the cheap proxy used when no
+    real tokenizer ships). RE2-safe pattern — identical semantics in Spark
+    and the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)
+        ).alias("n_bpe_ish"),
+        F.size(F.split("text", " ", -1)).alias("n_words"),
+    )
 
 
 @_q(

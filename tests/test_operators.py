@@ -240,3 +240,36 @@ def test_frame_sample_plan(spark):
     )
     ts = [r.frame_ts_ms for r in frame_sample_plan(df, every_ms=1000).collect()]
     assert ts == [0, 1000, 2000]
+
+
+def test_ivf_topk_recall(spark, emb_df):
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import ivf_topk
+
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.qid, r.cid) for r in cosine_topk_bruteforce(df, queries, k=3).collect()
+    }
+    approx = {
+        (r.qid, r.cid)
+        for r in ivf_topk(df, queries, k=3, nlist=4, nprobe=2, max_iter=8).collect()
+    }
+    # Probing half the cells of a 4-cell index on 30 vectors: most true
+    # neighbors are reachable; fixed seed keeps this stable.
+    assert len(brute & approx) / len(brute) >= 0.6
+
+
+def test_avro_gated_cleanly(spark):
+    """No spark-avro jar in this container: the probe reports it and the
+    Avro parser refuses with a clear message instead of a py4j stack."""
+    import pytest as _pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import (
+        avro_available,
+        parse_envelope_avro,
+    )
+
+    assert avro_available(spark) is False
+    raw = spark.createDataFrame([(bytearray(b"x"),)], "value binary")
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        parse_envelope_avro(raw, "{}")

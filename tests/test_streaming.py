@@ -245,3 +245,48 @@ def test_streaming_dedup_requires_watermark(spark):
     )
     with pytest.raises(ValueError):
         dedup_stream(stream, ["value"])
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static join (SURVEY.md §2.C joins): streaming facts enrich
+    against a static dimension without state."""
+    stream, batch = events_stream_and_batch(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "basic")], "user string, tier string"
+    )
+    got = drain_to_memory(
+        stream.join(dim, "user").select("user", "tier", "v"),
+        "ss_join_t",
+        tmp_path,
+        output_mode="append",
+    )
+    want = batch.join(dim, "user").select("user", "tier", "v")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join: both sides watermarked, time-bounded join
+    condition limits state retention."""
+    imps = [
+        {"ad": "a1", "imp_ts": "2024-01-01T00:00:00"},
+        {"ad": "a2", "imp_ts": "2024-01-01T00:05:00"},
+    ]
+    clicks = [
+        {"ad": "a1", "click_ts": "2024-01-01T00:00:30"},
+        {"ad": "a2", "click_ts": "2024-01-01T02:00:00"},  # outside the hour bound
+    ]
+    d1 = tmp_path / "imps"; d1.mkdir()
+    d2 = tmp_path / "clicks"; d2.mkdir()
+    (d1 / "f.json").write_text("\n".join(json.dumps(r) for r in imps))
+    (d2 / "f.json").write_text("\n".join(json.dumps(r) for r in clicks))
+    s1 = spark.readStream.schema("ad string, imp_ts timestamp").json(str(d1)).withWatermark("imp_ts", "10 minutes")
+    s2 = spark.readStream.schema("ad string, click_ts timestamp").json(str(d2)).withWatermark("click_ts", "10 minutes")
+    joined = s1.join(
+        s2,
+        (s1.ad == s2.ad)
+        & (s2.click_ts >= s1.imp_ts)
+        & (s2.click_ts <= s1.imp_ts + F.expr("INTERVAL 1 HOUR")),
+    ).select(s1.ad, "imp_ts", "click_ts")
+    got = drain_to_memory(joined, "ss2_join_t", tmp_path, output_mode="append")
+    rows = got.collect()
+    assert [r.ad for r in rows] == ["a1"]  # a2's click is beyond the bound
