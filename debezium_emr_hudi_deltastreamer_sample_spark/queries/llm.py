@@ -15,8 +15,10 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
+    minhash_signatures_from_tokens,
     ngram_jaccard_pairs,
     simhash_candidates,
+    with_shingle_hashes,
     with_shingles,
     with_simhash,
 )
@@ -205,8 +207,8 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle → 32 minhashes → 8 bands →
     bucket join). The scale path for fuzzy dedup: candidate pairs only,
     never O(n²)."""
-    docs = with_shingles(_t(spark, sf_dir, "documents"), n=3)
-    sigs = minhash_signatures(docs, "doc_id", num_hashes=32)
+    docs = _t(spark, sf_dir, "documents").withColumn("tokens", tokens_col())
+    sigs = minhash_signatures_from_tokens(docs, "doc_id", n=3, num_hashes=32)
     return minhash_lsh_candidates(sigs, "doc_id", num_hashes=32, bands=8).filter(
         F.col("est_jaccard") >= 0.5
     )
@@ -215,12 +217,12 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("llm_simhash")  # sketch-based — rows-only; hamming asserted in tests/
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates by signature-prefix banding."""
-    docs = with_simhash(
-        _t(spark, sf_dir, "documents").withColumn("tokens", tokens_col())
+    from ..operators.dedup import simhash_signatures
+
+    sigs = simhash_signatures(
+        _t(spark, sf_dir, "documents").withColumn("tokens", tokens_col()), "doc_id"
     )
-    return simhash_candidates(docs, "doc_id", prefix_bits=16).filter(
-        F.col("hamming") <= 8
-    )
+    return simhash_candidates(sigs, "doc_id", n_bands=4, max_hamming=8)
 
 
 @_q(

@@ -273,3 +273,39 @@ def test_avro_gated_cleanly(spark):
     raw = spark.createDataFrame([(bytearray(b"x"),)], "value binary")
     with _pytest.raises(RuntimeError, match="spark-avro"):
         parse_envelope_avro(raw, "{}")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.skew import salted_join
+
+    # 90% of fact rows share one hot key.
+    fact = spark.range(1000).select(
+        F.when(F.col("id") < 900, 7).otherwise(F.col("id") % 20).alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(20)], "k long, label string")
+    plain = fact.join(dim, "k").select("fact_id", "label")
+    salted = salted_join(fact, dim, ["k"], n_salts=4).select("fact_id", "label")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_minhash_from_tokens_matches_properties(spark):
+    """The single-shuffle explode+window MinHash must satisfy the same
+    estimator properties as the array-shingle path."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.dedup import (
+        minhash_signatures_from_tokens,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.text import tokens_col
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string").withColumn(
+        "tokens", tokens_col()
+    )
+    sigs = minhash_signatures_from_tokens(df, "doc_id", n=3, num_hashes=128)
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_candidates(sigs, "doc_id", 128, bands=32).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    tj = true_jaccard(DOCS[0][1], DOCS[1][1])
+    assert abs(pairs[(1, 2)] - tj) < 0.25
+    assert (1, 3) not in pairs
