@@ -32,12 +32,13 @@ def tokens_col(text_col: str = "text") -> Column:
 
 
 def bpe_ish_tokens_col(text_col: str = "text") -> Column:
-    """BPE-ish subword count proxy: split on word boundaries AND digit/alpha
-    transitions — the standard cheap token-count estimator when no real
-    tokenizer is shipped."""
-    return F.filter(
-        F.split(F.col(text_col), r"(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\W+"),
-        lambda t: t != "",
+    """BPE-ish subword proxy: alpha runs, digit runs and single punctuation
+    marks each count as one token — the standard cheap token-count
+    estimator when no real tokenizer is shipped. RE2-safe pattern (no
+    lookarounds), so any RE2-based engine (DuckDB included) reproduces it
+    exactly; used by queries/llm.llm_bpe_token_count."""
+    return F.regexp_extract_all(
+        F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0
     )
 
 

@@ -285,12 +285,12 @@ def llm_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation marks each count as one token (the cheap proxy used when no
     real tokenizer ships). RE2-safe pattern — identical semantics in Spark
     and the DuckDB oracle."""
+    from ..operators.text import bpe_ish_tokens_col
+
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(
-            F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)
-        ).alias("n_bpe_ish"),
+        F.size(bpe_ish_tokens_col()).alias("n_bpe_ish"),
         F.size(F.split("text", " ", -1)).alias("n_words"),
     )
 

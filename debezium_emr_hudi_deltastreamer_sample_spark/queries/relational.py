@@ -675,7 +675,7 @@ def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_nationkey,
            rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
            dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment)              AS seg_dense,
-           ntile(4)     OVER (ORDER BY c_acctbal DESC, c_custkey)                          AS bal_quartile
+           ntile(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile
     FROM customer
     """,
 )
@@ -689,9 +689,12 @@ def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal_rank"
         ),
         F.dense_rank().over(wn.orderBy("c_mktsegment")).alias("seg_dense"),
-        F.ntile(4).over(W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))).alias(
-            "bal_quartile"
-        ),
+        # Partitioned ntile: a global ORDER BY window is a one-partition
+        # bottleneck at scale (WindowExec warns); per-nation quartiles
+        # exercise the same operator shuffle-safely.
+        F.ntile(4)
+        .over(wn.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+        .alias("bal_quartile"),
     )
 
 
