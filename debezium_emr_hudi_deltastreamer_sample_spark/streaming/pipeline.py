@@ -89,6 +89,38 @@ def upsert_batch_processor(
     return process
 
 
+def routed_upsert_processor(
+    tables: dict[str, tuple[str, Sequence[str], T.StructType]],
+    ordering: Sequence[str] = ("_lsn",),
+) -> Callable[[DataFrame, int], None]:
+    """Multi-table CDC routing — the real intent of the reference's
+    ``subscribePattern "debezium1.*"`` (README.md:193: one stream carries
+    every table's topic; the reference then hardcodes a single schema,
+    which only works because it has one table).
+
+    ``tables`` maps table name (the last topic segment, B14) →
+    (table_path, keys, row_schema). Each micro-batch is split by topic and
+    each slice merged into its table. Unknown topics are ignored (the
+    subscribe regex may match tables the engine hasn't registered).
+
+    Scale: the per-table filter prunes on the Kafka topic column before
+    parsing; one batch scan serves all tables (Spark caches nothing here —
+    for many tables, persist df per batch)."""
+    from ..envelope import topic_to_table
+
+    def process(df: DataFrame, batch_id: int) -> None:
+        df = df.withColumn("__table", topic_to_table()).persist()
+        try:
+            for name, (path, keys, row_schema) in tables.items():
+                slice_ = df.filter(F.col("__table") == name)
+                upsert = upsert_batch_processor(path, keys, row_schema, ordering)
+                upsert(slice_, batch_id)
+        finally:
+            df.unpersist()
+
+    return process
+
+
 def start_pipeline(
     stream: DataFrame,
     process: Callable[[DataFrame, int], None],

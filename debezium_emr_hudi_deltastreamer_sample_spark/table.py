@@ -32,6 +32,29 @@ from pyspark.sql import functions as F
 from .operators.merge import merge_upsert
 
 
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: Sequence[str],
+    n_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Bucketed, sorted, catalog-registered table — the co-located-join
+    primitive. Two tables bucketed on the same keys with the same bucket
+    count join WITHOUT a shuffle (and without a sort, if sorted): at 100 TB
+    this turns the recurring fact⋈fact join from the dominant shuffle into
+    a zipped per-bucket merge. Requires saveAsTable (bucket metadata lives
+    in the catalog, not the parquet footers)."""
+    # Drop any previous registration: with an in-memory catalog a table
+    # from an earlier session survives only as files, and saveAsTable
+    # refuses to reuse the managed location.
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.format("parquet").saveAsTable(name)
+
+
 def hudi_available(spark: SparkSession) -> bool:
     """Probe for the Hudi DataSource (jar not shipped in this container)."""
     try:

@@ -108,3 +108,30 @@ def test_schema_reconciliation_new_column(spark):
     out = merge_upsert(table, changes, keys=["id"], ordering=["lsn"])
     rows = {r.id: (r.name, r.salary) for r in out.collect()}
     assert rows == {1: ("a", 10), 2: ("b", None)}
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_event = st.tuples(
+    st.integers(0, 5),                      # id (few keys → collisions)
+    st.text("ab", min_size=1, max_size=3),  # name
+    st.integers(0, 99),                     # salary
+    st.sampled_from(["c", "u", "u", "d"]),  # op
+)
+
+
+@given(events=st.lists(_event, min_size=1, max_size=30))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_property_replay(spark, events):
+    """Property: for ANY insert/update/delete sequence, the distributed
+    merge equals the sequential dict replay (hypothesis shrinks failures
+    to a minimal event sequence)."""
+    changes = [
+        (id_, None if op == "d" else name, None if op == "d" else sal, op, lsn)
+        for lsn, (id_, name, sal, op) in enumerate(events, start=1)
+    ]
+    assert engine_result(spark, [], changes) == replay(changes)

@@ -290,3 +290,47 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     got = drain_to_memory(joined, "ss2_join_t", tmp_path, output_mode="append")
     rows = got.collect()
     assert [r.ad for r in rows] == ["a1"]  # a2's click is beyond the bound
+
+
+def test_multi_table_topic_routing(spark, tmp_path):
+    """One stream, many tables (subscribePattern intent): envelope records
+    for two tables ride the same stream and land in their own tables."""
+    from pyspark.sql import types as T
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import EMPLOYEES_SCHEMA
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+        routed_upsert_processor,
+    )
+
+    dept_schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("dept_name", T.StringType()),
+        ]
+    )
+    emp = envelope_record("c", after=row(1, "a", 10), lsn=1, offset=0)
+    dept = envelope_record("c", after={"id": 7, "dept_name": "IT"}, lsn=2, offset=1)
+    dept["topic"] = "debezium1.public.departments"
+    unknown = envelope_record("c", after=row(9, "z", 9), lsn=3, offset=2)
+    unknown["topic"] = "debezium1.public.unregistered"
+
+    src = tmp_path / "multi_in"
+    src.mkdir()
+    (src / "f.json").write_text("\n".join(json.dumps(r) for r in [emp, dept, unknown]))
+
+    tables = {
+        "employees": (str(tmp_path / "t_emp"), ["id"], EMPLOYEES_SCHEMA),
+        "departments": (str(tmp_path / "t_dept"), ["id"], dept_schema),
+    }
+    q = start_pipeline(
+        file_envelope_source(spark, str(src)),
+        routed_upsert_processor(tables),
+        checkpoint=str(tmp_path / "ckpt_multi"),
+        available_now=True,
+    )
+    run_until_drained(q)
+
+    emps = spark.read.parquet(str(tmp_path / "t_emp")).collect()
+    depts = spark.read.parquet(str(tmp_path / "t_dept")).collect()
+    assert [(r.id, r.full_name) for r in emps] == [(1, "a")]
+    assert [(r.id, r.dept_name) for r in depts] == [(7, "IT")]

@@ -120,3 +120,40 @@ def test_register_makes_table_queryable(spark, tmp_path):
 def test_hudi_probe_is_safe(spark):
     # No Hudi jar in this container — the probe must return False, not raise.
     assert hudi_available(spark) is False
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-bucketed tables must sort-merge join with zero Exchange nodes —
+    the property that kills the dominant shuffle at scale."""
+    import io
+    import shutil
+    from contextlib import redirect_stdout
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import save_bucketed
+
+    # Stale managed-table locations from previous sessions block saveAsTable
+    # (the in-memory catalog forgot them but the files remain).
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_a", "bkt_b"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    save_bucketed(a, "bkt_a", ["k"], n_buckets=4)
+    save_bucketed(b, "bkt_b", ["k"], n_buckets=4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain()
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # no shuffle on either side
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
