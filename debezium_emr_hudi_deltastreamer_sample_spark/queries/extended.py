@@ -243,3 +243,77 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return frame_sample_plan(vids, every_ms=1000)
+
+
+@_q(
+    "scalar_array_ops",
+    """
+    SELECT doc_id,
+           toks[2:4]                                   AS mid_slice,
+           list_sort(list_distinct(toks[1:5]))         AS head_sorted,
+           list_position(toks, 'the')                  AS first_the,
+           len(flatten([toks[1:1], toks[3:3]]))        AS zip_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 6
+    """,
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function slice (SURVEY.md §2.C scalar/array): slice,
+    sort_array, array_distinct, array_position, flatten — all codegen'd
+    JVM expressions over the token arrays."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ", -1)
+    )
+    return docs.filter(F.size("toks") >= 6).select(
+        "doc_id",
+        F.slice("toks", 2, 3).alias("mid_slice"),
+        F.sort_array(F.array_distinct(F.slice("toks", 1, 5))).alias("head_sorted"),
+        F.array_position("toks", "the").alias("first_the"),
+        F.size(
+            F.flatten(F.array(F.slice("toks", 1, 1), F.slice("toks", 3, 1)))
+        ).alias("zip_len"),
+    )
+
+
+@_q(
+    "scalar_bit_ops",
+    """
+    SELECT event_id,
+           event_id & 255                         AS low_byte,
+           event_id | 4096                        AS with_flag,
+           xor(event_id, user_id)                 AS id_xor,
+           event_id << 3                          AS shl3,
+           event_id >> 2                          AS shr2,
+           bit_count(event_id)                    AS popcount
+    FROM events WHERE event_id < 3000
+    """,
+)
+def scalar_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-operator slice: and/or/xor, shifts, popcount."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("id_xor"),
+        F.shiftleft("event_id", 3).alias("shl3"),
+        F.shiftright("event_id", 2).alias("shr2"),
+        F.bit_count("event_id").alias("popcount"),
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond cube/rollup, which relational.py
+    covers) through the SQL surface — one Expand node, one aggregation."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(ORACLES["agg_grouping_sets"])

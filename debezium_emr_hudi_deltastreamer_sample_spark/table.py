@@ -192,6 +192,22 @@ class KeyedTable:
                 return
         self._write(merged, "overwrite")
 
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Small-file compaction. Per-micro-batch CDC writes accrete small
+        files (one per task per batch) — the classic streaming-table decay;
+        Hudi runs this as an inline/async table service. Rewrites the table
+        at ``target_partitions`` output files per partition-dir (default:
+        session shuffle parallelism for the whole table)."""
+        current = self.read().localCheckpoint(eager=True)
+        out = (
+            current.repartition(target_partitions)
+            if target_partitions
+            else current.repartition(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            )
+        )
+        self._write(out, "overwrite")
+
     def compact_history(self, history: DataFrame) -> None:
         """Bootstrap from a full change history (B13 earliest replay):
         one global latest-wins pass instead of per-batch merges."""

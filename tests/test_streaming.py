@@ -334,3 +334,66 @@ def test_multi_table_topic_routing(spark, tmp_path):
     depts = spark.read.parquet(str(tmp_path / "t_dept")).collect()
     assert [(r.id, r.full_name) for r in emps] == [(1, "a")]
     assert [(r.id, r.dept_name) for r in depts] == [(7, "IT")]
+
+
+def test_incremental_rollup_equals_full_aggregation(spark, tmp_path):
+    """Continuous aggregation: folding batches one at a time must equal the
+    one-shot aggregate of all events — without ever re-scanning history."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    rows1 = [
+        ("a", "2024-01-01T00:00:10", 1.0),
+        ("a", "2024-01-01T00:00:40", 2.0),
+        ("b", "2024-01-01T00:01:10", 3.0),
+    ]
+    rows2 = [
+        ("a", "2024-01-01T00:00:55", 4.0),  # lands in an existing bucket
+        ("b", "2024-01-01T00:03:00", 5.0),  # opens a new bucket
+    ]
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "k string, ts string, v double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "rollup"), "ts", "1 minute", ["k"], "v"
+    )
+    roll.apply_batch(mk(rows1), 0)
+    roll.apply_batch(mk(rows2), 1)
+
+    got = {
+        (r.k, str(r.bucket_start)): (r.n, r.total, r.mean)
+        for r in roll.read().collect()
+    }
+    full = mk(rows1 + rows2)
+    want = {
+        (r.k, str(r.w["start"])): (r.n, r.total, r.total / r.n)
+        for r in full.groupBy(F.window("ts", "1 minute").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_rollup_as_stream_sink(spark, tmp_path):
+    """The rollup processor plugs into foreachBatch like any engine sink."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    stream, batch = events_stream_and_batch(spark, tmp_path)
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "rollup_s"), "ts", "1 minute", ["user"], "v"
+    )
+    q = start_pipeline(
+        stream,
+        roll.processor(),
+        checkpoint=str(tmp_path / "ckpt_roll"),
+        available_now=True,
+    )
+    run_until_drained(q)
+    got_total = sum(r.total for r in roll.read().collect())
+    want_total = batch.agg(F.sum("v")).first()[0]
+    assert got_total == want_total

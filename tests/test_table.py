@@ -157,3 +157,24 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_compact_reduces_files_preserves_state(spark, tmp_path):
+    t = make_table(spark, tmp_path, partitioned=False)
+    # Simulate small-file accretion: a 4-way-partitioned write -> 4 files.
+    t.init(
+        spark.createDataFrame(
+            [(i, "eu", i * 10) for i in range(8)], "id int, region string, v int"
+        ).repartition(4)
+    )
+    before_files = [
+        f for f in os.listdir(tmp_path / "t") if f.endswith(".parquet")
+    ]
+    before_state = state(t)
+    t.compact(target_partitions=1)
+    after_files = [
+        f for f in os.listdir(tmp_path / "t") if f.endswith(".parquet")
+    ]
+    assert state(t) == before_state
+    assert len(after_files) < len(before_files)
+    assert len(after_files) == 1
