@@ -10,11 +10,14 @@ DataFrame-API equivalents (join_semi/join_anti) are covered in relational.py.
 
 from __future__ import annotations
 
+import tempfile
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as _t
+from ..functions import dround
 from ..operators.multimodal import decode_images, frame_sample_plan, make_fake_media
 
 QUERIES = {}
@@ -317,3 +320,56 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers) through the SQL surface — one Expand node, one aggregation."""
     _view(spark, sf_dir, "orders")
     return spark.sql(ORACLES["agg_grouping_sets"])
+
+
+@_q(
+    "sink_partitioned_readback",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_partitioned_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path coverage (SURVEY.md §2.B B10 hive-style partitioning +
+    §2.A A10 parquet sink): orders written ``partitionBy(o_orderstatus)``,
+    read back with a partition predicate. The predicate prunes at directory
+    level — the scan's PartitionFilters skip every file under
+    ``o_orderstatus=P/`` instead of filtering rows (tests/test_plans.py
+    asserts the pruned scan)."""
+    out = tempfile.mkdtemp(prefix="spark_graft_partsink_")
+    _t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") != "P")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_q(
+    "scalar_regex",
+    r"""
+    SELECT doc_id,
+           regexp_replace(text, '[aeiou]', '*', 'g')  AS devowel,
+           len(regexp_extract_all(text, '\w{7,}'))    AS n_long_words,
+           translate(lang, 'aeiou', 'AEIOU')          AS lang_t,
+           regexp_matches(text, 'data')               AS has_data
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp-function slice (SURVEY.md §2.C scalar/string):
+    regexp_replace (global in Spark, 'g' flag in the oracle),
+    regexp_extract_all, translate, rlike — all JVM-side codegen'd."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", "[aeiou]", "*").alias("devowel"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w{7,}"), 0)).alias(
+            "n_long_words"
+        ),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_t"),
+        F.col("text").rlike("data").alias("has_data"),
+    )

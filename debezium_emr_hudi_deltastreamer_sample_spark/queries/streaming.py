@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table as _t
 from ..envelope import parse_envelope
+from ..functions import dround
+from ..streaming.rollup import IncrementalRollup
 from ..streaming.pipeline import (
     cast_value_projection,
     run_until_drained,
@@ -235,4 +237,30 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_until_drained(q)
     return spark.read.parquet(table_path).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@_q(
+    "stream_rollup_incremental",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+           count(*) AS n, round(sum(value), 3) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregation (hypertable-rollup pattern): fold the events
+    table through IncrementalRollup in three separate append batches — each
+    batch aggregates itself then merges additive (count, sum) partials with
+    the stored rollup, never re-scanning history — and the final rollup must
+    equal the one-shot aggregate the oracle computes over all events."""
+    events = _t(spark, sf_dir, "events")
+    roll = IncrementalRollup(
+        spark, _tmp("rollup"), "ts", "1 hour", ["event_type"], "value"
+    )
+    for i in range(3):
+        roll.apply_batch(events.filter(F.col("event_id") % 3 == i), i)
+    return roll.read().select(
+        "event_type", "bucket_start", "n", dround("total", 3).alias("total")
     )

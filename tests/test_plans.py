@@ -101,3 +101,17 @@ def test_topk_uses_take_ordered(spark, qs):
     # Global top-k must be TakeOrderedAndProject (no full sort + limit).
     p = plan(qs["top_orders_global"](spark, SF))
     assert "TakeOrderedAndProject" in p
+
+
+def test_partitioned_readback_prunes_partitions(spark, qs):
+    """The hive-style partitioned sink (B10) must prune at directory level:
+    the o_orderstatus predicate appears as a PartitionFilter on the
+    readback scan and the pruned partition's files are never listed."""
+    p = plan(qs["sink_partitioned_readback"](spark, SF))
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "o_orderstatus" in pf
+    # The predicate is consumed entirely by partition pruning: no Filter
+    # node survives, and the scan reads only the aggregated column.
+    assert "(1) Scan parquet" in p and ") Filter" not in p
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "o_orderstatus" not in read_schema
