@@ -268,7 +268,7 @@ def llm_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query ≈ N·nprobe/nlist vs N for brute force."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=6)
 
 
 @_q(
