@@ -397,3 +397,28 @@ def test_rollup_as_stream_sink(spark, tmp_path):
     got_total = sum(r.total for r in roll.read().collect())
     want_total = batch.agg(F.sum("v")).first()[0]
     assert got_total == want_total
+
+
+def test_latency_harness_envelopes_roundtrip(spark):
+    """The latency harness's synthesized envelopes must parse through the
+    real envelope parser (same schema the CDC pipeline consumes)."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import parse_envelope
+    from tools.stream_latency import envelopes_from_rate
+
+    fake_rate = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1, 0, 0, i)) for i in range(5)],
+        "value long, timestamp timestamp",
+    )
+    parsed = parse_envelope(envelopes_from_rate(fake_rate, n_keys=3))
+    rows = sorted((r._lsn, r.id, r.op, r.full_name) for r in parsed.collect())
+    # One change row per rate row; ids cycle mod n_keys, rows past the
+    # first key cycle become updates ('u'); lsn carries the rate value.
+    assert rows == [
+        (0, 0, "c", "name_0"),
+        (1, 1, "c", "name_1"),
+        (2, 2, "c", "name_2"),
+        (3, 0, "u", "name_3"),
+        (4, 1, "u", "name_4"),
+    ]

@@ -1,0 +1,131 @@
+"""Streaming latency/throughput harness over the engine's CDC pipeline.
+
+Drives the reference's script.py shape (Kafka → envelope → foreachBatch →
+parquet, SURVEY.md §3.1) with the built-in rate source standing in for
+Kafka: each rate row becomes a Debezium insert envelope (JVM-side to_json,
+no Python in the hot path), the real `append_batch_processor` /
+`upsert_batch_processor` lands it, and micro-batch latency is read from the
+StreamingQuery progress feed.
+
+Context for the numbers: the reference's end-to-end latency floor is its
+source-side offset flush (1000 ms, BASELINE.md) plus an unpaced ASAP
+trigger; this harness measures what the Spark side adds per micro-batch.
+
+Usage:
+    python tools/stream_latency.py [append|upsert] [rows_per_sec] [duration_sec]
+Prints ONE JSON line:
+    {"mode": ..., "rows_per_sec": ..., "n_batches": ...,
+     "input_rows": ..., "batch_ms": {"p50": ..., "p95": ..., "max": ...},
+     "sustained_rows_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
+from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+    append_batch_processor,
+    start_pipeline,
+    upsert_batch_processor,
+)
+from debezium_emr_hudi_deltastreamer_sample_spark.streaming.sources import rate_source
+
+
+def envelopes_from_rate(rate: DataFrame, n_keys: int = 10_000) -> DataFrame:
+    """rate rows → Kafka-shaped Debezium insert/update envelopes.
+
+    id cycles over ``n_keys`` so the upsert path exercises real key
+    collisions (updates), not insert-only growth; lsn = the monotone rate
+    value keeps latest-wins well-defined."""
+    rid = F.col("value")
+    row = F.struct(
+        (rid % n_keys).cast("int").alias("id"),
+        F.concat(F.lit("name_"), rid).alias("full_name"),
+        F.concat(F.lit("u"), rid, F.lit("@example.com")).alias("email"),
+        F.lit("555-0100").alias("phone"),
+        F.concat(F.lit("dept_"), (rid % 7)).alias("department"),
+        (rid % 90_000 + 10_000).cast("int").alias("salary"),
+        F.lit("2024-01-01").cast("date").alias("created_at"),
+    )
+    return rate.select(
+        F.lit(None).cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit(None).cast("struct<id:int>").alias("before"),
+                    row.alias("after"),
+                    F.struct(
+                        rid.alias("lsn"),
+                        (F.unix_millis(F.col("timestamp"))).alias("ts_ms"),
+                        F.lit("employees").alias("table"),
+                    ).alias("source"),
+                    F.when(rid < n_keys, F.lit("c")).otherwise(F.lit("u")).alias("op"),
+                    F.unix_millis(F.col("timestamp")).alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+        F.lit("debezium1.public.employees").alias("topic"),
+        F.lit(0).alias("partition"),
+        rid.alias("offset"),
+        F.col("timestamp"),
+    )
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "append"
+    rows_per_sec = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    duration_sec = float(sys.argv[3]) if len(sys.argv) > 3 else 20.0
+
+    spark = get_spark(app_name=f"stream_latency_{mode}")
+    out = tempfile.mkdtemp(prefix="spark_graft_lat_out_")
+    proc = (
+        append_batch_processor(out)
+        if mode == "append"
+        else upsert_batch_processor(out, keys=["id"])
+    )
+    q = start_pipeline(
+        envelopes_from_rate(rate_source(spark, rows_per_sec)),
+        proc,
+        checkpoint=tempfile.mkdtemp(prefix="spark_graft_lat_ckpt_"),
+    )
+    t0 = time.time()
+    while time.time() - t0 < duration_sec:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    progress = [p for p in (q.recentProgress or []) if p["numInputRows"] > 0]
+    durations = sorted(p["durationMs"]["triggerExecution"] for p in progress)
+    rows = sum(p["numInputRows"] for p in progress)
+    span_sec = sum(p["durationMs"]["triggerExecution"] for p in progress) / 1000.0
+    pct = lambda q_: durations[min(len(durations) - 1, int(q_ * len(durations)))]
+    print(
+        json.dumps(
+            {
+                "mode": mode,
+                "rows_per_sec": rows_per_sec,
+                "n_batches": len(durations),
+                "input_rows": rows,
+                "batch_ms": {
+                    "p50": statistics.median(durations) if durations else None,
+                    "p95": pct(0.95) if durations else None,
+                    "max": durations[-1] if durations else None,
+                },
+                "sustained_rows_per_sec": round(rows / span_sec, 1) if span_sec else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
