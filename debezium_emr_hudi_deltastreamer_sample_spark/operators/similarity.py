@@ -220,6 +220,91 @@ def ivf_topk(
     )
 
 
+def _explode_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    prefix: str,
+    n_planes: int,
+    band_bits: int,
+    probe: bool = False,
+) -> DataFrame:
+    """One row per (vector, band[, probe-bucket]): the banded LSH index.
+    ``probe`` adds, per band, every bucket at Hamming distance 1 (standard
+    multi-probe — apply on the QUERY side only so the table-side index
+    stays linear in the data)."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    entries = []
+    for b in range(n_bands):
+        bucket = F.shiftright("lsh_sig", b * band_bits).bitwiseAND(F.lit(mask))
+        entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+        if probe:
+            entries.extend(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    bucket.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
+                )
+                for i in range(band_bits)
+            )
+    return df.select(
+        F.col(id_col).alias(f"{prefix}id"),
+        F.col(vec_col).alias(f"{prefix}e"),
+        F.explode(F.array(*entries)).alias("bb"),
+    ).select(f"{prefix}id", f"{prefix}e", "bb.band", "bb.bucket")
+
+
+def embedding_neardup_survivors(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.46,
+    approx: bool = False,
+    n_planes: int = 12,
+    band_bits: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: a row is a duplicate iff some
+    LOWER-id row has cosine ≥ ``threshold``; survivors are the rest. The
+    lowest-id member of every near-dup cluster always survives, and the
+    rule needs no iterative clustering (membership is decided against ALL
+    earlier rows, surviving or not — exactly a NOT EXISTS).
+
+    ``approx=False``: all-pairs self-join (a < b), broadcast one side —
+    the oracle shape, O(n²) cosine evals, for fixtures and verification.
+    ``approx=True``: the 100 TB path — candidate pairs = vectors sharing a
+    multi-probe LSH band bucket (same index as `cosine_topk_lsh`), exact
+    cosine re-check on candidates only; expected cost O(n · bucket_size).
+    """
+    a = embeddings.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("ae"))
+    b = embeddings.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("be"))
+    if approx:
+        sig = with_lsh_signature(embeddings, vec_col, n_planes, seed, dim)
+        pairs = (
+            _explode_bands(sig, id_col, vec_col, "a", n_planes, band_bits, probe=True)
+            .drop("ae")
+            .join(
+                _explode_bands(sig, id_col, vec_col, "b", n_planes, band_bits),
+                ["band", "bucket"],
+            )
+            .filter(F.col("aid") < F.col("bid"))
+            .select("aid", "bid")
+            .distinct()
+            .join(a, "aid")
+            .join(b, "bid")
+        )
+    else:
+        pairs = b.join(F.broadcast(a), F.col("aid") < F.col("bid"))
+    dup_ids = (
+        pairs.withColumn("sim", _cosine_sim("ae", "be"))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("bid").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(dup_ids, id_col, "left_anti")
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -246,31 +331,13 @@ def cosine_topk_lsh(
     Recall < 1 by construction; tests assert recall ≥ threshold against the
     brute-force baseline rather than equality.
     """
-    n_bands = n_planes // band_bits
     emb_sig = with_lsh_signature(embeddings, vec_col, n_planes, seed, dim)
     q_sig = with_lsh_signature(queries, vec_col, n_planes, seed, dim)
 
     def banded(df: DataFrame, prefix: str, probe: bool = False) -> DataFrame:
-        mask = (1 << band_bits) - 1
-        entries = []
-        for b in range(n_bands):
-            bucket = F.shiftright("lsh_sig", b * band_bits).bitwiseAND(F.lit(mask))
-            entries.append(
-                F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
-            )
-            if probe:
-                entries.extend(
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        bucket.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
-                    )
-                    for i in range(band_bits)
-                )
-        return df.select(
-            F.col(id_col).alias(f"{prefix}id"),
-            F.col(vec_col).alias(f"{prefix}e"),
-            F.explode(F.array(*entries)).alias("bb"),
-        ).select(f"{prefix}id", f"{prefix}e", "bb.band", "bb.bucket")
+        return _explode_bands(
+            df, id_col, vec_col, prefix, n_planes, band_bits, probe
+        )
 
     # Dedup candidate IDs before the exact re-rank so the cosine UDF sees
     # each (query, candidate) pair once, not once per colliding band; the

@@ -25,6 +25,7 @@ from ..operators.dedup import (
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    embedding_neardup_survivors,
     ivf_topk,
     norm_col,
 )
@@ -318,3 +319,38 @@ def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.element_at("embedding", 1).cast("double")), 4
         ).alias("avg_dim0"),
     )
+
+
+@_q(
+    "llm_embed_neardup",
+    """
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings b
+      WHERE b.vec_id < e.vec_id
+        AND list_cosine_similarity(b.embedding, e.embedding) >= 0.46)
+    """,
+)
+def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup, exact variant (the oracle shape):
+    drop any vector with an earlier neighbor at cosine >= 0.46. The
+    threshold sits in a measured gap of the fixture similarity
+    distribution (nearest pair values 0.4597 / 0.4666), so the float32
+    accumulation in the oracle's list_cosine_similarity (~2e-7) cannot
+    flip membership. The approx (LSH-candidate) variant of the same
+    operator is llm_embed_neardup_lsh."""
+    return embedding_neardup_survivors(
+        _t(spark, sf_dir, "embeddings"), threshold=0.46, approx=False
+    ).select("vec_id", "label")
+
+
+@_q("llm_embed_neardup_lsh")  # candidate-pair recall < 1 — rows-only
+def llm_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, 100 TB path: candidate pairs from shared
+    multi-probe LSH band buckets, exact cosine only on candidates. Oracle
+    parity is not guaranteed (banding can miss a qualifying pair), so this
+    entry is rows-only; tests assert it removes a subset of what the exact
+    variant removes."""
+    return embedding_neardup_survivors(
+        _t(spark, sf_dir, "embeddings"), threshold=0.46, approx=True
+    ).select("vec_id", "label")

@@ -309,3 +309,29 @@ def test_minhash_from_tokens_matches_properties(spark):
     tj = true_jaccard(DOCS[0][1], DOCS[1][1])
     assert abs(pairs[(1, 2)] - tj) < 0.25
     assert (1, 3) not in pairs
+
+
+def test_embed_neardup_lsh_subset_of_exact(spark):
+    """The LSH-candidate near-dup variant may MISS qualifying pairs but
+    must never invent one: its removals ⊆ the exact variant's removals,
+    and the lowest id always survives both."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        embedding_neardup_survivors,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    exact = {
+        r.vec_id
+        for r in embedding_neardup_survivors(emb, threshold=0.46).collect()
+    }
+    approx = {
+        r.vec_id
+        for r in embedding_neardup_survivors(
+            emb, threshold=0.46, approx=True
+        ).collect()
+    }
+    assert all_ids - exact  # the threshold actually removes something
+    assert exact <= approx  # approx removals are a subset of exact removals
+    assert min(all_ids) in exact
