@@ -373,3 +373,73 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate("lang", "aeiou", "AEIOU").alias("lang_t"),
         F.col("text").rlike("data").alias("has_data"),
     )
+
+
+@_q(
+    "scalar_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 45 DAY AS DATE)     AS due_date,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE)    AS review_date,
+           last_day(o_orderdate)                           AS month_end,
+           dayofweek(o_orderdate) + 1                      AS dow,
+           quarter(o_orderdate)                            AS qtr,
+           greatest(year(o_orderdate), 1996)               AS clamped_year
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic slice: interval add, add_months, last_day,
+    dayofweek (Spark is 1-based Sunday=1; the oracle's 0-based dayofweek
+    gets +1), quarter, greatest."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 45).alias("due_date"),
+        F.add_months(F.col("o_orderdate").cast("date"), 2).alias("review_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.greatest(F.year("o_orderdate"), F.lit(1996)).alias("clamped_year"),
+    )
+
+
+@_q(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey <= 300 AND b.c_custkey <= 300
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: within-nation name pairs at edit distance
+    ≤ 2 (levenshtein is JVM-side codegen). The equi-key (nationkey) rides
+    the hash join; only the theta parts (key ordering, distance) evaluate
+    post-join — blocking by a cheap key before an expensive string metric
+    is the standard fuzzy-dedup shape at scale."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, ["nk"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn("edit_dist", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("a_key", "b_key", "edit_dist")
+    )

@@ -245,7 +245,8 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
-           count(*) AS n, round(sum(value), 3) AS total
+           count(*) AS n, round(sum(value), 3) AS total,
+           round(min(value), 3) AS vmin, round(max(value), 3) AS vmax
     FROM events GROUP BY 1, 2
     """,
 )
@@ -262,5 +263,10 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         roll.apply_batch(events.filter(F.col("event_id") % 3 == i), i)
     return roll.read().select(
-        "event_type", "bucket_start", "n", dround("total", 3).alias("total")
+        "event_type",
+        "bucket_start",
+        "n",
+        dround("total", 3).alias("total"),
+        dround("vmin", 3).alias("vmin"),
+        dround("vmax", 3).alias("vmax"),
     )

@@ -3,7 +3,7 @@ time-bucketed aggregate table up to date from append batches without ever
 re-scanning history — the "hypertable rollup" pattern for 100 TB event
 streams.
 
-The trick is additivity: maintain (count, sum) partials per (bucket, keys);
+The trick is additivity: maintain (count, sum, min, max) partials per (bucket, keys);
 each micro-batch aggregates ITSELF (map-side partials, tiny output), then
 merges with the stored rollup by summing partials per group. Derived
 metrics (avg) are computed at read time. Cost per batch is O(batch) + a
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 
 class IncrementalRollup:
-    """Additive (count/sum) rollup of an event stream at a fixed time
+    """Additive (count/sum/min/max) rollup of an event stream at a fixed time
     bucket, persisted as parquet at ``path``."""
 
     def __init__(
@@ -50,9 +50,16 @@ class IncrementalRollup:
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col(self.value_col).cast("double")).alias("total"),
+                F.min(F.col(self.value_col).cast("double")).alias("vmin"),
+                F.max(F.col(self.value_col).cast("double")).alias("vmax"),
             )
             .select(
-                F.col("w.start").alias("bucket_start"), *self.keys, "n", "total"
+                F.col("w.start").alias("bucket_start"),
+                *self.keys,
+                "n",
+                "total",
+                "vmin",
+                "vmax",
             )
         )
 
@@ -65,7 +72,12 @@ class IncrementalRollup:
             merged = (
                 current.unionByName(partial)
                 .groupBy("bucket_start", *self.keys)
-                .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("total").alias("total"),
+                    F.min("vmin").alias("vmin"),
+                    F.max("vmax").alias("vmax"),
+                )
             )
         except Exception:
             merged = partial
