@@ -270,3 +270,64 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("vmin", 3).alias("vmin"),
         dround("vmax", 3).alias("vmax"),
     )
+
+
+@_q(
+    "stream_static_join",
+    """
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 3) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (SURVEY.md §2.C joins): the streaming fact side
+    enriches against a static broadcast dimension — stateless, no
+    watermark; the per-micro-batch join plan is the same broadcast-hash
+    join a batch query gets."""
+    stream = _events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("total"))
+    )
+    return _drain(agg)
+
+
+@_q(
+    "stream_stream_join",
+    """
+    SELECT a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks (click→purchase
+    attribution within 1 h): both sides watermarked so the state store can
+    evict rows older than the join bound + delay — the thing that keeps a
+    stream-stream join's state finite at 100 TB. Inner join under a
+    bounded availableNow replay emits exactly the batch-join result, which
+    is what the oracle computes."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "click_ts", "purchase_ts")
+    return _drain(joined, output_mode="append")
