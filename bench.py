@@ -43,8 +43,11 @@ HEADLINE = [
     "llm_minhash_lsh",
     "llm_cosine_topk",
     "llm_cosine_lsh",
+    "llm_embed_neardup_lsh",
     "mm_decode_stats",
     "stream_tumbling_counts",
+    "stream_stream_join",
+    "stream_rollup_incremental",
     "stream_cdc_upsert",
 ]
 

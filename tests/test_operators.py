@@ -335,3 +335,25 @@ def test_embed_neardup_lsh_subset_of_exact(spark):
     assert all_ids - exact  # the threshold actually removes something
     assert exact <= approx  # approx removals are a subset of exact removals
     assert min(all_ids) in exact
+
+
+def test_read_binary_media(spark, tmp_path):
+    """binaryFile ingestion: glob pushes down to the listing, size filter
+    uses the length metadata column, bytes round-trip exactly."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.sources import read_binary_media
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG_fake_a")
+    (tmp_path / "b.png").write_bytes(b"\x89PNG_fake_bb" * 100)
+    (tmp_path / "c.wav").write_bytes(b"RIFF_fake")
+
+    all_media = read_binary_media(spark, str(tmp_path))
+    got = {r.media_id.rsplit("/", 1)[-1]: r for r in all_media.collect()}
+    assert set(got) == {"a.png", "b.png", "c.wav"}
+    assert bytes(got["a.png"].media) == b"\x89PNG_fake_a"
+    assert got["a.png"].media_meta.media_type == "image"
+    assert got["c.wav"].media_meta.media_type == "audio"
+    assert got["c.wav"].media_meta.format == "wav"
+
+    pngs_small = read_binary_media(spark, str(tmp_path), glob="*.png", max_bytes=100)
+    names = [r.media_id.rsplit("/", 1)[-1] for r in pngs_small.collect()]
+    assert names == ["a.png"]

@@ -7,11 +7,12 @@ silently de-optimizes a plan fails CI, not the cluster.
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 import pytest
 
+from debezium_emr_hudi_deltastreamer_sample_spark.plans import (
+    formatted_plan as plan,
+    uses_python_row_udf,
+)
 from debezium_emr_hudi_deltastreamer_sample_spark.queries import all_queries
 
 SF = "/root/testdata/sf0.001"
@@ -20,13 +21,6 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def qs():
     return all_queries()
-
-
-def plan(df, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
 
 
 def test_pricing_summary_pushdown_and_pruning(spark, qs):
@@ -94,7 +88,7 @@ def test_no_python_row_udfs_in_relational_plans(spark, qs):
         "llm_token_stats",
         "llm_exact_dedup",
     ):
-        assert "BatchEvalPython" not in plan(qs[name](spark, SF)), name
+        assert not uses_python_row_udf(plan(qs[name](spark, SF))), name
 
 
 def test_topk_uses_take_ordered(spark, qs):

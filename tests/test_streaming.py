@@ -422,3 +422,69 @@ def test_latency_harness_envelopes_roundtrip(spark):
         (3, 0, "u", "name_3"),
         (4, 1, "u", "name_4"),
     ]
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_rollup_event = st.tuples(
+    st.sampled_from(["a", "b"]),   # key (few → bucket collisions)
+    st.integers(0, 300),           # seconds offset (spans several 1-min buckets)
+    st.integers(-5, 5),            # value (ints: exact float sums, no FP flake)
+)
+
+
+@given(
+    events=st.lists(_rollup_event, min_size=1, max_size=25),
+    cuts=st.lists(st.integers(0, 24), max_size=3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rollup_property_any_batching(spark, tmp_path_factory, events, cuts):
+    """Property: for ANY event sequence and ANY split into append batches,
+    folding the batches through IncrementalRollup equals the one-shot
+    aggregate — the additivity invariant the operator is built on."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (k, base + datetime.timedelta(seconds=s), float(v)) for k, s, v in events
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    bounds = sorted({0, len(rows), *[min(c, len(rows)) for c in cuts]})
+    roll = IncrementalRollup(
+        spark,
+        str(tmp_path_factory.mktemp("roll")),
+        "ts",
+        "1 minute",
+        ["k"],
+        "v",
+    )
+    slices = list(zip(bounds, bounds[1:]))
+    for i, (lo, hi) in enumerate(slices):
+        batch = spark.createDataFrame(rows[lo:hi], "k string, ts timestamp, v double")
+        roll.apply_batch(batch, i)
+
+    got = {
+        (r.k, str(r.bucket_start)): (r.n, r.total, r.vmin, r.vmax)
+        for r in roll.read().collect()
+    }
+    want = {
+        (r.k, str(r.w["start"])): (r.n, r.total, r.vmin, r.vmax)
+        for r in df.groupBy(F.window("ts", "1 minute").alias("w"), "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == want
