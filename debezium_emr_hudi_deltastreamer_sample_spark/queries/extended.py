@@ -443,3 +443,36 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .select("a_key", "b_key", "edit_dist")
     )
+
+
+@_q(
+    "filter_nullsafe_eq",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderpriority,
+             nullif(o_orderstatus, 'O') AS a,
+             nullif(o_orderstatus, 'F') AS b
+      FROM orders WHERE o_orderkey <= 2000)
+    SELECT o_orderkey,
+           a IS NOT DISTINCT FROM b            AS ns_eq,
+           a IS NOT DISTINCT FROM NULL         AS ns_is_null,
+           coalesce(a, b, '?')                 AS first_status,
+           o_orderpriority ILIKE '%urgent%'    AS is_urgent
+    FROM t
+    """,
+)
+def filter_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality `<=>` (SURVEY.md §2.C predicates): null <=> null
+    is TRUE, null <=> x is FALSE — unlike `=` which yields NULL and drops
+    rows in filters. Plus case-insensitive ILIKE. The oracle spells `<=>`
+    as IS NOT DISTINCT FROM."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    a = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    b = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return o.select(
+        "o_orderkey",
+        a.eqNullSafe(b).alias("ns_eq"),
+        a.eqNullSafe(F.lit(None).cast("string")).alias("ns_is_null"),
+        F.coalesce(a, b, F.lit("?")).alias("first_status"),
+        F.col("o_orderpriority").ilike("%urgent%").alias("is_urgent"),
+    )
