@@ -331,3 +331,35 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "click_ts", "purchase_ts")
     return _drain(joined, output_mode="append")
+
+
+@_q(
+    "stream_stateful_totals",
+    """
+    SELECT user_id AS key, count(*) AS events, round(sum(value), 3) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful custom operator (applyInPandasWithState,
+    SURVEY.md §2.C streaming): per-user running (count, sum) accumulators,
+    emitted each micro-batch. The memory sink keeps every emission, so the
+    check takes each key's LAST emission (max events — the count is
+    strictly monotone per key) and that must equal the one-shot batch
+    aggregate the oracle computes."""
+    from pyspark.sql import Window as W
+
+    from ..streaming.windows import running_totals
+
+    emitted = _drain(
+        running_totals(_events_stream(spark, sf_dir), "user_id", "value"),
+        output_mode="update",
+    )
+    rn = F.row_number().over(
+        W.partitionBy("key").orderBy(F.col("events").desc())
+    )
+    return (
+        emitted.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("key", "events", dround("total", 3).alias("total"))
+    )
