@@ -277,6 +277,33 @@ def embedding_neardup_survivors(
     multi-probe LSH band bucket (same index as `cosine_topk_lsh`), exact
     cosine re-check on candidates only; expected cost O(n · bucket_size).
     """
+    dup_ids = (
+        embedding_neardup_pairs(
+            embeddings, id_col, vec_col, threshold, approx,
+            n_planes, band_bits, seed, dim,
+        )
+        .select(F.col("bid").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(dup_ids, id_col, "left_anti")
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.46,
+    approx: bool = False,
+    n_planes: int = 12,
+    band_bits: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """(aid, bid, sim) pairs with aid < bid and cosine ≥ threshold — the
+    edge set shared by near-dup filtering (`embedding_neardup_survivors`)
+    and cluster assignment (operators/components.py). Exact = all-pairs
+    broadcast self-join; approx = shared multi-probe LSH band buckets with
+    exact cosine re-check on candidates only."""
     a = embeddings.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("ae"))
     b = embeddings.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("be"))
     if approx:
@@ -296,13 +323,11 @@ def embedding_neardup_survivors(
         )
     else:
         pairs = b.join(F.broadcast(a), F.col("aid") < F.col("bid"))
-    dup_ids = (
+    return (
         pairs.withColumn("sim", _cosine_sim("ae", "be"))
         .filter(F.col("sim") >= threshold)
-        .select(F.col("bid").alias(id_col))
-        .distinct()
+        .select("aid", "bid", "sim")
     )
-    return embeddings.join(dup_ids, id_col, "left_anti")
 
 
 def cosine_topk_lsh(

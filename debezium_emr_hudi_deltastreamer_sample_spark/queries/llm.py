@@ -354,3 +354,40 @@ def llm_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_survivors(
         _t(spark, sf_dir, "embeddings"), threshold=0.46, approx=True
     ).select("vec_id", "label")
+
+
+@_q(
+    "llm_dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.46),
+    edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    reach(v, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v)
+    SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT (iterative distributed algorithm):
+    cosine-threshold pairs become an undirected graph; connected
+    components (min-label propagation, operators/components.py) give every
+    vector its cluster's min id — singletons keep their own id. The
+    oracle replays the same reachability with a recursive CTE. Unlike the
+    survivor filter (llm_embed_neardup), cluster ids let downstream
+    pipelines pick a canonical doc per group, weight by cluster size, etc.
+    """
+    from ..operators.components import connected_components
+    from ..operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = embedding_neardup_pairs(emb, threshold=0.46).select(
+        F.col("aid").alias("src"), F.col("bid").alias("dst")
+    )
+    cc = connected_components(
+        emb.select("vec_id"), edges, id_col="vec_id"
+    )
+    return cc.select("vec_id", F.col("component").alias("cluster_id"))

@@ -357,3 +357,17 @@ def test_read_binary_media(spark, tmp_path):
     pngs_small = read_binary_media(spark, str(tmp_path), glob="*.png", max_bytes=100)
     names = [r.media_id.rsplit("/", 1)[-1] for r in pngs_small.collect()]
     assert names == ["a.png"]
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and an isolate: {1-2-3}, {10-11}, {99}."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.components import (
+        connected_components,
+    )
+
+    verts = spark.createDataFrame([(v,) for v in [1, 2, 3, 10, 11, 99]], "id long")
+    edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "src long, dst long")
+    got = {
+        r.id: r.component for r in connected_components(verts, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
