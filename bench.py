@@ -63,11 +63,17 @@ def main() -> None:
     spark.range(1).count()
     qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Two passes, per-query min: single-run noise on this class of box is
+    # ±30% on the streaming queries (state-store setup, tmp-dir I/O), which
+    # is the same order as the regression the bench gate is meant to catch.
+    # The min of two runs tracks the code's actual cost, not the noise.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            sec = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, sec), sec)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
     print(
