@@ -476,3 +476,31 @@ def filter_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(a, b, F.lit("?")).alias("first_status"),
         F.col("o_orderpriority").ilike("%urgent%").alias("is_urgent"),
     )
+
+
+@_q(
+    "sink_csv_roundtrip",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan (SURVEY.md §2.C scans row): customer written as
+    headered CSV, read back with an EXPLICIT schema (inference is a full
+    extra pass over the data — never at 100 TB), aggregated. Exactness
+    through the text round-trip is part of the check: doubles survive via
+    CSV's full-precision default format."""
+    out = tempfile.mkdtemp(prefix="spark_graft_csvsink_")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    ).option("header", True).csv(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

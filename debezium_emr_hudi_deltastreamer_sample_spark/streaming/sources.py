@@ -102,3 +102,49 @@ def rate_source(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
         .option("rowsPerSecond", str(rows_per_second))
         .load()
     )
+
+
+def kafka_record_projection(
+    df: DataFrame,
+    key_col: str | None = None,
+    value_col: str = "value",
+    topic: str | None = None,
+) -> DataFrame:
+    """Shape arbitrary rows into Kafka writer records: string/binary
+    ``key``/``value`` (+ optional per-row ``topic``). Non-string values are
+    JSON-serialized via to_json(struct(*)) — the envelope shape a Debezium
+    consumer downstream of this engine would expect."""
+    from pyspark.sql import functions as F
+
+    if value_col in df.columns:
+        value = F.col(value_col).cast("string")
+    else:
+        value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    cols = [value.alias("value")]
+    if key_col is not None:
+        cols.append(F.col(key_col).cast("string").alias("key"))
+    if topic is not None:
+        cols.append(F.lit(topic).alias("topic"))
+    return df.select(*cols)
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
+):
+    """Kafka streaming sink — the write-side mirror of `kafka_source`
+    (the reference only consumes; a complete engine also re-publishes,
+    e.g. enriched streams or outbox patterns). Returns the configured
+    DataStreamWriter; the caller `.start()`s it where a broker exists —
+    keeping construction broker-free makes it unit-testable in this
+    environment (no Kafka)."""
+    records = kafka_record_projection(df, key_col=key_col)
+    return (
+        records.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -488,3 +488,25 @@ def test_rollup_property_any_batching(spark, tmp_path_factory, events, cuts):
         .collect()
     }
     assert got == want
+
+
+def test_kafka_sink_construction_and_projection(spark, tmp_path):
+    """kafka_sink configures without a broker; the record projection JSON-
+    serializes arbitrary rows into Kafka key/value shape."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.sources import (
+        kafka_record_projection,
+        kafka_sink,
+        rate_source,
+    )
+
+    # Projection (batch): non-string rows → JSON value + string key.
+    batch = spark.createDataFrame([(1, "a", 2.5)], "id int, name string, v double")
+    rec = kafka_record_projection(batch, key_col="id").first()
+    assert rec.key == "1"
+    assert json.loads(rec.value) == {"id": 1, "name": "a", "v": 2.5}
+
+    # Writer builds against a stream without touching a broker.
+    w = kafka_sink(
+        rate_source(spark, 1), "broker:9092", "out_topic", str(tmp_path / "ck")
+    )
+    assert w is not None  # .start() is the caller's broker-dependent step
