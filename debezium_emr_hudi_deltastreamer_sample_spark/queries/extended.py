@@ -504,3 +504,42 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@_q(
+    "join_salted_skew",
+    """
+    WITH f AS (SELECT CASE WHEN user_id < 75 THEN 1 ELSE user_id END AS k,
+                      value
+               FROM events),
+         d AS (SELECT c_custkey AS k, c_mktsegment FROM customer
+               WHERE c_custkey < 150)
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 3) AS total
+    FROM f JOIN d USING (k)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join (SURVEY.md §2.C joins / skew note): half the
+    fact rows are collapsed onto key 1 (which matches a dim row — custkeys
+    start at 1) — the pathological hot key that would pin one task in a
+    plain shuffle join. `salted_join` spreads key 1 over 8 salt buckets; results are salt-invariant, which is exactly
+    what the oracle (plain unsalted join) verifies."""
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") < 75, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(F.col("c_custkey").alias("k"), "c_mktsegment")
+    )
+    joined = salted_join(ev, dim, on=["k"], n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("value"), 3).alias("total"),
+    )
