@@ -371,3 +371,46 @@ def test_connected_components_known_graph(spark):
         r.id: r.component for r in connected_components(verts, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_neardup_property_matches_numpy(spark, seed):
+    """Property: for ANY random embedding set, the distributed near-dup
+    survivors equal the numpy replay of the rule (drop iff an earlier row
+    has cosine ≥ τ)."""
+    import numpy as np
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        embedding_neardup_survivors,
+    )
+
+    rng = np.random.default_rng(seed)
+    # Low-dim vectors → plenty of pairs straddle any threshold.
+    vecs = rng.standard_normal((20, 4))
+    tau = 0.5
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    got = {
+        r.vec_id for r in embedding_neardup_survivors(df, threshold=tau).collect()
+    }
+
+    # float32 storage: replay on the float32-rounded values the engine saw.
+    v32 = vecs.astype("float32").astype("float64")
+    n = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    sims = n @ n.T
+    want = {
+        i
+        for i in range(len(vecs))
+        if not any(sims[i][j] >= tau for j in range(i))
+    }
+    assert got == want

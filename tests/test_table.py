@@ -178,3 +178,30 @@ def test_compact_reduces_files_preserves_state(spark, tmp_path):
     assert state(t) == before_state
     assert len(after_files) < len(before_files)
     assert len(after_files) == 1
+
+
+def test_compact_empty_and_unknown_op(spark, tmp_path):
+    """Edge cases: compacting a table that was never written raises the
+    read error (not silent corruption); envelope rows with an unknown op
+    code flow through parse as non-delete changes (Debezium 'r' snapshot
+    reads behave like inserts) rather than crashing the merge."""
+    import pytest as _pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import parse_envelope
+
+    t = make_table(spark, tmp_path / "never_written", partitioned=False)
+    with _pytest.raises(Exception):
+        t.compact()
+
+    env = spark.createDataFrame(
+        [(
+            '{"payload": {"before": null, '
+            '"after": {"id": 1, "full_name": "r", "email": "e", "phone": "p",'
+            ' "department": "d", "salary": 5, "created_at": "2024-01-01"},'
+            ' "source": {"lsn": 1, "ts_ms": 1, "table": "employees"},'
+            ' "op": "r", "ts_ms": 1}}',
+        )],
+        "value string",
+    )
+    rows = parse_envelope(env).collect()
+    assert [(r.op, r.id, r.full_name) for r in rows] == [("r", 1, "r")]
