@@ -21,3 +21,20 @@ capabilities into one idiomatic PySpark engine:
 """
 
 __version__ = "0.1.0"
+
+# Curated public API — the import a reference user starts from. Heavy
+# submodules (queries, streaming internals) stay lazy behind their own
+# import paths.
+from .catalog import load_table
+from .envelope import parse_envelope, envelope_schema, topic_to_table
+from .session import get_spark
+from .table import KeyedTable
+
+__all__ = [
+    "KeyedTable",
+    "envelope_schema",
+    "get_spark",
+    "load_table",
+    "parse_envelope",
+    "topic_to_table",
+]
