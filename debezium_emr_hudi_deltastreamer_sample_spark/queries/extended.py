@@ -543,3 +543,38 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.sum("value"), 3).alias("total"),
     )
+
+
+@_q(
+    "join_range_binned",
+    """
+    SELECT p_brand, count(*) AS n_in_band, round(avg(l_quantity), 4) AS avg_qty
+    FROM part JOIN lineitem
+      ON l_quantity BETWEEN p_size - 2 AND p_size + 2
+    WHERE p_partkey <= 50
+    GROUP BY p_brand
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key) via binning
+    (operators/rangejoin.py): quantity-in-[size±2] would be a
+    BroadcastNestedLoopJoin as written in the oracle; the engine quantizes
+    to width-5 bins and hash-joins on bin id + exact refine — same rows,
+    linear plan (tests/test_plans.py asserts no NestedLoop)."""
+    from ..operators.rangejoin import binned_range_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 50)
+        .select(
+            "p_brand",
+            (F.col("p_size") - 2).alias("lo"),
+            (F.col("p_size") + 2).alias("hi"),
+        )
+    )
+    joined = binned_range_join(li, p, "l_quantity", "lo", "hi", bin_width=5)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_in_band"),
+        dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )

@@ -414,3 +414,28 @@ def test_neardup_property_matches_numpy(spark, seed):
         if not any(sims[i][j] >= tau for j in range(i))
     }
     assert got == want
+
+
+def test_binned_range_join_matches_naive(spark):
+    """Binned result == naive cross-filter result on a known set, incl.
+    intervals spanning multiple bins and points on bin boundaries."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.rangejoin import (
+        binned_range_join,
+    )
+
+    pts = spark.createDataFrame([(float(x),) for x in [0, 4.9, 5.0, 7.5, 23]], "x double")
+    ivs = spark.createDataFrame(
+        [("a", 0.0, 5.0), ("b", 4.0, 12.0), ("c", 22.0, 22.5)],
+        "name string, lo double, hi double",
+    )
+    got = {
+        (r.name, r.x)
+        for r in binned_range_join(pts, ivs, "x", "lo", "hi", bin_width=5).collect()
+    }
+    naive = {
+        (n, x)
+        for n, lo, hi in [("a", 0, 5), ("b", 4, 12), ("c", 22, 22.5)]
+        for x in [0, 4.9, 5.0, 7.5, 23]
+        if lo <= x <= hi
+    }
+    assert got == naive

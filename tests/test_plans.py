@@ -109,3 +109,11 @@ def test_partitioned_readback_prunes_partitions(spark, qs):
     assert "(1) Scan parquet" in p and ") Filter" not in p
     read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "o_orderstatus" not in read_schema
+
+
+def test_binned_range_join_avoids_nested_loop(spark, qs):
+    """The pure range join must hash-join on bin ids — a NestedLoop node
+    here is the O(n·m) cliff the operator exists to avoid."""
+    p = plan(qs["join_range_binned"](spark, SF))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "Join" in p
