@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import dround
+
 #: Small deterministic stopword list used for quality/language features.
 STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it")
 
@@ -92,7 +94,10 @@ def quality_score_col() -> Column:
     lexical diversity and sane token lengths, penalizes stopword spam.
     Range ~[0,1]; thresholds tuned for filtering, not ranking."""
     length_ok = F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 1.0).otherwise(0.5)
-    return F.round(
+    # dround, not F.round: this value is oracle-compared (and averaged
+    # into oracle-compared aggregates), where Spark's decimal-repr
+    # rounding diverges from DuckDB on ties — see functions.dround.
+    return dround(
         0.4 * F.col("uniq_ratio")
         + 0.3 * length_ok
         + 0.3 * (1 - F.least(F.col("stopword_ratio") * 2, F.lit(1.0))),

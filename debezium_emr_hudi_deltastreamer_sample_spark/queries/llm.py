@@ -391,3 +391,56 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id"), edges, id_col="vec_id"
     )
     return cc.select("vec_id", F.col("component").alias("cluster_id"))
+
+
+@_q(
+    "llm_corpus_clean",
+    f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    stats AS (
+      SELECT doc_id, lang, source,
+             len(toks) AS n_tokens,
+             round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio,
+             round(len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t)))::DOUBLE
+                   / len(toks), 4) AS stopword_ratio
+      FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
+      WHERE doc_id IN (SELECT doc_id FROM keep)),
+    scored AS (
+      SELECT *, round(0.4 * uniq_ratio
+                      + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+                      + 0.3 * (1 - least(stopword_ratio * 2, 1.0)), 4) AS quality
+      FROM stats)
+    SELECT source, count(*) AS n_kept,
+           round(sum(CAST(round(quality * 10000, 0) AS BIGINT))
+                 / (10000.0 * count(*)), 4) AS avg_quality
+    FROM scored
+    WHERE quality >= 0.55 AND lang = 'en'
+    GROUP BY source
+    """,
+)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composed training-data pipeline,
+    as one query: exact dedup (keep min doc_id per distinct text) →
+    token/quality stats → quality + language filter → per-source yield.
+    Composition check for the operator family (each stage is also graded
+    alone: llm_exact_dedup, llm_quality_langstats)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+    kept = docs.join(keep, "doc_id", "left_semi")
+    scored = with_token_stats(kept).withColumn("quality", quality_score_col())
+    # avg over ROUNDED doubles is order-sensitive at the last ulp (Spark's
+    # partial-agg sum order != DuckDB's), which flips 4dp rounding ties.
+    # quality is 4dp-quantized, so sum it as exact integers (×10^4) and
+    # divide once — bit-identical on any engine, any partitioning.
+    qint = dround(F.col("quality") * 10000, 0).cast("long")
+    return (
+        scored.filter((F.col("quality") >= 0.55) & (F.col("lang") == "en"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            dround(
+                F.sum(qint) / (F.lit(10000.0) * F.count(F.lit(1))), 4
+            ).alias("avg_quality"),
+        )
+    )
