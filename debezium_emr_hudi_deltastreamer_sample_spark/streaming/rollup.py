@@ -63,9 +63,26 @@ class IncrementalRollup:
             )
         )
 
+    def _applied_batch_path(self) -> str:
+        return f"{self.path}__applied"
+
+    def last_applied_batch(self) -> int:
+        try:
+            row = self.spark.read.parquet(self._applied_batch_path()).first()
+            return int(row[0]) if row is not None else -1
+        except Exception:
+            return -1
+
     def apply_batch(self, df: DataFrame, batch_id: int = 0) -> None:
-        """Fold one append batch into the rollup (idempotence is the
-        checkpoint's job, as in every foreachBatch sink)."""
+        """Fold one append batch into the rollup.
+
+        Idempotent under foreachBatch's at-least-once replay: the additive
+        merge would DOUBLE-COUNT a replayed batch, so the last applied
+        batch_id is persisted next to the table and duplicate/stale ids
+        are skipped — the standard transactional-foreachBatch-sink pattern
+        (Structured Streaming batch ids are monotone per checkpoint)."""
+        if batch_id <= self.last_applied_batch():
+            return
         partial = self._partials(df)
         try:
             current = self.spark.read.parquet(self.path)
@@ -82,6 +99,9 @@ class IncrementalRollup:
         except Exception:
             merged = partial
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
+        self.spark.createDataFrame(
+            [(batch_id,)], "last_batch_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(self._applied_batch_path())
 
     def processor(self):
         """foreachBatch-compatible callable."""

@@ -510,3 +510,27 @@ def test_kafka_sink_construction_and_projection(spark, tmp_path):
         rate_source(spark, 1), "broker:9092", "out_topic", str(tmp_path / "ck")
     )
     assert w is not None  # .start() is the caller's broker-dependent step
+
+
+def test_rollup_replayed_batch_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an already-applied batch_id
+    must not double-count (the additive merge would otherwise)."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "r"), "ts", "1 minute", ["k"], "v"
+    )
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    roll.apply_batch(df, 0)
+    roll.apply_batch(df, 0)  # replay of the same micro-batch
+    roll.apply_batch(df, 1)  # genuinely new batch
+    [r] = roll.read().collect()
+    assert (r.n, r.total) == (2, 4.0)
+    assert roll.last_applied_batch() == 1
