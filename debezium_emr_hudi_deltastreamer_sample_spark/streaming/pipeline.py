@@ -38,14 +38,22 @@ def append_batch_processor(
 ) -> Callable[[DataFrame, int], None]:
     """Per-micro-batch fn for the append-only log (README.md:178-188):
     parse → append parquet. Narrow pipeline: source partition → task →
-    file, no shuffle (SURVEY.md §3.1 step 5d)."""
+    file, no shuffle (SURVEY.md §3.1 step 5d).
+
+    Idempotent under foreachBatch's at-least-once replay — unlike the
+    reference's blind ``mode('append')`` (README.md:188), which duplicates
+    every row of a replayed batch: each batch lands in its own
+    ``ingest_batch=<id>`` partition directory with overwrite semantics, so
+    a replay rewrites the same directory instead of appending twice.
+    Readers see ``ingest_batch`` as an ordinary partition column (and can
+    prune on it for incremental consumption)."""
 
     def process(df: DataFrame, batch_id: int) -> None:
         parsed = parse_envelope(df, row_schema)
-        writer = parsed.write.mode("append")
+        writer = parsed.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(out_path)
+        writer.parquet(f"{out_path}/ingest_batch={batch_id}")
 
     return process
 
@@ -59,7 +67,9 @@ def upsert_batch_processor(
 ) -> Callable[[DataFrame, int], None]:
     """Per-micro-batch COW upsert (the intended DeltaStreamer lifecycle,
     SURVEY.md §3.2): parse envelope → order by LSN → latest-wins merge with
-    delete application → rewrite the table.
+    delete application → rewrite the table. Naturally idempotent under
+    at-least-once replay: re-merging the same change set is a no-op
+    (latest-wins picks the same rows; deletes stay deleted).
 
     Local/portable COW: read current snapshot, merge, overwrite. With
     ``partition_by`` + the session's dynamic partitionOverwriteMode only

@@ -99,7 +99,9 @@ def test_append_pipeline_stream_equals_batch(spark, tmp_path):
     )
     run_until_drained(q)
 
-    got = spark.read.parquet(out)
+    # ingest_batch is the per-batch idempotence partition — drop it for the
+    # content comparison.
+    got = spark.read.parquet(out).drop("ingest_batch")
     # Batch path over the same records:
     want = parse_envelope(
         spark.read.json(src).select(F.col("value").cast("string").alias("value"))
@@ -534,3 +536,17 @@ def test_rollup_replayed_batch_is_skipped(spark, tmp_path):
     [r] = roll.read().collect()
     assert (r.n, r.total) == (2, 4.0)
     assert roll.last_applied_batch() == 1
+
+
+def test_append_replayed_batch_not_duplicated(spark, tmp_path):
+    """Replaying a micro-batch through the append sink must overwrite its
+    own ingest_batch directory, not append a second copy."""
+    out = str(tmp_path / "app_idem")
+    proc = append_batch_processor(out)
+    batch = spark.createDataFrame(
+        [(envelope_record("c", after=row(1, "a", 10), lsn=1)["value"],)],
+        "value string",
+    )
+    proc(batch, 0)
+    proc(batch, 0)  # at-least-once replay
+    assert spark.read.parquet(out).count() == 1
