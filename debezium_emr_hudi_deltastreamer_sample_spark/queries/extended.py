@@ -578,3 +578,27 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_in_band"),
         dround(F.avg("l_quantity"), 4).alias("avg_qty"),
     )
+
+
+@_q(
+    "scalar_posexplode",
+    """
+    SELECT doc_id, u.i - 1 AS pos, d.toks[u.i] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 50) d,
+         unnest(generate_series(1, len(d.toks))) AS u(i)
+    """,
+)
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator functions (SURVEY.md §2.C array/explode): posexplode
+    keeps the element ordinal — the UDTF shape for token-position
+    features. The oracle unnests a generated 1-based subscript series
+    (this DuckDB lacks WITH ORDINALITY), hence the -1."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .withColumn("toks", F.split("text", " ", -1))
+    )
+    return docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
