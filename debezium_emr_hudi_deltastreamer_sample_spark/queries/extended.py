@@ -602,3 +602,36 @@ def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
     )
+
+
+@_q(
+    "window_time_range",
+    """
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_last_hour,
+           round(sum(value) OVER w, 3) AS v_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (SURVEY.md §2.C windows): trailing-1-hour
+    per-user aggregates. Spark's rangeBetween is numeric, so the ordering
+    key is exact epoch MICROseconds (the fixture's native precision after
+    the catalog's nanos conversion) — second-granularity keys would merge
+    sub-second peers the oracle's native-timestamp RANGE keeps apart."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        dround(F.sum("value").over(w), 3).alias("v_last_hour"),
+    )
