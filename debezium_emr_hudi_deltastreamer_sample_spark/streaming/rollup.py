@@ -99,8 +99,11 @@ class IncrementalRollup:
         except Exception:
             merged = partial
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
-        self.spark.createDataFrame(
-            [(batch_id,)], "last_batch_id long"
+        # spark.range, not createDataFrame([...]): writing a Python
+        # local-relation DataFrame costs seconds per call (Arrow/py4j
+        # round-trip on the write path); the JVM-side range is ~20 ms.
+        self.spark.range(batch_id, batch_id + 1).selectExpr(
+            "id AS last_batch_id"
         ).coalesce(1).write.mode("overwrite").parquet(self._applied_batch_path())
 
     def processor(self):
