@@ -635,3 +635,55 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         dround(F.sum("value").over(w), 3).alias("v_last_hour"),
     )
+
+
+@_q(
+    "agg_listagg",
+    """
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+           count(*) AS n
+    FROM customer WHERE c_custkey <= 60
+    GROUP BY c_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — listagg WITHIN GROUP (deterministic
+    via the explicit ORDER BY; unordered listagg is partition-order-
+    dependent and would never hash-match an oracle)."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_custkey) AS names,
+               count(*) AS n
+        FROM customer WHERE c_custkey <= 60
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@_q(
+    "scalar_try_ops",
+    """
+    SELECT event_id,
+           TRY_CAST(event_type AS INTEGER)              AS type_as_int,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           round(value / nullif(event_id % 3, 0), 3)    AS v_div
+    FROM events WHERE event_id < 2000
+    """,
+)
+def scalar_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar functions: try_cast (malformed → NULL, no task
+    failure — at 100 TB one dirty row must not kill a stage) and
+    try_divide (÷0 → NULL; the oracle's NULLIF denominator is the ANSI
+    equivalent)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        dround(
+            F.try_divide(F.col("value"), F.col("event_id") % 3), 3
+        ).alias("v_div"),
+    )
