@@ -78,3 +78,28 @@ def test_topic_to_table(spark):
         [("debezium1.public.employees",)], "topic string"
     ).select(topic_to_table().alias("t"))
     assert df.first().t == "employees"
+
+
+def test_schema_inference_bootstrap_matches_declared(spark):
+    """A5 (reference's per-batch spark.read.json inference, README.md:179)
+    kept as a BOOTSTRAP tool: inferring from sample envelopes yields the
+    declared schema's field tree, validating that the declared StructType
+    is the right registration-time replacement for per-batch inference."""
+    sample = spark.createDataFrame(
+        [BATCH for BATCH in [
+            '{"payload": {"before": null, "after": {"id": 1, "full_name": "a",'
+            ' "email": "e", "phone": "p", "department": "d", "salary": 5,'
+            ' "created_at": "2024-01-01"}, "source": {"lsn": 1, "ts_ms": 1,'
+            ' "table": "employees"}, "op": "c", "ts_ms": 1}}',
+        ]],
+        "string",
+    ).toDF("value")
+    inferred = spark.read.json(sample.rdd.map(lambda r: r.value)).schema
+    assert [f.name for f in inferred.fields] == ["payload"]
+    payload = dict(zip([f.name for f in inferred["payload"].dataType.fields],
+                       inferred["payload"].dataType.fields))
+    assert set(payload) == {"before", "after", "source", "op", "ts_ms"}
+    after_fields = {f.name for f in payload["after"].dataType.fields}
+    assert after_fields == {
+        "id", "full_name", "email", "phone", "department", "salary", "created_at"
+    }
