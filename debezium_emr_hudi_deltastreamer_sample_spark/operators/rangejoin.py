@@ -48,3 +48,42 @@ def binned_range_join(
         .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
         .drop("__bin")
     )
+
+
+def binned_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join (``l_lo <= r_hi AND r_lo <= l_hi``) via
+    binning — the interval-interval sibling of `binned_range_join`.
+
+    Both sides explode over their covered bins and equi-join on bin id.
+    An overlapping pair shares every bin in the overlap region, so naive
+    binning emits duplicates; instead of a distinct (an extra shuffle over
+    the full output), each pair is kept only in its FIRST shared bin —
+    ``bin == greatest(floor(l_lo/w), floor(r_lo/w))`` — which every
+    overlapping pair hits exactly once. Column sets must be disjoint."""
+    def bin_of(c) -> "F.Column":
+        return F.floor(F.col(c) / F.lit(float(bin_width))).cast("long")
+
+    l = left.withColumn(
+        "__bin", F.explode(F.sequence(bin_of(left_lo), bin_of(left_hi)))
+    )
+    r = right.withColumn(
+        "__bin", F.explode(F.sequence(bin_of(right_lo), bin_of(right_hi)))
+    )
+    return (
+        l.join(r, "__bin", how)
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("__bin") == F.greatest(bin_of(left_lo), bin_of(right_lo)))
+        )
+        .drop("__bin")
+    )

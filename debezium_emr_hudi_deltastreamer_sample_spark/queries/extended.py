@@ -687,3 +687,51 @@ def scalar_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("value"), F.col("event_id") % 3), 3
         ).alias("v_div"),
     )
+
+
+@_q(
+    "join_interval_overlap",
+    """
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(epoch(o_orderdate) AS BIGINT)                          AS lo,
+             CAST(epoch(o_orderdate + INTERVAL 7 DAY) AS BIGINT)         AS hi
+      FROM orders WHERE o_orderkey <= 2000)
+    SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key
+    FROM w a JOIN w b
+      ON a.o_orderkey < b.o_orderkey AND a.lo <= b.hi AND b.lo <= a.hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval OVERLAP join via binning
+    (operators/rangejoin.py `binned_interval_join`): 7-day order
+    fulfillment windows that overlap. The oracle's plain theta join is the
+    nested-loop shape; the engine bins epoch-seconds at the interval
+    length (one week) so each overlapping pair hash-joins in exactly one
+    bin — no distinct, no nested loop."""
+    from ..operators.rangejoin import binned_interval_join
+
+    w = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("lo"),
+            (F.unix_timestamp("o_orderdate") + 7 * 86400).alias("hi"),
+        )
+    )
+    a = w.select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("lo").alias("alo"),
+        F.col("hi").alias("ahi"),
+    )
+    b = w.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("lo").alias("blo"),
+        F.col("hi").alias("bhi"),
+    )
+    return (
+        binned_interval_join(a, b, "alo", "ahi", "blo", "bhi", bin_width=7 * 86400)
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "b_key")
+    )

@@ -439,3 +439,33 @@ def test_binned_range_join_matches_naive(spark):
         if lo <= x <= hi
     }
     assert got == naive
+
+
+def test_binned_interval_join_matches_naive(spark):
+    """Overlap join: duplicates suppressed by first-shared-bin, including
+    long intervals spanning many bins."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.rangejoin import (
+        binned_interval_join,
+    )
+
+    a = spark.createDataFrame(
+        [("a1", 0.0, 3.0), ("a2", 2.0, 20.0), ("a3", 30.0, 31.0)],
+        "aname string, alo double, ahi double",
+    )
+    b = spark.createDataFrame(
+        [("b1", 2.5, 2.6), ("b2", 4.0, 19.0), ("b3", 25.0, 35.0)],
+        "bname string, blo double, bhi double",
+    )
+    got = {
+        (r.aname, r.bname)
+        for r in binned_interval_join(a, b, "alo", "ahi", "blo", "bhi", 5).collect()
+    }
+    ivs_a = {"a1": (0, 3), "a2": (2, 20), "a3": (30, 31)}
+    ivs_b = {"b1": (2.5, 2.6), "b2": (4, 19), "b3": (25, 35)}
+    naive = {
+        (an, bn)
+        for an, (alo, ahi) in ivs_a.items()
+        for bn, (blo, bhi) in ivs_b.items()
+        if alo <= bhi and blo <= ahi
+    }
+    assert got == naive
