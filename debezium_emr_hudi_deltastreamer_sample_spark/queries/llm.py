@@ -444,3 +444,26 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+@_q("agg_hll_sketch")  # sketch bytes are engine-specific — rows-only
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (SURVEY.md §2.C aggregations, the 100 TB
+    distinct-counting shape): per-event-type sketches built with
+    hll_sketch_agg, then UNIONED across groups with hll_union_agg — the
+    two-level pattern that lets shards/partitions sketch independently
+    and combine without a global shuffle of raw values. Estimates are
+    within ~2% of exact (tests/test_operators.py pins the bound)."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    type_rows = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("distinct_users_est")
+    )
+    # Second level: union the per-group sketches — bytes, not raw values —
+    # into the global estimate. This is the only cross-group traffic.
+    all_row = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est")
+    ).select(F.lit("ALL").alias("event_type"), "distinct_users_est")
+    return type_rows.unionByName(all_row)

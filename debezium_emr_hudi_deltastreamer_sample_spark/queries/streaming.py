@@ -363,3 +363,26 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("key", "events", dround("total", 3).alias("total"))
     )
+
+
+@_q(
+    "stream_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (SURVEY.md §2.C streaming-only):
+    watermarked dropDuplicates emits each (user, type) pair exactly once;
+    over a bounded replay that equals batch DISTINCT, which is the oracle.
+    The watermark bounds the dedup state store — the piece that keeps
+    exactly-once-per-key viable on an unbounded 100 TB stream."""
+    from ..streaming.windows import dedup_stream
+
+    dedup = dedup_stream(
+        _events_stream(spark, sf_dir),
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        watermark="1 hour",
+    )
+    return _drain(dedup, output_mode="append").select("user_id", "event_type")

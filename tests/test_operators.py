@@ -469,3 +469,23 @@ def test_binned_interval_join_matches_naive(spark):
         if alo <= bhi and blo <= ahi
     }
     assert got == naive
+
+
+def test_hll_sketch_estimates_within_bound(spark):
+    """HLL estimates (per-group and sketch-union global) within 2% of
+    exact distinct counts on the fixture."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import agg_hll_sketch
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.event_type: r.distinct_users_est for r in agg_hll_sketch(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    for k, want in exact.items():
+        assert abs(got[k] - want) / want <= 0.02, (k, got[k], want)

@@ -40,8 +40,14 @@ def canon(rows, colnames):
 
 
 def main(names=None):
+    import time
+
     import __spark_entry__ as e
     from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
+
+    show_time = bool(names) and "--time" in names
+    if show_time:
+        names = [n for n in names if n != "--time"] or None
 
     spark = get_spark()
     con = duckdb.connect()
@@ -51,7 +57,9 @@ def main(names=None):
     qs, oracles = e.queries(), e.oracle_sql()
     todo = names or list(qs)
     failures = []
+    timings = {}
     for name in todo:
+        _t0 = time.perf_counter()
         try:
             sdf = qs[name](spark, SF_DIR)
             srows = sdf.collect()
@@ -64,6 +72,7 @@ def main(names=None):
             print(f"ok*   {name}: rows-only ({len(srows)} rows)")
             if len(srows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
+            timings[name] = time.perf_counter() - _t0
             continue
         try:
             orel = con.sql(oracles[name])
@@ -92,7 +101,12 @@ def main(names=None):
             print(f"FAIL  {name}: {'; '.join(problems)[:500]}")
         else:
             print(f"ok    {name}: {len(srows)} rows match")
+        timings[name] = time.perf_counter() - _t0
     print(f"\n{len(todo) - len(failures)}/{len(todo)} pass")
+    if show_time:
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        print("slowest (spark+duck wall sec): " + ", ".join(
+            f"{n}={t:.1f}" for n, t in slowest))
     return 1 if failures else 0
 
 
