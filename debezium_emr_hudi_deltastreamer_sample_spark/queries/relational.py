@@ -823,3 +823,18 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.k").alias("prop_k"),
         F.when(F.col("j.k") >= 50, "hi").otherwise("lo").alias("k_band"),
     )
+
+
+@_q("agg_percentile_approx")  # quantile sketch — rows-only (tests pin error)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna-style quantile sketch):
+    the one-pass, mergeable, bounded-memory path for quantiles at 100 TB
+    (exact `percentile` buffers each group's values). Default accuracy
+    (1e4): rank error ≤ 1/accuracy; tests assert the estimates sit within
+    0.5% of the exact interpolated values on the fixture."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5)).alias("p50_est"),
+        F.percentile_approx("o_totalprice", F.lit(0.9)).alias("p90_est"),
+        F.count(F.lit(1)).alias("n"),
+    )

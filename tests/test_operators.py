@@ -489,3 +489,27 @@ def test_hll_sketch_estimates_within_bound(spark):
     exact["ALL"] = ev.select("user_id").distinct().count()
     for k, want in exact.items():
         assert abs(got[k] - want) / want <= 0.02, (k, got[k], want)
+
+
+def test_percentile_approx_close_to_exact(spark):
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.relational import (
+        agg_percentile_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.o_orderstatus: (r.p50_est, r.p90_est) for r in agg_percentile_approx(spark, sf).collect()}
+    exact = {
+        r.o_orderstatus: (r.p50, r.p90)
+        for r in load_table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    for k, (e50, e90) in exact.items():
+        a50, a90 = got[k]
+        assert abs(a50 - e50) / e50 <= 0.005
+        assert abs(a90 - e90) / e90 <= 0.005
