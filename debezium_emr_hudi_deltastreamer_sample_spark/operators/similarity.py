@@ -298,18 +298,27 @@ def embedding_neardup_pairs(
     band_bits: int = 4,
     seed: int = 42,
     dim: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """(aid, bid, sim) pairs with aid < bid and cosine ≥ threshold — the
     edge set shared by near-dup filtering (`embedding_neardup_survivors`)
     and cluster assignment (operators/components.py). Exact = all-pairs
-    broadcast self-join; approx = shared multi-probe LSH band buckets with
-    exact cosine re-check on candidates only."""
+    broadcast self-join; approx = shared LSH band buckets with exact
+    cosine re-check on candidates only.
+
+    ``multiprobe`` defaults OFF here (unlike `cosine_topk_lsh`): measured
+    on the sf0.1 fixture, probing inflates the candidate set from 0.18×
+    to 0.68× of all-pairs — near-dup thresholds are high (pairs nearly
+    collinear), so plain banding already catches them; multi-probe is the
+    recall lever for top-k's mid-similarity neighbors, not for dedup."""
     a = embeddings.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("ae"))
     b = embeddings.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("be"))
     if approx:
         sig = with_lsh_signature(embeddings, vec_col, n_planes, seed, dim)
         pairs = (
-            _explode_bands(sig, id_col, vec_col, "a", n_planes, band_bits, probe=True)
+            _explode_bands(
+                sig, id_col, vec_col, "a", n_planes, band_bits, probe=multiprobe
+            )
             .drop("ae")
             .join(
                 _explode_bands(sig, id_col, vec_col, "b", n_planes, band_bits),
