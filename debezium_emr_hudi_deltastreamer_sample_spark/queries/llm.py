@@ -347,7 +347,9 @@ def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("llm_embed_neardup_lsh")  # candidate-pair recall < 1 — rows-only
 def llm_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, 100 TB path: candidate pairs from shared
-    multi-probe LSH band buckets, exact cosine only on candidates. Oracle
+    LSH band buckets (no multi-probe — measured 0.18× vs 0.68× of
+    all-pairs, see operators/similarity.py), exact cosine only on
+    candidates. Oracle
     parity is not guaranteed (banding can miss a qualifying pair), so this
     entry is rows-only; tests assert it removes a subset of what the exact
     variant removes."""
