@@ -550,3 +550,41 @@ def test_append_replayed_batch_not_duplicated(spark, tmp_path):
     proc(batch, 0)
     proc(batch, 0)  # at-least-once replay
     assert spark.read.parquet(out).count() == 1
+
+
+def test_rollup_stream_restart_no_double_count(spark, tmp_path):
+    """Rollup + checkpointed stream across a restart: batch ids continue
+    monotonically, already-applied data is not re-folded, new data is."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    (src / "f0.json").write_text(
+        '{"k": "a", "ts": "2024-01-01T00:00:10", "v": 1.0}\n'
+        '{"k": "a", "ts": "2024-01-01T00:00:20", "v": 2.0}'
+    )
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "roll_out"), "ts", "1 minute", ["k"], "v"
+    )
+    ckpt = str(tmp_path / "roll_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("k string, ts timestamp, v double").json(
+            str(src)
+        )
+        q = start_pipeline(
+            stream, roll.processor(), checkpoint=ckpt, available_now=True
+        )
+        run_until_drained(q)
+
+    run_once()
+    assert {(r.k, r.n, r.total) for r in roll.read().collect()} == {("a", 2, 3.0)}
+    # Restart with no new data: nothing re-applies.
+    run_once()
+    assert {(r.k, r.n, r.total) for r in roll.read().collect()} == {("a", 2, 3.0)}
+    # New file, restart: only the new rows fold in.
+    (src / "f1.json").write_text('{"k": "a", "ts": "2024-01-01T00:00:40", "v": 4.0}')
+    run_once()
+    assert {(r.k, r.n, r.total) for r in roll.read().collect()} == {("a", 3, 7.0)}
