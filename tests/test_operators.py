@@ -513,3 +513,61 @@ def test_percentile_approx_close_to_exact(spark):
         a50, a90 = got[k]
         assert abs(a50 - e50) / e50 <= 0.005
         assert abs(a90 - e90) / e90 <= 0.005
+
+
+@given(
+    pts=st.lists(st.integers(-20, 40), min_size=1, max_size=12),
+    ivs=st.lists(
+        st.tuples(st.integers(-20, 40), st.integers(0, 25)), min_size=1, max_size=8
+    ),
+    width=st.sampled_from([1, 3, 5, 10]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_range_joins_property(spark, pts, ivs, width):
+    """Property: binned point-in-interval and interval-overlap joins equal
+    the naive replays for ANY data and bin width (incl. negative values,
+    zero-length intervals, and bin-boundary points)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.rangejoin import (
+        binned_interval_join,
+        binned_range_join,
+    )
+
+    p = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(pts)], "pid int, x double"
+    )
+    i_df = spark.createDataFrame(
+        [(j, float(lo), float(lo + ln)) for j, (lo, ln) in enumerate(ivs)],
+        "iid int, lo double, hi double",
+    )
+    got_pt = {
+        (r.pid, r.iid)
+        for r in binned_range_join(p, i_df, "x", "lo", "hi", width).collect()
+    }
+    want_pt = {
+        (pi, j)
+        for pi, x in enumerate(pts)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= x <= lo + ln
+    }
+    assert got_pt == want_pt
+
+    b_df = i_df.select(
+        F.col("iid").alias("bid"), F.col("lo").alias("blo"), F.col("hi").alias("bhi")
+    )
+    got_ov = {
+        (r.iid, r.bid)
+        for r in binned_interval_join(
+            i_df, b_df, "lo", "hi", "blo", "bhi", width
+        ).collect()
+    }
+    want_ov = {
+        (a, b)
+        for a, (alo, aln) in enumerate(ivs)
+        for b, (blo, bln) in enumerate(ivs)
+        if alo <= blo + bln and blo <= alo + aln
+    }
+    assert got_ov == want_ov
