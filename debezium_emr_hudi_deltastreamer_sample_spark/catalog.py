@@ -31,6 +31,22 @@ TABLES = (
 )
 
 
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Set the session confs the engine's reads depend on, at use-site.
+
+    Both are runtime-settable, so every query is correct on a *default*
+    ``SparkSession`` — not only one built by ``session.get_spark()``:
+
+    - ``nanosAsLong``: the fixture ``events.ts`` is parquet TIMESTAMP(NANOS),
+      which Spark refuses by default (PARQUET_TYPE_ILLEGAL); with the legacy
+      conf it scans as epoch-nanos long and ``load_table`` converts.
+    - UTC session time: the engine declares UTC timestamp semantics
+      (deterministic comparisons against naive-timestamp oracles).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Pushdown/pruning are Catalyst's job.
 
@@ -39,6 +55,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and is converted here to a proper TimestampType (integer ``div`` so no
     double-precision loss; fixture values are µs-resolution → lossless).
     """
+    ensure_read_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import ensure_read_confs
 from ..catalog import load_table as _t
 from ..envelope import parse_envelope
 from ..functions import dround
@@ -68,6 +69,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream. The fixture stores ts as
     TIMESTAMP(NANOS) (read as long under nanosAsLong, converted exactly as
     catalog.load_table does for batch)."""
+    ensure_read_confs(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The fixture is a single file and the file stream source requires a
     # directory path — a glob keeps basePath = sf_dir (a directory) while

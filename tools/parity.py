@@ -45,13 +45,28 @@ def main(names=None):
     import time
 
     import __spark_entry__ as e
-    from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
 
     show_time = bool(names) and "--time" in names
     if show_time:
         names = [n for n in names if n != "--time"] or None
 
-    spark = get_spark()
+    if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
+        # Replicate the driver's environment: a default SparkSession with none
+        # of session.get_spark()'s confs. Every query must still be correct.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("parity-plain")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "48g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
+
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
