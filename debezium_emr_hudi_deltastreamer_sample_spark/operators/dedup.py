@@ -199,7 +199,12 @@ def minhash_lsh_candidates(
             ).alias("bb"),
         )
         .select(id_col, "minhash", "bb.band", "bb.bucket")
-        .persist()
+        # localCheckpoint, not persist(): the self-join below reads this
+        # twice, but persist() registers the blocks in the session cache
+        # manager where they leak across repeated calls — checkpoint blocks
+        # are freed by the ContextCleaner once the returned candidates
+        # DataFrame is dropped, so callers own no cache lifecycle.
+        .localCheckpoint(eager=True)
     )
 
     a = banded.select(

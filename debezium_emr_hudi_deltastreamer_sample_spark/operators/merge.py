@@ -66,6 +66,7 @@ def merge_upsert(
     ordering: Sequence[str],
     op_col: str | None = "op",
     delete_op: str = "d",
+    meta_cols: Sequence[str] = ("_lsn", "_ts_ms"),
 ) -> DataFrame:
     """Apply a CDC change batch to a snapshot: latest-wins per key, deletes
     drop rows (the DeltaStreamer lifecycle of SURVEY.md §3.2).
@@ -74,8 +75,13 @@ def merge_upsert(
     ``op_col``. Steps:
       1. precombine: newest change per key (intra-batch dedup, B6);
       2. split upserts vs deletes on ``op_col`` (B8);
-      3. schema-reconcile snapshot ∪ upserts (B11, unionByName) and
-         keep the change when both exist (changes outrank the snapshot);
+      3. schema-reconcile snapshot ∪ upserts (B11) in BOTH directions:
+         table columns missing from the batch null-fill, and new data
+         columns carried by the batch survive the merge (appended after the
+         snapshot columns, null for pre-existing rows) — Hudi
+         ``reconcile.schema`` add-column semantics. CDC metadata
+         (``op_col``, ``ordering``, ``meta_cols``) is never promoted to a
+         data column unless the snapshot already has it;
       4. anti-join deletes.
     """
     keys = list(keys)
@@ -91,14 +97,11 @@ def merge_upsert(
 
     # Changes outrank the snapshot: tag with a priority column and reuse the
     # same window-dedup (no join needed for the merge itself).
+    meta = {op_col, *ordering, *meta_cols} - set(row_cols)
     base = table.select(*row_cols).withColumn("__pri", F.lit(0))
-    ups = upserts.select(
-        *[
-            F.col(c)
-            if c in upserts.columns
-            else F.lit(None).cast(dict(table.dtypes)[c]).alias(c)
-            for c in row_cols
-        ]
-    ).withColumn("__pri", F.lit(1))
-    merged = latest_by_key(base.unionByName(ups), keys, ["__pri"]).drop("__pri")
+    ups = upserts.drop(*[c for c in upserts.columns if c in meta]).withColumn(
+        "__pri", F.lit(1)
+    )
+    unioned = base.unionByName(ups, allowMissingColumns=True)
+    merged = latest_by_key(unioned, keys, ["__pri"]).drop("__pri")
     return apply_deletes(merged, deletes, keys)

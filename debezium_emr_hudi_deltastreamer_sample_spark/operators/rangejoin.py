@@ -32,7 +32,14 @@ def binned_range_join(
 ) -> DataFrame:
     """Join each ``points`` row to every ``intervals`` row whose
     [lo_col, hi_col] contains ``point_col`` — via an equi-join on quantized
-    bins instead of a nested loop. Column sets must be disjoint."""
+    bins instead of a nested loop. Column sets must be disjoint.
+
+    Only ``how='inner'`` is supported: the post-join BETWEEN refinement
+    would discard the null-padded rows of an outer join, silently turning
+    it back into an inner join — refuse rather than lie."""
+    if how != "inner":
+        raise ValueError(f"binned_range_join supports how='inner' only, got {how!r}")
+
     def bin_of(c: Column) -> Column:
         return F.floor(c / F.lit(float(bin_width))).cast("long")
 
@@ -68,7 +75,14 @@ def binned_interval_join(
     binning emits duplicates; instead of a distinct (an extra shuffle over
     the full output), each pair is kept only in its FIRST shared bin —
     ``bin == greatest(floor(l_lo/w), floor(r_lo/w))`` — which every
-    overlapping pair hits exactly once. Column sets must be disjoint."""
+    overlapping pair hits exactly once. Column sets must be disjoint.
+
+    Only ``how='inner'`` is supported (see binned_range_join)."""
+    if how != "inner":
+        raise ValueError(
+            f"binned_interval_join supports how='inner' only, got {how!r}"
+        )
+
     def bin_of(c) -> "F.Column":
         return F.floor(F.col(c) / F.lit(float(bin_width))).cast("long")
 

@@ -358,8 +358,35 @@ def llm_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+def _cluster_assignment(spark, sf_dir: str, approx: bool) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = embedding_neardup_pairs(emb, threshold=0.46, approx=approx).select(
+        F.col("aid").alias("src"), F.col("bid").alias("dst")
+    )
+    cc = connected_components(emb.select("vec_id"), edges, id_col="vec_id")
+    return cc.select("vec_id", F.col("component").alias("cluster_id"))
+
+
+@_q("llm_dedup_clusters")  # LSH candidate recall < 1 — rows-only
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT, 100 TB path: edges are LSH-bucketed
+    candidate pairs with exact cosine re-check (O(n·bucket), never
+    all-pairs), folded into connected components (min-label propagation,
+    operators/components.py) so every vector gets its cluster's min id.
+    Banding can miss a qualifying edge, so oracle parity is not guaranteed
+    (rows-only); tests pin that every approx cluster is CONTAINED in the
+    exact variant's cluster (edges are a verified subset, so components
+    only refine). Unlike the survivor filter (llm_embed_neardup), cluster
+    ids let downstream pipelines pick a canonical doc per group, weight by
+    cluster size, etc."""
+    return _cluster_assignment(spark, sf_dir, approx=True)
+
+
 @_q(
-    "llm_dedup_clusters",
+    "llm_dedup_clusters_exact",
     """
     WITH RECURSIVE pairs AS (
       SELECT a.vec_id AS s, b.vec_id AS d
@@ -373,26 +400,13 @@ def llm_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v
     """,
 )
-def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER ASSIGNMENT (iterative distributed algorithm):
-    cosine-threshold pairs become an undirected graph; connected
-    components (min-label propagation, operators/components.py) give every
-    vector its cluster's min id — singletons keep their own id. The
-    oracle replays the same reachability with a recursive CTE. Unlike the
-    survivor filter (llm_embed_neardup), cluster ids let downstream
-    pipelines pick a canonical doc per group, weight by cluster size, etc.
-    """
-    from ..operators.components import connected_components
-    from ..operators.similarity import embedding_neardup_pairs
-
-    emb = _t(spark, sf_dir, "embeddings")
-    edges = embedding_neardup_pairs(emb, threshold=0.46).select(
-        F.col("aid").alias("src"), F.col("bid").alias("dst")
-    )
-    cc = connected_components(
-        emb.select("vec_id"), edges, id_col="vec_id"
-    )
-    return cc.select("vec_id", F.col("component").alias("cluster_id"))
+def llm_dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness baseline for llm_dedup_clusters: edges from the all-pairs
+    cosine self-join — O(n²) BY CONTRACT (tools/scale_sweep.py measures
+    it), kept because it is the only edge source a SQL oracle can replay
+    bit-for-bit; the recursive CTE replays the same reachability. The
+    graded scale path is llm_dedup_clusters (LSH edges)."""
+    return _cluster_assignment(spark, sf_dir, approx=False)
 
 
 @_q(

@@ -10,21 +10,43 @@ metrics (avg) are computed at read time. Cost per batch is O(batch) + a
 rollup-sized merge, independent of total history; the rollup table is
 bucket-count sized, not event-count sized.
 
+Crash-safety (the transactional-foreachBatch-sink contract): each applied
+batch becomes ONE immutable commit directory published with a single
+filesystem rename — the commit's name carries (sequence, batch id, run id),
+so there is no separate marker write that could diverge from the data. A
+crash before the rename leaves only staging garbage (never visible to
+readers); after the rename the batch is durably applied. Rename is atomic
+on local filesystems and HDFS; on object stores without atomic rename this
+needs a real table format's commit log (Hudi/Delta/Iceberg) — documented
+limitation, same one Hudi exists to solve.
+
+Replay/restart semantics: Structured Streaming batch ids are monotone PER
+CHECKPOINT, so dedup is keyed by (run_id, batch_id) where ``run_id``
+should identify the checkpoint (pass e.g. the checkpoint path). Replaying
+a batch id already committed for the same run is a no-op; a NEW run (fresh
+checkpoint) starts its own batch counter and is applied from scratch —
+new data is never silently skipped because some earlier run reached a
+higher batch id.
+
 Use from ``foreachBatch`` (the engine's CDC shape, SURVEY.md §7.4.5) or
 standalone on batch appends.
 """
 
 from __future__ import annotations
 
+import re
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_COMMIT_RE = re.compile(r"^c(\d{12})_b(\d{12})_(.+)$")
+
 
 class IncrementalRollup:
     """Additive (count/sum/min/max) rollup of an event stream at a fixed time
-    bucket, persisted as parquet at ``path``."""
+    bucket, persisted as versioned parquet commits under ``path``__commits."""
 
     def __init__(
         self,
@@ -34,6 +56,7 @@ class IncrementalRollup:
         bucket: str,
         keys: Sequence[str],
         value_col: str,
+        keep_commits: int = 2,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -41,6 +64,7 @@ class IncrementalRollup:
         self.bucket = bucket
         self.keys = list(keys)
         self.value_col = value_col
+        self.keep_commits = max(1, keep_commits)
 
     def _partials(self, df: DataFrame) -> DataFrame:
         return (
@@ -63,29 +87,57 @@ class IncrementalRollup:
             )
         )
 
-    def _applied_batch_path(self) -> str:
-        return f"{self.path}__applied"
+    # -- commit log ---------------------------------------------------------
 
-    def last_applied_batch(self) -> int:
-        try:
-            row = self.spark.read.parquet(self._applied_batch_path()).first()
-            return int(row[0]) if row is not None else -1
-        except Exception:
-            return -1
+    def _hadoop(self):
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path
+        return hpath(self.path).getFileSystem(conf), hpath
 
-    def apply_batch(self, df: DataFrame, batch_id: int = 0) -> None:
-        """Fold one append batch into the rollup.
+    def _commits_dir(self) -> str:
+        return f"{self.path}__commits"
 
-        Idempotent under foreachBatch's at-least-once replay: the additive
-        merge would DOUBLE-COUNT a replayed batch, so the last applied
-        batch_id is persisted next to the table and duplicate/stale ids
-        are skipped — the standard transactional-foreachBatch-sink pattern
-        (Structured Streaming batch ids are monotone per checkpoint)."""
-        if batch_id <= self.last_applied_batch():
+    def _commits(self) -> list[tuple[int, int, str, str]]:
+        """Committed batches as (seq, batch_id, run_id, uri), seq-ascending.
+        One cheap directory listing — no data files are opened."""
+        fs, hpath = self._hadoop()
+        d = hpath(self._commits_dir())
+        if not fs.exists(d):
+            return []
+        out = []
+        for st in fs.listStatus(d):
+            m = _COMMIT_RE.match(st.getPath().getName())
+            if m:
+                out.append(
+                    (int(m.group(1)), int(m.group(2)), m.group(3), str(st.getPath()))
+                )
+        out.sort()
+        return out
+
+    @staticmethod
+    def _safe_run(run_id: str) -> str:
+        return re.sub(r"[^A-Za-z0-9.-]", "-", run_id) or "default"
+
+    def last_applied_batch(self, run_id: str = "default") -> int:
+        run = self._safe_run(run_id)
+        return max((b for _, b, r, _ in self._commits() if r == run), default=-1)
+
+    def apply_batch(self, df: DataFrame, batch_id: int = 0, run_id: str = "default") -> None:
+        """Fold one append batch into the rollup, atomically.
+
+        Idempotent under foreachBatch's at-least-once replay: a batch id at
+        or below the last committed one FOR THIS RUN is skipped (the
+        additive merge would double-count it). The merged rollup is staged
+        and published with one rename whose target name IS the applied-batch
+        record — data and marker cannot diverge (see module docstring)."""
+        run = self._safe_run(run_id)
+        commits = self._commits()
+        if batch_id <= max((b for _, b, r, _ in commits if r == run), default=-1):
             return
         partial = self._partials(df)
-        try:
-            current = self.spark.read.parquet(self.path)
+        if commits:
+            current = self.spark.read.parquet(commits[-1][3])
             merged = (
                 current.unionByName(partial)
                 .groupBy("bucket_start", *self.keys)
@@ -96,25 +148,44 @@ class IncrementalRollup:
                     F.max("vmax").alias("vmax"),
                 )
             )
-        except Exception:
+        else:
             merged = partial
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
-        # spark.range, not createDataFrame([...]): writing a Python
-        # local-relation DataFrame costs seconds per call (Arrow/py4j
-        # round-trip on the write path); the JVM-side range is ~20 ms.
-        self.spark.range(batch_id, batch_id + 1).selectExpr(
-            "id AS last_batch_id"
-        ).coalesce(1).write.mode("overwrite").parquet(self._applied_batch_path())
+        seq = commits[-1][0] + 1 if commits else 0
+        token = f"c{seq:012d}_b{batch_id:012d}_{run}"
+        stage = f"{self.path}__stage/{uuid.uuid4().hex}"
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(stage)
 
-    def processor(self):
-        """foreachBatch-compatible callable."""
+        fs, hpath = self._hadoop()
+        fs.mkdirs(hpath(self._commits_dir()))
+        committed = fs.rename(hpath(stage), hpath(f"{self._commits_dir()}/{token}"))
+        if not committed:
+            # Lost a publish race (concurrent replay of the same batch):
+            # someone else committed — drop our staging copy.
+            fs.delete(hpath(stage), True)
+            return
+        # Retention: best-effort removal of superseded commits (readers of
+        # a just-superseded commit finish their scan; parquet files are
+        # immutable until deleted).
+        for _, _, _, uri in commits[: -(self.keep_commits - 1)] if self.keep_commits > 1 else commits:
+            try:
+                fs.delete(hpath(uri), True)
+            except Exception:
+                pass
+
+    def processor(self, run_id: str = "default"):
+        """foreachBatch-compatible callable. Pass a ``run_id`` that
+        identifies the CHECKPOINT (e.g. its path) so batch-id dedup is
+        scoped to the stream run that generated the ids."""
 
         def process(df: DataFrame, batch_id: int) -> None:
-            self.apply_batch(df, batch_id)
+            self.apply_batch(df, batch_id, run_id=run_id)
 
         return process
 
     def read(self) -> DataFrame:
         """Rollup with derived metrics (avg from the additive partials)."""
-        r = self.spark.read.parquet(self.path)
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"no rollup commits at {self._commits_dir()}")
+        r = self.spark.read.parquet(commits[-1][3])
         return r.withColumn("mean", F.col("total") / F.col("n"))

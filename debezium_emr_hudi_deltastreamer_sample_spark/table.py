@@ -161,23 +161,18 @@ class KeyedTable:
         if self.partition_by:
             # Dynamic overwrite only replaces partitions PRESENT in the
             # output: a touched partition whose rows were all deleted would
-            # survive as stale files. Detect and fall back to a full
-            # rewrite for that (rare) batch.
-            touched = {
-                tuple(r) for r in changes.select(*self.partition_by).distinct().collect()
-            }
-            remaining = {
-                tuple(r) for r in merged.select(*self.partition_by).distinct().collect()
-            }
-            if touched - remaining:
+            # survive as stale files. Detect with ONE distributed anti-join
+            # over the (tiny, checkpointed) merged batch — not driver-side
+            # collects — and fall back to a full rewrite for that (rare)
+            # batch.
+            vanished = parts.join(
+                merged.select(*self.partition_by).distinct(),
+                self.partition_by,
+                "left_anti",
+            )
+            if not vanished.isEmpty():
                 untouched = self.read().join(
-                    F.broadcast(
-                        self.spark.createDataFrame(
-                            list(touched), changes.select(*self.partition_by).schema
-                        )
-                    ),
-                    self.partition_by,
-                    "left_anti",
+                    F.broadcast(parts), self.partition_by, "left_anti"
                 )
                 merged = untouched.unionByName(merged).localCheckpoint(eager=True)
                 self.spark.conf.set(

@@ -110,6 +110,21 @@ def test_schema_reconciliation_new_column(spark):
     assert rows == {1: ("a", 10), 2: ("b", None)}
 
 
+def test_schema_evolution_added_column_survives(spark):
+    """B11 both directions: a NEW data column carried by the change batch
+    survives the merge (null for pre-existing rows), while CDC metadata
+    (op/ordering/_ts_ms) is not promoted to a data column."""
+    table = spark.createDataFrame([(1, "a", 10)], "id int, name string, salary int")
+    changes = spark.createDataFrame(
+        [(2, "b", 20, "NL", "c", 7, 1000)],
+        "id int, name string, salary int, country string, op string, lsn long, _ts_ms long",
+    )
+    out = merge_upsert(table, changes, keys=["id"], ordering=["lsn"])
+    assert out.columns == ["id", "name", "salary", "country"]
+    rows = {r.id: (r.name, r.salary, r.country) for r in out.collect()}
+    assert rows == {1: ("a", 10, None), 2: ("b", 20, "NL")}
+
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 _event = st.tuples(

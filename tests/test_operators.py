@@ -373,6 +373,33 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_dedup_clusters_approx_refines_exact(spark, sf_tiny):
+    """The graded LSH-edge cluster assignment must REFINE the exact one:
+    approx edges are a subset of real edges (exact cosine re-check on
+    candidates), so two vectors sharing an approx cluster always share the
+    exact cluster — approx can only split clusters, never merge them."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
+        llm_dedup_clusters,
+        llm_dedup_clusters_exact,
+    )
+
+    approx = {
+        r.vec_id: r.cluster_id for r in llm_dedup_clusters(spark, sf_tiny).collect()
+    }
+    exact = {
+        r.vec_id: r.cluster_id
+        for r in llm_dedup_clusters_exact(spark, sf_tiny).collect()
+    }
+    assert set(approx) == set(exact)  # every vector assigned in both
+    by_approx_cluster: dict[int, set[int]] = {}
+    for v, c in approx.items():
+        by_approx_cluster.setdefault(c, set()).add(exact[v])
+    assert all(len(s) == 1 for s in by_approx_cluster.values())
+    # Sanity: the approx path finds real clusters on this fixture, so the
+    # refinement claim is not vacuous.
+    assert any(len([v for v in approx.values() if v == c]) > 1 for c in approx)
+
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 

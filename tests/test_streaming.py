@@ -538,6 +538,33 @@ def test_rollup_replayed_batch_is_skipped(spark, tmp_path):
     assert roll.last_applied_batch() == 1
 
 
+def test_rollup_new_run_not_skipped(spark, tmp_path):
+    """Batch-id dedup is scoped per run: a fresh checkpoint restarts ids at
+    0, which must NOT be silently dropped because an earlier run reached a
+    higher id — only replays within the same run are skipped."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "r2"), "ts", "1 minute", ["k"], "v"
+    )
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    roll.apply_batch(df, 0, run_id="ckpt-a")
+    roll.apply_batch(df, 1, run_id="ckpt-a")
+    roll.apply_batch(df, 0, run_id="ckpt-b")  # new run, folds in
+    roll.apply_batch(df, 0, run_id="ckpt-b")  # replay within run-b, skipped
+    [r] = roll.read().collect()
+    assert (r.n, r.total) == (3, 6.0)
+    assert roll.last_applied_batch("ckpt-a") == 1
+    assert roll.last_applied_batch("ckpt-b") == 0
+
+
 def test_append_replayed_batch_not_duplicated(spark, tmp_path):
     """Replaying a micro-batch through the append sink must overwrite its
     own ingest_batch directory, not append a second copy."""
