@@ -104,6 +104,78 @@ def topic_to_table(topic_col: str = "topic"):
     return F.element_at(F.split(F.col(topic_col), r"\."), -1)
 
 
+#: Spark type → Avro type for the envelope field kinds Debezium emits.
+_AVRO_PRIMITIVES: dict[type, object] = {
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.StringType: "string",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+    T.DateType: {"type": "int", "logicalType": "date"},
+    T.TimestampType: {"type": "long", "logicalType": "timestamp-micros"},
+}
+
+
+def _avro_type(dt: T.DataType, name: str, namespace: str):
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "record",
+            "name": name,
+            "namespace": namespace,
+            "fields": [
+                {
+                    "name": f.name,
+                    # Debezium marks every column optional in the envelope
+                    # (before/after images may be absent): null-union with
+                    # null default, the Avro idiom AvroConverter emits.
+                    "type": ["null", _avro_type(f.dataType, f.name.capitalize(), namespace)],
+                    "default": None,
+                }
+                for f in dt.fields
+            ],
+        }
+    for spark_t, avro_t in _AVRO_PRIMITIVES.items():
+        if isinstance(dt, spark_t):
+            return avro_t
+    raise TypeError(f"no Avro mapping for Spark type {dt.simpleString()}")
+
+
+def envelope_avro_schema(
+    row_schema: T.StructType = EMPLOYEES_SCHEMA,
+    namespace: str = "debezium1.public",
+) -> str:
+    """Debezium-shaped Avro schema JSON for the change envelope.
+
+    Unlike the JSON path there is NO ``payload`` wrapper: the schema/payload
+    nesting is a JsonConverter artifact, while AvroConverter (reference
+    README.md:262-263, 309) serializes the envelope record itself —
+    ``before``/``after`` as nullable row records, ``source`` (lsn/ts_ms/
+    table), ``op``, ``ts_ms``. Generated from the same declared
+    ``row_schema`` as ``envelope_schema`` so the two serde paths cannot
+    drift apart."""
+    import json
+
+    env = T.StructType(
+        [
+            T.StructField("before", row_schema),
+            T.StructField("after", row_schema),
+            T.StructField("source", SOURCE_SCHEMA),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    schema = _avro_type(env, "Envelope", namespace)
+    # before/after are the same record type; Avro forbids redefining a
+    # named type, so the second occurrence must reference it by name.
+    fields = schema["fields"]
+    assert fields[0]["name"] == "before" and fields[1]["name"] == "after"
+    fields[0]["type"][1]["name"] = "Value"
+    fields[1]["type"] = ["null", f"{namespace}.Value"]
+    return json.dumps(schema)
+
+
 def avro_available(spark) -> bool:
     """Probe for the spark-avro data source (reference B4: the Hudi path is
     Avro-serialized — AvroConverter/KafkaAvroDeserializer, README.md:262-263,
@@ -123,14 +195,17 @@ def avro_available(spark) -> bool:
 
 def parse_envelope_avro(
     raw: DataFrame,
-    avro_schema_json: str,
+    avro_schema_json: str | None = None,
     row_schema: T.StructType = EMPLOYEES_SCHEMA,
     value_col: str = "value",
 ) -> DataFrame:
     """Avro-serialized envelope path (README.md:262-263): ``from_avro`` on
     the Kafka value, then the same delete-aware projection as the JSON
-    path. Requires the spark-avro package (``avro_available``) — raises a
-    clear error instead of failing deep inside py4j when it's absent.
+    path. The schema defaults to ``envelope_avro_schema(row_schema)``; note
+    the Avro envelope has NO ``payload`` wrapper (that nesting is a
+    JsonConverter artifact), so the projection reads top-level fields.
+    Requires the spark-avro package (``avro_available``) — raises a clear
+    error instead of failing deep inside py4j when it's absent.
 
     Note: Confluent wire format prepends a 5-byte schema-id header which
     must be stripped before ``from_avro`` (``substring(value, 6, ...)``) —
@@ -146,16 +221,18 @@ def parse_envelope_avro(
             "spark-avro data source not loaded; restart with the spark-avro "
             "package (reference README.md:348 ships it via --packages)"
         )
-    parsed = raw.withColumn("json", from_avro(F.col(value_col), avro_schema_json))
-    img = F.when(
-        F.col("json.payload.op") == "d", F.col("json.payload.before")
-    ).otherwise(F.col("json.payload.after"))
+    if avro_schema_json is None:
+        avro_schema_json = envelope_avro_schema(row_schema)
+    parsed = raw.withColumn("env", from_avro(F.col(value_col), avro_schema_json))
+    img = F.when(F.col("env.op") == "d", F.col("env.before")).otherwise(
+        F.col("env.after")
+    )
     return (
         parsed.withColumn("_row", img)
         .select(
-            F.col("json.payload.op").alias("op"),
-            F.col("json.payload.source.lsn").alias("_lsn"),
-            F.col("json.payload.ts_ms").alias("_ts_ms"),
+            F.col("env.op").alias("op"),
+            F.col("env.source.lsn").alias("_lsn"),
+            F.col("env.ts_ms").alias("_ts_ms"),
             F.col("_row.*"),
         )
         .filter(F.col("op").isNotNull())

@@ -6,9 +6,12 @@ plumbing (schema, batching, partition-sized Arrow transfer via mapInPandas)
 is real and tested; the codec step itself is STUBBED because no image/audio
 libraries ship in this container:
 
-- ``decode_image`` raises NotImplementedError when `strict`, else produces a
-  deterministic fake decode (dimensions parsed from the synthetic header) so
-  the downstream plumbing stays testable end-to-end.
+- ``decode_image`` with ``strict=True`` uses a real imaging library when one
+  is importable (PIL probe below — none ships here, so that path is live
+  code but cold in this container) and otherwise raises NotImplementedError;
+  non-strict produces a deterministic fake decode (dimensions parsed from
+  the synthetic header) so the downstream plumbing stays testable
+  end-to-end.
 
 At scale: mapInPandas streams Arrow batches per partition — decode
 parallelism == partition count, no driver involvement, and binary columns
@@ -49,10 +52,11 @@ DECODED_SCHEMA = T.StructType(
 
 def make_fake_media(df: DataFrame, id_col: str, width_col, height_col) -> DataFrame:
     """Synthesize deterministic fake media blobs: an 8-byte header
-    (width,height as int32 LE) + payload derived from the id. Stands in for
-    real image bytes so the decode plumbing has stable input."""
+    (width,height as big-endian int32 — hex-encoded, so network byte order)
+    + payload derived from the id. Stands in for real image bytes so the
+    decode plumbing has stable input."""
     header = F.concat(
-        _le_int32(width_col), _le_int32(height_col), F.sha2(F.col(id_col).cast("string"), 256).cast("binary")
+        _be_int32(width_col), _be_int32(height_col), F.sha2(F.col(id_col).cast("string"), 256).cast("binary")
     )
     return df.withColumn("media", header).withColumn(
         "media_meta",
@@ -66,21 +70,55 @@ def make_fake_media(df: DataFrame, id_col: str, width_col, height_col) -> DataFr
     )
 
 
-def _le_int32(col) -> F.Column:
+def _be_int32(col) -> F.Column:
     c = (F.col(col) if isinstance(col, str) else col).cast("int")
-    # int → 4 little-endian bytes via bit arithmetic + char concat is clumsy
-    # in pure SQL; encode as fixed-width hex string instead (still binary).
+    # int → 4 bytes via bit arithmetic + char concat is clumsy in pure SQL;
+    # encode as fixed-width hex instead (unhex yields BIG-endian byte order,
+    # matching the '>i' unpack in decode_image_batch).
     return F.unhex(F.lpad(F.hex(c), 8, "0"))
 
 
+def _imaging():
+    """Optional-imaging-library probe: PIL if importable, else None. Keeps
+    the real-decode path live wherever Pillow is installed without making
+    it a dependency of this container."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except Exception:
+        return None
+
+
 def decode_image_batch(pdf: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
-    """Per-Arrow-batch fake decode. Real implementation would call PIL /
-    libvips here; the container ships neither (STUB, see module docstring)."""
+    """Per-Arrow-batch decode. ``strict=True`` requires a real imaging
+    library (PIL probe) and decodes actual image bytes; otherwise the
+    deterministic fake-header decode keeps the plumbing testable in
+    containers that ship no codec (this one)."""
     if strict:
-        raise NotImplementedError(
-            "image decoding requires an imaging library not present in this "
-            "container; plumbing is exercised with the deterministic fake"
-        )
+        image_mod = _imaging()
+        if image_mod is None:
+            raise NotImplementedError(
+                "image decoding requires an imaging library not present in "
+                "this container; plumbing is exercised with the "
+                "deterministic fake"
+            )
+        import io
+
+        out = []
+        for media_id, blob in zip(pdf["media_id"], pdf["media"]):
+            img = image_mod.open(io.BytesIO(bytes(blob)))
+            px = list(img.convert("L").getdata())
+            out.append(
+                {
+                    "media_id": media_id,
+                    "width": img.width,
+                    "height": img.height,
+                    "n_bytes": len(bytes(blob)),
+                    "mean_byte": float(sum(px)) / len(px) if px else 0.0,
+                }
+            )
+        return pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
     out = []
     for media_id, blob in zip(pdf["media_id"], pdf["media"]):
         b = bytes(blob)

@@ -10,6 +10,7 @@ verifiable queries (SURVEY.md §3.1-3.2).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -48,21 +49,43 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_")
 
 
+#: State-store instance count for the bounded streaming replays below. A
+#: stateful query opens/commits one state store per shuffle partition per
+#: stateful operator per micro-batch; the count is FROZEN into the
+#: checkpoint at first start, and inheriting the session's batch-sized
+#: shuffle fan-out (32-200) makes tiny replays commit-overhead-bound
+#: (measured ~2x on stream_stream_join: 64 instances -> 16). Size it to
+#: expected STATE volume, not CPU count: these fixture replays hold a few
+#: thousand keys, so 8 is plenty; an unbounded 100 TB stream wants
+#: hundreds, set via this env or the checkpoint's own recorded value.
+_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+
+
 def _drain(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DF to completion into a memory sink; return the
     materialized table. Unique query name per call — the driver and parity
-    may invoke the same query twice in one session."""
+    may invoke the same query twice in one session.
+
+    Shuffle partitions are pinned to ``_STATE_PARTITIONS`` for the stream's
+    lifetime (each call starts a fresh checkpoint, so the pin takes) and
+    restored afterwards so batch queries keep the session's fan-out."""
+    spark = df.sparkSession
     name = f"q_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", _tmp("ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    run_until_drained(q)
-    return df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", _tmp("ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_until_drained(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,3 +103,43 @@ def test_schema_inference_bootstrap_matches_declared(spark):
     assert after_fields == {
         "id", "full_name", "email", "phone", "department", "salary", "created_at"
     }
+
+
+def test_avro_envelope_schema_matches_declared_structtype():
+    """B4 schema-level check (no spark-avro jar in this container, so the
+    serde itself is gated): the generated Debezium-shaped Avro schema must
+    mirror the declared envelope StructType field-for-field — top-level
+    record (NO payload wrapper, that nesting is a JsonConverter artifact),
+    nullable-union fields with null defaults, before/after sharing one
+    named row record, date/timestamp as Avro logical types."""
+    import json
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import (
+        EMPLOYEES_SCHEMA,
+        envelope_avro_schema,
+    )
+
+    schema = json.loads(envelope_avro_schema())
+    assert schema["type"] == "record" and schema["name"] == "Envelope"
+    fields = {f["name"]: f for f in schema["fields"]}
+    assert list(fields) == ["before", "after", "source", "op", "ts_ms"]
+    # Every envelope field is optional: ["null", T] union with null default.
+    for f in schema["fields"]:
+        assert f["type"][0] == "null" and f["default"] is None
+
+    # before = full named row record matching the declared source schema.
+    before = fields["before"]["type"][1]
+    assert before["type"] == "record" and before["name"] == "Value"
+    by_name = {f["name"]: f["type"][1] for f in before["fields"]}
+    assert list(by_name) == [f.name for f in EMPLOYEES_SCHEMA.fields]
+    assert by_name["id"] == "int" and by_name["salary"] == "int"
+    assert by_name["full_name"] == "string"
+    assert by_name["created_at"] == {"type": "int", "logicalType": "date"}
+    # after references the SAME named type (Avro forbids redefinition).
+    assert fields["after"]["type"][1] == "debezium1.public.Value"
+
+    source = fields["source"]["type"][1]
+    src_types = {f["name"]: f["type"][1] for f in source["fields"]}
+    assert src_types == {"lsn": "long", "ts_ms": "long", "table": "string"}
+    assert fields["op"]["type"][1] == "string"
+    assert fields["ts_ms"]["type"][1] == "long"
