@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cdc, extended, llm, relational, streaming
+from . import cdc, extended, llm, pipeline, relational, streaming
 
-_MODULES = (relational, cdc, llm, streaming, extended)
+_MODULES = (relational, cdc, llm, streaming, extended, pipeline)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -735,3 +735,62 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_key") < F.col("b_key"))
         .select("a_key", "b_key")
     )
+
+
+@_q(
+    "agg_decimal_exact",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_disc,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation (money semantics, SURVEY.md §2.C scalar
+    types): sums accumulate in DECIMAL — no floating partial-sum order
+    sensitivity, the property double-based sums lack — and only the final
+    single value casts to DOUBLE for the cross-engine compare. Spark keeps
+    decimal partials in unscaled longs inside the hash aggregate, so the
+    exactness costs nothing at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(dec("l_discount")).cast("double").alias("sum_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "window_cume_dist",
+    """
+    SELECT c_mktsegment, c_custkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           ntile(10) OVER w AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile)
+    per market segment — the remaining ranking-family members not covered
+    by window_rank_ntile. Ordering carries the unique c_custkey tiebreak
+    so ranks are total and deterministic. One shuffle on the partition
+    key; the rank math is rational arithmetic over row counts, identical
+    across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        dround(F.percent_rank().over(w), 6).alias("pr"),
+        dround(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -1,0 +1,285 @@
+"""Training-data-pipeline queries beyond the core LLM ops (queries/llm.py):
+deterministic corpus sharding, sessionization, TF-IDF, chunking, PII
+scrubbing. Every query here is SQL-expressible, so each carries a DuckDB
+oracle.
+
+Scale notes are per-query; the common theme is that every operator is a
+single shuffle-bounded groupBy/window over JVM-side expressions — no UDFs,
+no driver loops, no all-pairs joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as _t
+from ..functions import dround
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Knuth's multiplicative constant: cheap, engine-agnostic integer mixing.
+# xxhash64/md5 would be Spark-only; training pipelines need the SPLIT to be
+# recomputable by any engine reading the same table, which is exactly the
+# portability the oracle proves.
+_MIX = 2654435761
+
+
+@_q(
+    "pipe_hash_split",
+    f"""
+    WITH b AS (
+      SELECT *, (doc_id * {_MIX}) % 1000 AS bucket FROM documents)
+    SELECT CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           min(doc_id) AS min_doc_id
+    FROM b GROUP BY 1
+    """,
+)
+def pipe_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test sharding (80/10/10) by multiplicative
+    hash of the stable key — the standard leakage-proof corpus split: no
+    RNG state, no sampling seed to ship, any engine re-derives membership
+    from the key alone. One map-side projection + one groupBy(3 groups):
+    at 100 TB this is a pure scan with a tiny final combine; the same
+    bucket expression also serves as a WHERE-clause membership filter
+    (predicate-pushdown friendly) when materializing one split."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_MIX)) % 1000
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@_q(
+    "pipe_sessionize",
+    """
+    WITH d AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1 DAY
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM d)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(CAST(round(value * 1000, 0) AS BIGINT)) / 1000.0, 3)
+             AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def pipe_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 1 day splits a session): lag to find
+    gaps, running sum of gap flags to number sessions, then per-session
+    aggregates — two window passes over ONE shuffle (both windows and the
+    final groupBy share the user_id partitioning, so Catalyst reuses the
+    exchange). The streaming sibling is stream_session_windows; this is
+    the backfill path a 100 TB event archive needs. Event ordering is
+    (ts, event_id) — the unique tiebreak keeps lag deterministic; value
+    sums go through the ×1000 integer trick (3dp-quantized input) so the
+    result is partition-order independent."""
+    ev = _t(spark, sf_dir, "events")
+    by_ts = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("prev").isNull()
+        | (F.col("ts") > F.col("prev") + F.expr("INTERVAL 1 DAY")),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("prev", F.lag("ts").over(by_ts))
+        .withColumn(
+            "session_id",
+            F.sum(gap).over(
+                W.partitionBy("user_id")
+                .orderBy("ts")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    vint = dround(F.col("value") * 1000, 0).cast("long")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dround(F.sum(vint) / 1000.0, 3).alias("session_value"),
+    )
+
+
+@_q(
+    "pipe_tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    stats AS (
+      SELECT term, sum(tf) AS total_tf, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term, df,
+           round(ln((n_docs + 1.0) / (df + 1.0)) * total_tf / df, 4)
+             AS avg_tfidf
+    FROM stats, n
+    ORDER BY avg_tfidf DESC, term
+    LIMIT 20
+    """,
+)
+def pipe_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: term frequency per doc, document frequency across
+    the corpus, smoothed idf = ln((N+1)/(df+1)), ranked by the average
+    per-containing-doc score. Shape at 100 TB: explode + two hash
+    aggregations (map-side partials on both) + a broadcast of the single
+    corpus-count row + global top-K (TakeOrderedAndProject — no full
+    sort). The average is computed as idf·Σtf/df with the Σtf exact in
+    integers, so no floating partial-sum order sensitivity."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.sum("tf").alias("total_tf"), F.count(F.lit(1)).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = stats.join(F.broadcast(n)).select(
+        "term",
+        "df",
+        dround(
+            F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            * F.col("total_tf")
+            / F.col("df"),
+            4,
+        ).alias("avg_tfidf"),
+    )
+    return scored.orderBy(F.col("avg_tfidf").desc(), "term").limit(20)
+
+
+@_q(
+    "pipe_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 15)) AS s FROM t)
+    SELECT doc_id, (s / 15)::BIGINT AS chunk_id,
+           len(toks[s + 1 : s + 20]) AS n_tokens,
+           toks[s + 1] AS first_tok,
+           toks[least(s + 20, len(toks))] AS last_tok
+    FROM starts
+    """,
+)
+def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for context-window packing: fixed 20-token chunks
+    with stride 15 (5-token overlap). Pure generator shape — split,
+    sequence of chunk starts, posexplode, slice — rows multiply but bytes
+    stay bounded by the overlap factor; no shuffle at all until a
+    downstream consumer aggregates (the explode is pipelined into the
+    scan). Per-chunk token counts/boundary tokens come out as scalars so
+    the oracle compares cell-for-cell."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    starts = docs.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), n - 1, F.lit(15))).alias("chunk_id", "s"),
+    )
+    chunk = F.slice("toks", F.col("s") + 1, 20)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.element_at("toks", F.col("s") + 1).alias("first_tok"),
+        F.element_at("toks", F.least(F.col("s") + 20, n)).alias("last_tok"),
+    )
+
+
+@_q(
+    "pipe_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               AS text
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+'))
+               AS n_emails,
+             regexp_replace(
+               regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+               '\\+[0-9][0-9-]{6,}', '<PHONE>', 'g') AS clean
+      FROM aug)
+    SELECT source, count(*) AS n_docs, sum(n_emails) AS emails_redacted,
+           sum(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END)
+             AS docs_with_phone,
+           sum(len(clean)) AS total_clean_chars
+    FROM scrubbed GROUP BY source
+    """,
+)
+def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails + phone numbers → placeholder tokens) over a
+    deterministically PII-augmented corpus — the fixtures carry no PII, so
+    the query injects a synthetic email/phone per doc first, which makes
+    redaction coverage exactly checkable (one email per doc must be
+    caught). regexp_replace/regexp_count are JVM-side codegen expressions;
+    at 100 TB this is a pure map stage feeding a small per-source
+    combine. Patterns stay in the RE2-compatible subset so any engine
+    applies the same policy."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    email = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+    phone = r"\+[0-9][0-9-]{6,}"
+    scrubbed = aug.select(
+        "source",
+        F.regexp_count("text", F.lit(email)).alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("clean"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("emails_redacted"),
+        F.sum(
+            F.when(F.col("clean").contains("<PHONE>"), 1).otherwise(0)
+        ).alias("docs_with_phone"),
+        F.sum(F.length("clean")).alias("total_clean_chars"),
+    )

@@ -117,3 +117,41 @@ def test_binned_range_join_avoids_nested_loop(spark, qs):
     p = plan(qs["join_range_binned"](spark, SF))
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert "Join" in p
+
+
+def test_sessionize_reuses_user_partitioning(spark, qs):
+    """Both window passes and the final per-session aggregate hash on
+    user_id: the plan must shuffle on user_id ONCE — a second user_id
+    exchange would double the dominant cost at 100 TB."""
+    p = plan(qs["pipe_sessionize"](spark, SF))
+    # One Exchange node in the detail section (") Exchange" header), keyed
+    # on user_id; the windows and the (user_id, session_id) aggregate all
+    # ride that single partitioning.
+    assert p.count(") Exchange") == 1
+    assert "hashpartitioning(user_id" in p
+
+
+def test_tfidf_broadcasts_corpus_count_and_takes_ordered(spark, qs):
+    """The single-row corpus count must broadcast (never shuffle the term
+    stats against it) and the global top-20 must be TakeOrderedAndProject,
+    not a full sort."""
+    p = plan(qs["pipe_tfidf_top_terms"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_chunking_is_shuffle_free(spark, qs):
+    """Chunk explosion is a pure generator over the scan — any Exchange in
+    this plan means rows shuffled for no reason (explode output feeds the
+    consumer pipelined)."""
+    p = plan(qs["pipe_chunk_documents"](spark, SF))
+    assert "Exchange" not in p
+    assert "Generate" in p  # posexplode survives as a generator node
+
+
+def test_hash_split_no_udf_single_agg(spark, qs):
+    """The sharding expression is pure JVM arithmetic (no Python), and the
+    3-way split aggregates with map-side partials."""
+    p = plan(qs["pipe_hash_split"](spark, SF))
+    assert "BatchEvalPython" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
