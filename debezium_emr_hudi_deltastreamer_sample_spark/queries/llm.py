@@ -483,3 +483,155 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est")
     ).select(F.lit("ALL").alias("event_type"), "distinct_users_est")
     return type_rows.unionByName(all_row)
+
+
+@_q(
+    "llm_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks
+      FROM documents WHERE len(string_split(text, ' ')) >= 4),
+    g AS (
+      SELECT doc_id, array_to_string(toks[i+1:i+4], ' ') AS ng
+      FROM t, LATERAL (SELECT unnest(range(0, len(toks) - 3)) AS i)),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 25 = 0),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM g
+      WHERE doc_id % 25 <> 0 AND ng IN (SELECT ng FROM bench))
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
+                    THEN 1 ELSE 0 END) AS n_contaminated,
+           sum(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
+                    THEN 0 ELSE 1 END) AS n_kept
+    FROM t WHERE doc_id % 25 <> 0
+    GROUP BY source
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — remove training docs sharing any 4-gram
+    with the held-out set (docs with doc_id%25==0 stand in for the eval
+    benchmark). Inverted-index shape: explode 4-grams once, distinct the
+    benchmark grams (small — broadcast), semi-join the corpus grams
+    against them, distinct the flagged doc ids. Never an all-pairs doc
+    comparison; at 100 TB the benchmark side stays tiny so the probe is a
+    broadcast hash join against a scan-sized gram stream."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 4)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-4),"
+                " i -> array_join(slice(toks, i+1, 4), ' '))"
+            )
+        ).alias("ng"),
+    )
+    bench = grams.filter(F.col("doc_id") % 25 == 0).select("ng").distinct()
+    flagged = (
+        grams.filter(F.col("doc_id") % 25 != 0)
+        .join(F.broadcast(bench), "ng", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(1))
+    )
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return (
+        corpus.join(flagged, "doc_id", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("contam"), F.lit(0))).alias("n_contaminated"),
+            F.sum(
+                F.when(F.col("contam").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+
+
+@_q(
+    "llm_domain_cap",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, rn FROM r WHERE rn <= 15
+    """,
+)
+def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (anti-domination sampling): keep at most 15
+    docs per source, chosen by deterministic hash order — the same
+    no-RNG-state reproducibility as pipe_hash_split, applied to the
+    classic "cap crawl domains" pretraining step. One shuffle on source;
+    at 100 TB the heavy-domain skew is exactly what AQE skew-join/salting
+    handles, and the hash order means re-runs and engines agree on WHICH
+    docs survive, not just how many."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    rk = (F.col("doc_id") * F.lit(2654435761)) % 1000000007
+    w = W.partitionBy("source").orderBy(rk, "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("doc_id", "source", "rn")
+    )
+
+
+@_q(
+    "llm_embed_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+      FROM embeddings)
+    SELECT vec_id,
+           round(mx, 6) AS scale,
+           list_transform(embedding,
+             x -> CAST(floor(x::DOUBLE * 127 / mx + 0.5) AS INTEGER)) AS q,
+           round(list_max(list_transform(embedding,
+             x -> abs(floor(x::DOUBLE * 127 / mx + 0.5) * mx / 127
+                      - x::DOUBLE))), 6) AS max_err
+    FROM s WHERE mx > 0
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (scale = per-vector max-abs)
+    plus the max dequantization error — the storage/serving compression
+    step of an embedding pipeline (4× smaller, error bound carried along).
+    Pure per-row array math, no shuffle; quantization uses floor(x+0.5)
+    instead of round() so every engine lands on identical codes (no
+    decimal-vs-binary rounding divergence). The error term recomputes the
+    code inside one transform rather than referencing the q column in a
+    second lambda — SQL HOF lambdas have no CSE, and a column-ref would
+    re-evaluate the whole transform per element."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    s = emb.withColumn("mx", mx).filter(F.col("mx") > 0)
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(xd(x) * 127 / F.col("mx") + 0.5).cast("int"),
+    )
+    err = F.array_max(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(
+                F.floor(xd(x) * 127 / F.col("mx") + 0.5) * F.col("mx") / 127
+                - xd(x)
+            ),
+        )
+    )
+    return s.select(
+        "vec_id",
+        dround("mx", 6).alias("scale"),
+        q.alias("q"),
+        dround(err, 6).alias("max_err"),
+    )

@@ -37,6 +37,9 @@ QUERIES = [
     "llm_minhash_lsh",
     "llm_cosine_topk",
     "llm_dedup_clusters",
+    "llm_decontaminate",
+    "pipe_sessionize",
+    "pipe_tfidf_top_terms",
 ]
 
 
