@@ -314,7 +314,12 @@ def embedding_neardup_pairs(
     a = embeddings.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("ae"))
     b = embeddings.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("be"))
     if approx:
-        sig = with_lsh_signature(embeddings, vec_col, n_planes, seed, dim)
+        # The signature (Arrow pandas_udf matmul) feeds BOTH sides of the
+        # bucket self-join; checkpoint so it is computed once, not twice
+        # (blocks free with the result DataFrame — see dedup.py rationale).
+        sig = with_lsh_signature(
+            embeddings, vec_col, n_planes, seed, dim
+        ).localCheckpoint(eager=True)
         pairs = (
             _explode_bands(
                 sig, id_col, vec_col, "a", n_planes, band_bits, probe=multiprobe

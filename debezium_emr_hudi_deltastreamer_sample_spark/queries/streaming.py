@@ -298,6 +298,41 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_rollup_two_level",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL 1 DAY, ts) AS bucket_start,
+           count(*) AS n, round(sum(value), 3) AS total,
+           round(min(value), 3) AS vmin, round(max(value), 3) AS vmax
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous aggregation: build the HOUR rollup
+    incrementally (same three-batch fold as stream_rollup_incremental),
+    then derive the DAY rollup purely from the stored hour partials
+    (IncrementalRollup.reaggregate) — the raw events are never re-read.
+    The oracle aggregates the events directly at day grain, so the check
+    proves partial-merge correctness across the resolution change. At
+    100 TB this is the point of additive rollups: one fine table serves
+    every coarser resolution from bucket-count-sized input."""
+    events = _t(spark, sf_dir, "events")
+    roll = IncrementalRollup(
+        spark, _tmp("rollup2l"), "ts", "1 hour", ["event_type"], "value"
+    )
+    for i in range(3):
+        roll.apply_batch(events.filter(F.col("event_id") % 3 == i), i)
+    return roll.reaggregate("1 day").select(
+        "event_type",
+        "bucket_start",
+        "n",
+        dround("total", 3).alias("total"),
+        dround("vmin", 3).alias("vmin"),
+        dround("vmax", 3).alias("vmax"),
+    )
+
+
+@_q(
     "stream_static_join",
     """
     SELECT c_mktsegment, count(*) AS n, round(sum(value), 3) AS total

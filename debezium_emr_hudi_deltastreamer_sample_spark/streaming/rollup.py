@@ -189,3 +189,34 @@ class IncrementalRollup:
             raise FileNotFoundError(f"no rollup commits at {self._commits_dir()}")
         r = self.spark.read.parquet(commits[-1][3])
         return r.withColumn("mean", F.col("total") / F.col("n"))
+
+    def reaggregate(self, coarser_bucket: str) -> DataFrame:
+        """Hierarchical rollup: derive a COARSER-bucketed rollup from the
+        stored partials without touching the raw events — the property
+        additive partials buy (count/sum re-sum, min/max re-min/max). An
+        hour table answering day/week/month queries from bucket-count-sized
+        input is the other half of the continuous-aggregation story at
+        100 TB: one fine rollup feeds every coarser resolution. Requires
+        ``coarser_bucket`` to be a multiple of the fine bucket (window()
+        aligns both to the epoch, so fine buckets nest exactly)."""
+        fine = self.spark.read.parquet(self._commits()[-1][3])
+        coarse = (
+            fine.groupBy(
+                F.window("bucket_start", coarser_bucket).alias("w"), *self.keys
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("total").alias("total"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+            .select(
+                F.col("w.start").alias("bucket_start"),
+                *self.keys,
+                "n",
+                "total",
+                "vmin",
+                "vmax",
+            )
+        )
+        return coarse.withColumn("mean", F.col("total") / F.col("n"))

@@ -615,3 +615,42 @@ def test_rollup_stream_restart_no_double_count(spark, tmp_path):
     (src / "f1.json").write_text('{"k": "a", "ts": "2024-01-01T00:00:40", "v": 4.0}')
     run_once()
     assert {(r.k, r.n, r.total) for r in roll.read().collect()} == {("a", 3, 7.0)}
+
+
+def test_rollup_reaggregate_matches_direct_coarse(spark, tmp_path):
+    """Hierarchical rollup: the day-grain rollup derived from stored
+    hour partials must equal aggregating the raw events at day grain —
+    the additive-merge property across resolutions."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + datetime.timedelta(hours=h, minutes=7), float(h % 5))
+        for h in range(50)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "r2l"), "ts", "1 hour", ["k"], "v"
+    )
+    roll.apply_batch(df.filter("v < 2"), 0)
+    roll.apply_batch(df.filter("v >= 2"), 1)
+    got = {
+        (r.k, str(r.bucket_start)): (r.n, r.total, r.vmin, r.vmax)
+        for r in roll.reaggregate("1 day").collect()
+    }
+    want = {
+        (r.k, str(r.w["start"])): (r.n, r.total, r.vmin, r.vmax)
+        for r in df.groupBy(F.window("ts", "1 day").alias("w"), "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == want
