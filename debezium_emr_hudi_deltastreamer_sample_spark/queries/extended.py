@@ -794,3 +794,66 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.cume_dist().over(w), 6).alias("cd"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@_q(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar,
+           round(var_samp(l_quantity), 4) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covar_samp / var_samp —
+    the §2.C aggregation-family members not covered elsewhere). Spark
+    computes these as single-pass mergeable co-moments (partial+final, no
+    re-scan), the same shape as sum/count at 100 TB; 4dp rounding absorbs
+    the partial-merge-order float noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        dround(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+        dround(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+@_q(
+    "window_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_price,
+           dense_rank() OVER w AS dr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic value functions (first_value / last_value / nth_value) +
+    dense_rank — the remaining §2.C window members. last/nth carry the
+    full-partition frame explicitly (the default frame stops at
+    CURRENT ROW, a classic cross-engine trap); ordering includes the
+    unique o_orderkey so every value is deterministic."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    grow = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = grow.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(grow).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.dense_rank().over(grow).alias("dr"),
+    )

@@ -282,6 +282,32 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_right_outer",
+    """
+    SELECT n_name,
+           count(s_suppkey) AS n_suppliers,
+           round(coalesce(sum(s_acctbal), 0), 2) AS total_bal
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving nations with zero suppliers (§2.C joins:
+    the right-outer member; Catalyst plans it as the mirrored left-outer,
+    broadcast-able on the small preserved side)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            dround(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
+        )
+    )
+
+
+@_q(
     "join_semi",
     """
     SELECT c_custkey, c_name FROM customer
