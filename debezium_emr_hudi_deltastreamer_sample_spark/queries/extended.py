@@ -857,3 +857,36 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
         F.dense_rank().over(grow).alias("dr"),
     )
+
+
+@_q(
+    "scalar_variant",
+    """
+    SELECT (props->>'$.k')::INT % 10 AS k_bucket,
+           count(*) AS n,
+           sum((props->>'$.k')::INT) AS k_sum,
+           round(sum(CAST(round(value * 1000, 0) AS BIGINT)) / 1000.0, 3)
+             AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` the props
+    column into a VARIANT and extract with ``variant_get`` path syntax —
+    the open-ended-schema alternative to the declared-StructType envelope
+    (A6). VARIANT stores a parsed binary form, so repeated extractions
+    skip re-tokenizing the JSON text — the right shape for 100 TB of
+    heterogenous event payloads; value sums use the ×1000 integer trick
+    for partition-order independence."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    vint = dround(F.col("value") * 1000, 0).cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"), vint.alias("vint"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            dround(F.sum("vint") / 1000.0, 3).alias("value_sum"),
+        )
+    )

@@ -654,3 +654,18 @@ def test_rollup_reaggregate_matches_direct_coarse(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_gated_cleanly(spark):
+    """No protobuf package in this container: the state-v2 probe reports
+    it and the transformWithState builder refuses with a clear message
+    instead of crashing the streaming Python runner at init."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.windows import (
+        running_totals_tws,
+        transform_with_state_available,
+    )
+
+    assert transform_with_state_available() is False
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(RuntimeError, match="protobuf"):
+        running_totals_tws(stream, "value", "value")
