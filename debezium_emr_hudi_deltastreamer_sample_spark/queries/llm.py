@@ -635,3 +635,110 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("q"),
         dround(err, 6).alias("max_err"),
     )
+
+
+@_q(
+    "llm_cluster_canonical",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.46),
+    edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    reach(v, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v),
+    clusters AS (
+      SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    scored AS (
+      SELECT c.cluster_id, c.vec_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.vec_id) AS rn
+      FROM clusters c JOIN documents d ON c.vec_id = d.doc_id)
+    SELECT cluster_id, vec_id AS canonical_id, n_chars,
+           (SELECT count(*) FROM clusters c2
+            WHERE c2.cluster_id = scored.cluster_id) AS cluster_size
+    FROM scored WHERE rn = 1
+    """,
+)
+def llm_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: instead of
+    blindly keeping the min id (llm_exact_dedup's tie-break), pick the
+    highest-VALUE member — here the longest document, ties broken by id —
+    which is how production dedup keeps the best copy of each duplicate
+    group. Composition: exact cluster assignment (oracle-replayable edge
+    set) ⋈ documents → per-cluster top-1 window. One extra shuffle over
+    the cluster ids; the window partitions are cluster-sized (tiny)."""
+    from pyspark.sql import Window as W
+
+    clusters = _cluster_assignment(spark, sf_dir, approx=False)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "n_chars"
+    )
+    joined = clusters.join(docs, "vec_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "vec_id")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("canonical_id"),
+            "n_chars",
+            "cluster_size",
+        )
+    )
+
+
+@_q(
+    "llm_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT (cum - n_tokens) // 512 AS pack_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS pack_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign docs (in stable
+    doc_id order) to ~512-token packs by bucketing the running token
+    count — the streaming-friendly first-fit-in-order packer (no
+    bin-packing search, deterministic, one window pass). The global
+    running sum is the scale caveat: a single ORDER BY window means one
+    task at 100 TB, so the production form partitions first (e.g. per
+    shard from pipe_hash_split) and packs within shards; the fixture
+    grades the packing arithmetic itself."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "pack_id", ((F.col("cum") - F.col("n_tokens")) / 512).cast("long")
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
