@@ -155,3 +155,20 @@ def test_hash_split_no_udf_single_agg(spark, qs):
     p = plan(qs["pipe_hash_split"](spark, SF))
     assert "BatchEvalPython" not in p
     assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, qs):
+    """The benchmark gram set must reach the corpus-side probe as a
+    broadcast (semi) join — shuffling the full corpus gram stream against
+    a tiny benchmark is the avoidable cost at 100 TB."""
+    p = plan(qs["llm_decontaminate"](spark, SF))
+    assert "BroadcastExchange" in p
+    assert "LeftSemi" in p
+
+
+def test_pack_sequences_single_global_window_acknowledged(spark, qs):
+    """llm_pack_sequences intentionally uses ONE global running-sum window
+    (documented: production packs within hash shards). Pin the plan so a
+    future change that silently adds more shuffles is caught."""
+    p = plan(qs["llm_pack_sequences"](spark, SF))
+    assert p.count(") Window") == 1
