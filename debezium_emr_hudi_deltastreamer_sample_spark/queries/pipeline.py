@@ -283,3 +283,105 @@ def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("docs_with_phone"),
         F.sum(F.length("clean")).alias("total_clean_chars"),
     )
+
+
+@_q(
+    "pipe_pack_sharded",
+    f"""
+    WITH t AS (
+      SELECT doc_id, (doc_id * {_MIX}) % 8 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT shard, (cum - n_tokens) // 512 AS pack_id,
+           count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY shard, pack_id
+    """,
+)
+def pipe_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, production form: shard by multiplicative hash
+    FIRST (8 shards here; thousands at 100 TB), then run the
+    first-fit-in-order running-sum pack within each shard — the window
+    partitions by shard, so packing parallelizes instead of serializing on
+    one global sort (llm_pack_sequences documents that cliff). Same
+    deterministic membership story as pipe_hash_split: the shard and pack
+    of a doc are pure functions of its id and the ordered token counts."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(_MIX)) % 8).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "pack_id", ((F.col("cum") - F.col("n_tokens")) / 512).cast("long")
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@_q(
+    "pipe_profile_columns",
+    """
+    SELECT 'doc_id' AS col, count(*) AS n,
+           count(*) - count(doc_id) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_repr,
+           CAST(max(doc_id) AS VARCHAR) AS max_repr
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang),
+           count(DISTINCT lang),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source),
+           count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars),
+           count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def pipe_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality gate before any pipeline run):
+    per-column row count, null count, exact distinct, min/max — emitted as
+    one tidy (col, stat...) table. Spark computes all columns' profiles in
+    a SINGLE scan: the per-column aggregates union after aggregation, and
+    Catalyst reuses the cached scan; at 100 TB swap exact distinct for
+    approx_count_distinct (agg_approx_distinct grades that path)."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def profile(col: str) -> DataFrame:
+        return docs.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_repr"),
+            F.max(col).cast("string").alias("max_repr"),
+        ).select("col", "n", "n_null", "n_distinct", "min_repr", "max_repr")
+
+    out = profile("doc_id")
+    for c in ("lang", "source", "n_chars"):
+        out = out.unionByName(profile(c))
+    return out
