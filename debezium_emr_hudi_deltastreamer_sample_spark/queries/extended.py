@@ -890,3 +890,40 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("vint") / 1000.0, 3).alias("value_sum"),
         )
     )
+
+
+@_q(
+    "sink_clustered_readback",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-03-31'
+    GROUP BY l_returnflag
+    """,
+)
+def sink_clustered_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered layout for data skipping (the flat-table sibling of
+    B10's directory pruning): lineitem is written with
+    ``sortWithinPartitions(l_shipdate)``, so every parquet row group's
+    min/max footer stats span a narrow date range, and the readback's
+    BETWEEN filter — pushed into the scan (tests/test_plans.py) — skips
+    whole row groups instead of filtering rows. At 100 TB this is the
+    Z-order/clustering technique: the query predicate column decides the
+    write-time sort, and pruning happens in the reader with no index."""
+    out = tempfile.mkdtemp(prefix="spark_graft_clustsink_")
+    (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_returnflag", "l_extendedprice")
+        .repartition(4)
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("l_shipdate").between("1994-01-01", "1994-03-31")
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

@@ -172,3 +172,15 @@ def test_pack_sequences_single_global_window_acknowledged(spark, qs):
     future change that silently adds more shuffles is caught."""
     p = plan(qs["llm_pack_sequences"](spark, SF))
     assert p.count(") Window") == 1
+
+
+def test_clustered_readback_pushes_date_range(spark, qs):
+    """The sort-clustered sink's readback must push the BETWEEN bounds
+    into the parquet scan (row-group skipping via footer min/max); a
+    post-scan Filter-only plan would read every row group."""
+    p = plan(qs["sink_clustered_readback"](spark, SF))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any(
+        "GreaterThanOrEqual(l_shipdate" in l and "LessThanOrEqual(l_shipdate" in l
+        for l in pushed
+    )

@@ -669,3 +669,37 @@ def test_transform_with_state_gated_cleanly(spark):
     stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     with pytest.raises(RuntimeError, match="protobuf"):
         running_totals_tws(stream, "value", "value")
+
+
+def test_rollup_crash_before_publish_is_invisible_and_recoverable(spark, tmp_path):
+    """Crash-safety of the commit protocol: a batch that staged its output
+    but died BEFORE the publish rename must (1) be invisible to readers,
+    (2) not count as applied, and (3) apply cleanly on replay."""
+    import datetime
+    import uuid as _uuid
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    path = str(tmp_path / "rc")
+    roll = IncrementalRollup(spark, path, "ts", "1 minute", ["k"], "v")
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    roll.apply_batch(df, 0)
+
+    # Simulate a crashed batch 1: stage the merged output exactly where
+    # apply_batch stages it, then "die" (no rename into __commits).
+    stage = f"{path}__stage/{_uuid.uuid4().hex}"
+    roll._partials(df).write.mode("overwrite").parquet(stage)
+
+    [r] = roll.read().collect()
+    assert (r.n, r.total) == (1, 2.0)          # staged data invisible
+    assert roll.last_applied_batch() == 0      # batch 1 not recorded
+
+    roll.apply_batch(df, 1)                    # replay of the dead batch
+    [r] = roll.read().collect()
+    assert (r.n, r.total) == (2, 4.0)          # applied exactly once
+    assert roll.last_applied_batch() == 1
