@@ -927,3 +927,42 @@ def sink_clustered_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+@_q(
+    "agg_skew_twophase",
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(CAST(round(value * 1000, 0) AS BIGINT)) / 1000.0, 3)
+             AS total,
+           round(max(value), 3) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed group keys: phase 1
+    aggregates (key, salt) — spreading a hot key over 16 reducers — and
+    phase 2 merges the salted partials per key. Catalyst's own partial
+    aggregation already handles MOST skew (map-side combine), but when a
+    single key's PARTIALS still overwhelm one reducer (huge cardinality
+    per partition, e.g. collect-style aggs), explicit salting is the
+    manual fix; this query grades the pattern's correctness — salting
+    must be invisible in the result (same oracle as a plain groupBy).
+    Sums ride the ×1000 integer trick for order independence."""
+    ev = _t(spark, sf_dir, "events")
+    vint = dround(F.col("value") * 1000, 0).cast("long")
+    salted = (
+        ev.withColumn("__salt", (F.col("event_id") % 16).cast("int"))
+        .withColumn("__vint", vint)
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("__vint").alias("psum"),
+            F.max("value").alias("pmax"),
+        )
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        dround(F.sum("psum") / 1000.0, 3).alias("total"),
+        dround(F.max("pmax"), 3).alias("vmax"),
+    )
