@@ -241,3 +241,40 @@ def cdc_topic_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(topic_to_table().alias("table_name")).groupBy("table_name").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@_q(
+    "cdc_incremental_read",
+    """
+    SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+           max(event_id) AS max_id
+    FROM events
+    WHERE event_id <= 3000 AND event_id % 3 <> 0
+    GROUP BY event_type
+    """,
+)
+def cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pull (Hudi incremental-query mode, the DeltaStreamer
+    consumer contract): three scripted micro-batches land in the append
+    log's ``ingest_batch=<id>`` directories; the consumer then reads only
+    batches AFTER its checkpoint (batch 0) via
+    streaming.pipeline.incremental_read — directory-level pruning, cost
+    proportional to new commits. The oracle recomputes the same batch
+    membership (event_id % 3) directly; min/max ids pin that batch-0 rows
+    never leak into the incremental result."""
+    import tempfile
+
+    from ..streaming.pipeline import incremental_read
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
+    out = tempfile.mkdtemp(prefix="spark_graft_incr_")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).write.mode("overwrite").parquet(
+            f"{out}/ingest_batch={i}"
+        )
+    inc = incremental_read(spark, out, since_batch=0)
+    return inc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -169,3 +169,18 @@ def cast_value_projection(stream: DataFrame, keep_timestamp: bool = False) -> Da
         F.col("value").cast("string").alias("value")
     ]
     return stream.select(*cols)
+
+
+def incremental_read(spark, out_path: str, since_batch: int) -> DataFrame:
+    """Hudi-style incremental pull over the append log: read ONLY the
+    micro-batches committed AFTER ``since_batch`` — the consumption mode
+    DeltaStreamer downstreams rely on (process new commits, never re-scan
+    history). Because each batch is an ``ingest_batch=<id>`` partition
+    directory (append_batch_processor), the predicate prunes at directory
+    level: cost scales with NEW data, independent of table history — the
+    property that keeps a 100 TB append log incrementally consumable.
+    Callers checkpoint the last-processed batch id themselves (the same
+    contract as Hudi's commit timeline)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(out_path).filter(F.col("ingest_batch") > since_batch)

@@ -184,3 +184,11 @@ def test_clustered_readback_pushes_date_range(spark, qs):
         "GreaterThanOrEqual(l_shipdate" in l and "LessThanOrEqual(l_shipdate" in l
         for l in pushed
     )
+
+
+def test_incremental_read_prunes_old_batches(spark, qs):
+    """Incremental pull must prune at the ingest_batch directory level —
+    reading history for an incremental consumer defeats the contract."""
+    p = plan(qs["cdc_incremental_read"](spark, SF))
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "ingest_batch" in pf
