@@ -278,3 +278,49 @@ def cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@_q(
+    "table_compact_roundtrip",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def table_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance end-to-end (Hudi's clustering/compaction service,
+    SURVEY §2.B): three TIME-ORDERED change batches upsert into a
+    KeyedTable — accreting one file set per batch, the streaming-table
+    small-file decay — then ``compact`` rewrites the table at a target
+    file count. The graded property is that maintenance is semantically
+    invisible: the compacted table still equals the global latest-row-per-
+    key state the oracle computes. Batches are split by time (10-day
+    windows) so cross-batch precedence (changes outrank snapshot, B9)
+    coincides with the oracle's ts ordering."""
+    import tempfile
+
+    from ..table import KeyedTable
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        # Ordering rides the CDC metadata columns (_ts_ms/_lsn are stripped
+        # from the stored rows by design) so ts/event_id stay data columns.
+        .withColumn("_ts_ms", F.unix_micros("ts"))
+        .withColumn("_lsn", F.col("event_id"))
+    )
+    t = KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="spark_graft_compact_"),
+        keys=["user_id"],
+        ordering=["_ts_ms", "_lsn"],
+        op_col=None,
+    )
+    for lo, hi in (("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")):
+        batch = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        t.upsert(batch)
+    t.compact(target_partitions=2)
+    return t.read().select("user_id", "event_id", "event_type")
