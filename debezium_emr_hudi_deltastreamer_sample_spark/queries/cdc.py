@@ -324,3 +324,44 @@ def table_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.upsert(batch)
     t.compact(target_partitions=2)
     return t.read().select("user_id", "event_id", "event_type")
+
+
+@_q(
+    "cdc_time_travel",
+    f"""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00') WHERE rn = 1
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (Hudi commit timeline, opt-in ``keep_history``): three
+    time-ordered change batches commit an immutable snapshot each;
+    ``read(as_of=1)`` returns the table exactly as of the SECOND commit —
+    i.e. the latest-row-per-key state over the first two batches, which
+    is what the oracle computes directly (events before Jan 21). The
+    third batch's changes must be invisible, which pins both snapshot
+    isolation and retention (keep_history=3 holds all three commits)."""
+    import tempfile
+
+    from ..table import KeyedTable
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("_ts_ms", F.unix_micros("ts"))
+        .withColumn("_lsn", F.col("event_id"))
+    )
+    t = KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="spark_graft_tt_"),
+        keys=["user_id"],
+        ordering=["_ts_ms", "_lsn"],
+        op_col=None,
+        keep_history=3,
+    )
+    for lo, hi in (("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")):
+        t.upsert(ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)))
+    return t.read(as_of=1).select("user_id", "event_id", "event_type")

@@ -81,6 +81,7 @@ class KeyedTable:
         ordering: Sequence[str] = ("_lsn",),
         partition_by: Sequence[str] = (),
         op_col: str | None = "op",
+        keep_history: int = 0,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -88,6 +89,12 @@ class KeyedTable:
         self.ordering = list(ordering)
         self.partition_by = list(partition_by)
         self.op_col = op_col
+        #: Hudi-timeline analogue (opt-in): with ``keep_history`` > 0 every
+        #: init/upsert ALSO publishes an immutable full-snapshot commit
+        #: under ``{path}__snapshots`` (one extra write per batch — the COW
+        #: file-version retention Hudi pays too), and ``read(as_of=n)``
+        #: time-travels to commit n. 0 = current behavior, no extra writes.
+        self.keep_history = max(0, keep_history)
 
     # -- read ---------------------------------------------------------------
 
@@ -98,8 +105,60 @@ class KeyedTable:
         except Exception:
             return False
 
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+    def read(self, as_of: int | None = None) -> DataFrame:
+        """Current snapshot, or — with ``keep_history`` and ``as_of=n`` —
+        the table exactly as of commit ``n`` (0 = init, then one commit
+        per upsert), Hudi time-travel style."""
+        if as_of is None:
+            return self.spark.read.parquet(self.path)
+        for seq, uri in self.snapshots():
+            if seq == as_of:
+                return self.spark.read.parquet(uri)
+        raise FileNotFoundError(
+            f"no snapshot commit {as_of} at {self.path}__snapshots "
+            f"(have {[s for s, _ in self.snapshots()]}; retention keeps "
+            f"the last {self.keep_history})"
+        )
+
+    def snapshots(self) -> list[tuple[int, str]]:
+        """Available (commit_seq, uri) snapshots, oldest first."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        d = hpath(f"{self.path}__snapshots")
+        if not fs.exists(d):
+            return []
+        out = []
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith("s") and name[1:].isdigit():
+                out.append((int(name[1:]), str(st.getPath())))
+        out.sort()
+        return out
+
+    def _publish_snapshot(self, df: DataFrame) -> None:
+        """One immutable snapshot commit per write (only when
+        ``keep_history`` > 0): stage, rename into the timeline, trim to the
+        newest ``keep_history`` commits — same protocol as
+        streaming.rollup, same object-store-rename caveat."""
+        if not self.keep_history:
+            return
+        import uuid as _uuid
+
+        existing = self.snapshots()
+        seq = existing[-1][0] + 1 if existing else 0
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        stage = f"{self.path}__stage/{_uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(stage)
+        fs.mkdirs(hpath(f"{self.path}__snapshots"))
+        fs.rename(hpath(stage), hpath(f"{self.path}__snapshots/s{seq:012d}"))
+        for s, uri in existing[: -(self.keep_history - 1)] if self.keep_history > 1 else existing:
+            try:
+                fs.delete(hpath(uri), True)
+            except Exception:
+                pass
 
     def register(self, name: str) -> None:
         """Catalog sync (B12). Locally a temp view; on a cluster this is
@@ -122,6 +181,7 @@ class KeyedTable:
     def init(self, df: DataFrame) -> None:
         """Create/replace the table from a snapshot."""
         self._write(df, "overwrite")
+        self._publish_snapshot(self.read())
 
     def upsert(self, changes: DataFrame) -> None:
         """Apply a CDC change batch (B5/B6/B8/B11).
@@ -144,6 +204,7 @@ class KeyedTable:
                 ),
                 "overwrite",
             )
+            self._publish_snapshot(self.read())
             return
 
         current = self.read()
@@ -184,8 +245,10 @@ class KeyedTable:
                     self.spark.conf.set(
                         "spark.sql.sources.partitionOverwriteMode", "dynamic"
                     )
+                self._publish_snapshot(self.read())
                 return
         self._write(merged, "overwrite")
+        self._publish_snapshot(self.read())
 
     def compact(self, target_partitions: int | None = None) -> None:
         """Small-file compaction. Per-micro-batch CDC writes accrete small

@@ -205,3 +205,39 @@ def test_compact_empty_and_unknown_op(spark, tmp_path):
     )
     rows = parse_envelope(env).collect()
     assert [(r.op, r.id, r.full_name) for r in rows] == [("r", 1, "r")]
+
+
+def test_time_travel_snapshots_and_retention(spark, tmp_path):
+    """keep_history publishes one immutable snapshot per commit; read(as_of)
+    returns historical states; retention trims the oldest commits; and
+    keep_history=0 (the default elsewhere in the suite) writes nothing."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable
+
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "tt"),
+        keys=["id"],
+        ordering=["_lsn"],
+        op_col=None,
+        keep_history=2,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "id int, v string, _lsn long")  # noqa: E731
+    t.upsert(mk([(1, "a", 1)]))                      # commit 0
+    t.upsert(mk([(1, "b", 2), (2, "x", 3)]))         # commit 1
+    assert {(r.id, r.v) for r in t.read(as_of=0).collect()} == {(1, "a")}
+    assert {(r.id, r.v) for r in t.read(as_of=1).collect()} == {(1, "b"), (2, "x")}
+
+    t.upsert(mk([(2, "y", 4)]))                      # commit 2 → commit 0 trimmed
+    assert [s for s, _ in t.snapshots()] == [1, 2]
+    assert {(r.id, r.v) for r in t.read(as_of=2).collect()} == {(1, "b"), (2, "y")}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(as_of=0)
+
+    # Default keep_history=0: no snapshot side-writes at all.
+    t0 = KeyedTable(
+        spark, str(tmp_path / "nott"), keys=["id"], ordering=["_lsn"], op_col=None
+    )
+    t0.upsert(mk([(1, "a", 1)]))
+    assert t0.snapshots() == []
