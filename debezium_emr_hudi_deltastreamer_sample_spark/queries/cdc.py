@@ -365,3 +365,45 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lo, hi in (("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")):
         t.upsert(ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)))
     return t.read(as_of=1).select("user_id", "event_id", "event_type")
+
+
+@_q(
+    "cdc_mor_table",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def cdc_mor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE_ON_READ table type (the Hudi table-type axis the reference's
+    COPY_ON_WRITE config leaves unexplored): three time-ordered change
+    batches land as O(batch) delta-log appends — no table rewrite — and
+    the snapshot is the latest-wins merge computed at read time with
+    (batch id, ordering) precedence. Same oracle as the COW queries: the
+    table type must be invisible in the result, only the write/read cost
+    profile differs."""
+    import tempfile
+
+    from ..table import DeltaLogTable
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("_ts_ms", F.unix_micros("ts"))
+        .withColumn("_lsn", F.col("event_id"))
+    )
+    t = DeltaLogTable(
+        spark,
+        tempfile.mkdtemp(prefix="spark_graft_mor_"),
+        keys=["user_id"],
+        ordering=["_ts_ms", "_lsn"],
+        op_col=None,
+    )
+    for i, (lo, hi) in enumerate(
+        (("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01"))
+    ):
+        t.append_changes(ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), i)
+    return t.read().select("user_id", "event_id", "event_type")

@@ -274,3 +274,93 @@ class KeyedTable:
         )
         merged = merge_upsert(empty, history, self.keys, self.ordering, self.op_col)
         self._write(merged, "overwrite")
+
+
+class DeltaLogTable:
+    """MERGE_ON_READ counterpart to ``KeyedTable`` (Hudi's other table type,
+    ``hoodie.datasource.write.table.type`` — the reference picks
+    COPY_ON_WRITE, README.md:300; this completes the axis).
+
+    Write path: ``append_changes`` lands each change batch as an immutable
+    ``delta/ingest_batch=<id>`` directory — O(batch) per micro-batch, no
+    table rewrite (the write-amplification COW pays is deferred). Read
+    path: latest-wins merge of base ∪ deltas computed AT READ TIME, with
+    delta precedence by (batch id, ordering). ``compact`` folds the delta
+    log into the base snapshot (Hudi's compaction table service) so read
+    cost stays bounded by compaction cadence.
+
+    The trade is exactly Hudi's: COW = slow write / fast read, MOR = fast
+    write / merge-on-read. At 100 TB the delta dirs are also the
+    incremental-pull surface (streaming.pipeline.incremental_read)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        ordering: Sequence[str] = ("_lsn",),
+        op_col: str | None = "op",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.ordering = list(ordering)
+        self.op_col = op_col
+
+    def _base(self) -> str:
+        return f"{self.path}/base"
+
+    def _delta(self) -> str:
+        return f"{self.path}/delta"
+
+    def _read_dir(self, p: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(p)
+        except Exception:
+            return None
+
+    def append_changes(self, changes: DataFrame, batch_id: int) -> None:
+        """Land one change batch (idempotent per batch id: a replay
+        overwrites its own directory, the append-sink contract)."""
+        changes.write.mode("overwrite").parquet(
+            f"{self._delta()}/ingest_batch={batch_id}"
+        )
+
+    def read(self) -> DataFrame:
+        """Merge-on-read snapshot: base patched with the delta log.
+
+        Delta precedence is (ingest_batch, *ordering) — equivalent to
+        replaying the batches in id order with each batch's own
+        latest-wins dedup, because ``merge_upsert`` gives changes priority
+        over the base and the prefixed ordering ranks across batches."""
+        base = self._read_dir(self._base())
+        deltas = self._read_dir(self._delta())
+        if deltas is None:
+            if base is None:
+                raise FileNotFoundError(f"empty MOR table at {self.path}")
+            return base
+        row_cols = [
+            c
+            for c in deltas.columns
+            if c not in {self.op_col, "ingest_batch", *self.ordering}
+        ]
+        if base is None:
+            base = self.spark.createDataFrame([], deltas.select(*row_cols).schema)
+        return merge_upsert(
+            base,
+            deltas,
+            self.keys,
+            ["ingest_batch", *self.ordering],
+            op_col=self.op_col,
+        )
+
+    def compact(self) -> None:
+        """Fold the delta log into the base snapshot (Hudi compaction):
+        one merge, then the deltas are retired. Readers before/after see
+        the identical state — pinned by tests."""
+        merged = self.read().localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self._base())
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(hpath(self._delta()), True)

@@ -241,3 +241,34 @@ def test_time_travel_snapshots_and_retention(spark, tmp_path):
     )
     t0.upsert(mk([(1, "a", 1)]))
     assert t0.snapshots() == []
+
+
+def test_mor_table_merge_on_read_and_compaction(spark, tmp_path):
+    """MOR semantics: delta appends are O(batch); read merges with
+    (batch, ordering) precedence incl. deletes; compaction folds deltas
+    into the base without changing the visible state."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    t = DeltaLogTable(spark, str(tmp_path / "mor"), keys=["id"], ordering=["_lsn"])
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id int, v string, op string, _lsn long"
+    )
+    t.append_changes(mk([(1, "a", "c", 1), (2, "x", "c", 2)]), 0)
+    t.append_changes(mk([(1, "b", "u", 3), (3, "m", "c", 4)]), 1)
+    t.append_changes(mk([(2, None, "d", 5)]), 2)
+
+    state = {(r.id, r.v) for r in t.read().select("id", "v").collect()}
+    assert state == {(1, "b"), (3, "m")}  # 1 updated, 2 deleted, 3 inserted
+
+    # Replay idempotence: rewriting batch 1 changes nothing.
+    t.append_changes(mk([(1, "b", "u", 3), (3, "m", "c", 4)]), 1)
+    assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == state
+
+    t.compact()
+    assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == state
+    # Post-compaction: state lives in the base; new deltas still merge.
+    t.append_changes(mk([(3, "n", "u", 6)]), 3)
+    assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == {
+        (1, "b"),
+        (3, "n"),
+    }
