@@ -69,3 +69,51 @@ def connected_components(
                 F.col("v").alias(id_col), F.col("label").alias("component")
             )
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def pagerank_fixed(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list (src, dst) —
+    the second iterative distributed algorithm next to
+    ``connected_components``, and the standard importance prior for
+    near-dup cluster representatives / crawl frontier ordering.
+
+    Deterministic by construction: a FIXED iteration count (no
+    convergence test, so any engine replays it exactly), dangling vertices
+    keep only the teleport term, and each iteration is one
+    shuffle-on-dst + one join back to degrees. At 100 TB the edge list
+    shuffles on the same key every round — pre-partitioning/bucketing by
+    vertex id makes every iteration after the first shuffle-free.
+    """
+    n = vertices.count()
+    both = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = vertices.select(
+        F.col(id_col).alias("u"), F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            both.join(ranks, "u")
+            .join(deg, "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+        )
+        ranks = (
+            vertices.select(F.col(id_col).alias("u"))
+            .join(contrib, "u", "left_outer")
+            .select(
+                "u",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("u").alias(id_col), "rank")

@@ -742,3 +742,56 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@_q(
+    "llm_pagerank",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.46),
+    both_ AS (SELECT s AS u, d AS v FROM pairs
+              UNION ALL SELECT d, s FROM pairs),
+    deg AS (SELECT u, count(*) AS deg FROM both_ GROUP BY u),
+    n AS (SELECT count(*)::DOUBLE AS nn FROM embeddings),
+    verts AS (SELECT vec_id AS u FROM embeddings),
+    r0 AS (SELECT u, 1.0 / nn AS rank FROM verts, n),
+    i1 AS (SELECT b.v AS u, sum(r.rank / d.deg) AS inflow
+           FROM both_ b JOIN r0 r ON b.u = r.u JOIN deg d ON b.u = d.u
+           GROUP BY b.v),
+    r1 AS (SELECT verts.u, 0.15 / nn + 0.85 * coalesce(i.inflow, 0) AS rank
+           FROM verts CROSS JOIN n LEFT JOIN i1 i ON verts.u = i.u),
+    i2 AS (SELECT b.v AS u, sum(r.rank / d.deg) AS inflow
+           FROM both_ b JOIN r1 r ON b.u = r.u JOIN deg d ON b.u = d.u
+           GROUP BY b.v),
+    r2 AS (SELECT verts.u, 0.15 / nn + 0.85 * coalesce(i.inflow, 0) AS rank
+           FROM verts CROSS JOIN n LEFT JOIN i2 i ON verts.u = i.u),
+    i3 AS (SELECT b.v AS u, sum(r.rank / d.deg) AS inflow
+           FROM both_ b JOIN r2 r ON b.u = r.u JOIN deg d ON b.u = d.u
+           GROUP BY b.v),
+    r3 AS (SELECT verts.u, 0.15 / nn + 0.85 * coalesce(i.inflow, 0) AS rank
+           FROM verts CROSS JOIN n LEFT JOIN i3 i ON verts.u = i.u)
+    SELECT u AS vec_id, round(rank, 6) AS rank FROM r3
+    """,
+)
+def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, damping 0.85) over the exact
+    near-dup similarity graph — importance prior for picking cluster
+    representatives / ordering a crawl frontier; with
+    connected_components this is the second iterative distributed
+    algorithm in the engine (operators/components.pagerank_fixed). The
+    fixed iteration count is what makes it oracle-replayable: the SQL
+    unrolls the same three rounds; dangling vertices carry only the
+    teleport term in both."""
+    from ..operators.components import pagerank_fixed
+    from ..operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = embedding_neardup_pairs(emb, threshold=0.46).select(
+        F.col("aid").alias("src"), F.col("bid").alias("dst")
+    )
+    pr = pagerank_fixed(
+        emb.select("vec_id"), edges, id_col="vec_id", iterations=3
+    )
+    return pr.select("vec_id", dround("rank", 6).alias("rank"))

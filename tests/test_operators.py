@@ -647,3 +647,23 @@ def test_embed_quantize_error_bound(spark, sf_tiny):
     for r in rows:
         assert all(-127 <= q <= 127 for q in r.q)
         assert r.max_err <= r.scale / 254 + 1e-6
+
+
+def test_pagerank_fixed_known_graph(spark):
+    """3-vertex path graph a-b-c: the middle vertex must outrank the ends,
+    ranks must sum to ~1 (undirected, no dangling mass loss here), and an
+    isolated vertex keeps only its teleport share."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.components import (
+        pagerank_fixed,
+    )
+
+    verts = spark.createDataFrame([(v,) for v in [1, 2, 3, 9]], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.id: r.rank for r in pagerank_fixed(verts, edges, iterations=5).collect()}
+    assert got[2] > got[1] == pytest.approx(got[3], abs=1e-12)
+    assert got[2] > got[9]
+    # Isolated vertex 9 receives teleport only: (1-d)/n at every round.
+    assert got[9] == pytest.approx(0.15 / 4, abs=1e-12)
+    # Total mass stays within (teleport-only, 1]: the path component
+    # conserves its mass; only the isolate leaks its damped share.
+    assert 4 * 0.15 / 4 < sum(got.values()) <= 1.0 + 1e-9
