@@ -86,7 +86,7 @@ def pipe_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value,
              sum(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1 DAY
                       THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS session_id
       FROM d)
     SELECT user_id, session_id, count(*) AS n_events,
@@ -117,10 +117,11 @@ def pipe_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("prev", F.lag("ts").over(by_ts))
         .withColumn(
             "session_id",
+            # Same total order (ts, event_id) as the lag window: with
+            # duplicate (user_id, ts) rows a ts-only ordering would place
+            # tied rows on either side of a gap flag nondeterministically.
             F.sum(gap).over(
-                W.partitionBy("user_id")
-                .orderBy("ts")
-                .rowsBetween(W.unboundedPreceding, W.currentRow)
+                by_ts.rowsBetween(W.unboundedPreceding, W.currentRow)
             ),
         )
     )

@@ -132,41 +132,67 @@ class IncrementalRollup:
         and published with one rename whose target name IS the applied-batch
         record — data and marker cannot diverge (see module docstring)."""
         run = self._safe_run(run_id)
-        commits = self._commits()
-        if batch_id <= max((b for _, b, r, _ in commits if r == run), default=-1):
-            return
-        partial = self._partials(df)
-        if commits:
-            current = self.spark.read.parquet(commits[-1][3])
-            merged = (
-                current.unionByName(partial)
-                .groupBy("bucket_start", *self.keys)
-                .agg(
-                    F.sum("n").alias("n"),
-                    F.sum("total").alias("total"),
-                    F.min("vmin").alias("vmin"),
-                    F.max("vmax").alias("vmax"),
-                )
-            )
-        else:
-            merged = partial
-        seq = commits[-1][0] + 1 if commits else 0
-        token = f"c{seq:012d}_b{batch_id:012d}_{run}"
-        stage = f"{self.path}__stage/{uuid.uuid4().hex}"
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(stage)
-
         fs, hpath = self._hadoop()
-        fs.mkdirs(hpath(self._commits_dir()))
-        committed = fs.rename(hpath(stage), hpath(f"{self._commits_dir()}/{token}"))
-        if not committed:
-            # Lost a publish race (concurrent replay of the same batch):
-            # someone else committed — drop our staging copy.
+        for _attempt in range(5):
+            commits = self._commits()
+            if batch_id <= max((b for _, b, r, _ in commits if r == run), default=-1):
+                return
+            partial = self._partials(df)
+            if commits:
+                current = self.spark.read.parquet(commits[-1][3])
+                merged = (
+                    current.unionByName(partial)
+                    .groupBy("bucket_start", *self.keys)
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("total").alias("total"),
+                        F.min("vmin").alias("vmin"),
+                        F.max("vmax").alias("vmax"),
+                    )
+                )
+            else:
+                merged = partial
+            seq = commits[-1][0] + 1 if commits else 0
+            token = f"c{seq:012d}_b{batch_id:012d}_{run}"
+            stage = f"{self.path}__stage/{uuid.uuid4().hex}"
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(stage)
+
+            fs.mkdirs(hpath(self._commits_dir()))
+            committed = fs.rename(hpath(stage), hpath(f"{self._commits_dir()}/{token}"))
+            if committed:
+                self._trim(commits, run, fs, hpath)
+                return
+            # Rename lost a race: either a concurrent replay of THIS batch
+            # committed (detected by the high-water check on the next pass)
+            # or a different batch advanced seq, making our staged merge
+            # stale — re-list and rebuild from the new tip rather than
+            # publishing a merge that would drop the other batch's data.
             fs.delete(hpath(stage), True)
-            return
-        # Retention: best-effort removal of superseded commits (readers of
-        # a just-superseded commit finish their scan; parquet files are
-        # immutable until deleted).
-        for _, _, _, uri in commits[: -(self.keep_commits - 1)] if self.keep_commits > 1 else commits:
+        raise RuntimeError(
+            f"could not publish rollup commit for batch {batch_id} (run {run}) "
+            f"after 5 attempts — persistent rename failures at {self._commits_dir()}"
+        )
+
+    def _trim(
+        self, superseded: list[tuple[int, int, str, str]], committing_run: str, fs, hpath
+    ) -> None:
+        """Retention: best-effort removal of superseded commits (readers of
+        a just-superseded commit finish their scan; parquet files are
+        immutable until deleted). A run's NEWEST commit is never trimmed —
+        it is the only durable record of that run's applied-batch
+        high-water-mark, and deleting it would let an at-least-once replay
+        from that run re-apply (double-count) its last batch. The run that
+        just committed is exempt: its new commit now carries its
+        high-water-mark, so its older commits are fair game."""
+        newest_per_run: dict[str, int] = {}
+        for seq, _, r, _ in superseded:
+            if r != committing_run:
+                newest_per_run[r] = max(newest_per_run.get(r, -1), seq)
+        keep = superseded[-(self.keep_commits - 1):] if self.keep_commits > 1 else []
+        keep_uris = {uri for _, _, _, uri in keep}
+        for seq, _, r, uri in superseded:
+            if uri in keep_uris or newest_per_run.get(r) == seq:
+                continue
             try:
                 fs.delete(hpath(uri), True)
             except Exception:

@@ -145,20 +145,39 @@ class KeyedTable:
             return
         import uuid as _uuid
 
-        existing = self.snapshots()
-        seq = existing[-1][0] + 1 if existing else 0
         jvm = self.spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path
         fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
         stage = f"{self.path}__stage/{_uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(stage)
         fs.mkdirs(hpath(f"{self.path}__snapshots"))
-        fs.rename(hpath(stage), hpath(f"{self.path}__snapshots/s{seq:012d}"))
+        existing = self.snapshots()
+        for _attempt in range(5):
+            seq = existing[-1][0] + 1 if existing else 0
+            if fs.rename(hpath(stage), hpath(f"{self.path}__snapshots/s{seq:012d}")):
+                break
+            # A concurrent writer took this seq (or the rename failed
+            # transiently): re-list and retry with a fresh number rather
+            # than silently losing the commit.
+            existing = self.snapshots()
+        else:
+            fs.delete(hpath(stage), True)
+            raise RuntimeError(
+                f"could not publish snapshot commit at {self.path}__snapshots "
+                "after 5 rename attempts"
+            )
         for s, uri in existing[: -(self.keep_history - 1)] if self.keep_history > 1 else existing:
             try:
                 fs.delete(hpath(uri), True)
             except Exception:
                 pass
+        # The staged dir was renamed away; drop its (now empty) parent.
+        # Non-recursive delete refuses a non-empty dir, so a concurrent
+        # writer's in-flight stage is never touched.
+        try:
+            fs.delete(hpath(f"{self.path}__stage"), False)
+        except Exception:
+            pass
 
     def register(self, name: str) -> None:
         """Catalog sync (B12). Locally a temp view; on a cluster this is
@@ -339,11 +358,12 @@ class DeltaLogTable:
             if base is None:
                 raise FileNotFoundError(f"empty MOR table at {self.path}")
             return base
-        row_cols = [
-            c
-            for c in deltas.columns
-            if c not in {self.op_col, "ingest_batch", *self.ordering}
-        ]
+        # Strip the same CDC metadata set as KeyedTable._row_columns (plus
+        # the MOR-only ingest_batch) so the COW and MOR variants of one feed
+        # agree on the table schema — with ordering=("_lsn",) a batch that
+        # happens to carry _ts_ms must not promote it to a data column.
+        meta = {self.op_col, "ingest_batch", "_lsn", "_ts_ms", *self.ordering}
+        row_cols = [c for c in deltas.columns if c not in meta]
         if base is None:
             base = self.spark.createDataFrame([], deltas.select(*row_cols).schema)
         return merge_upsert(
