@@ -37,11 +37,21 @@ def ensure_read_confs(spark: SparkSession) -> None:
     Both are runtime-settable, so every query is correct on a *default*
     ``SparkSession`` — not only one built by ``session.get_spark()``:
 
-    - ``nanosAsLong``: the fixture ``events.ts`` is parquet TIMESTAMP(NANOS),
-      which Spark refuses by default (PARQUET_TYPE_ILLEGAL); with the legacy
-      conf it scans as epoch-nanos long and ``load_table`` converts.
+    - ``nanosAsLong``: under Spark ≤4.0 the fixture ``events.ts`` (parquet
+      TIMESTAMP(NANOS)) is refused by default (PARQUET_TYPE_ILLEGAL); the
+      legacy conf scans it as epoch-nanos long and ``load_table`` converts.
+      Spark 4.1 reads NANOS natively as TIMESTAMP_NTZ (µs-truncated) and
+      ignores this conf — ``load_table`` handles both shapes.
     - UTC session time: the engine declares UTC timestamp semantics
-      (deterministic comparisons against naive-timestamp oracles).
+      (deterministic comparisons against naive-timestamp oracles); it also
+      makes the NTZ→LTZ cast below interpretation-free.
+
+    Conf-hygiene contract: these are monotone engine DECLARATIONS — every
+    call sets the same two constants, never restores or flips them — so a
+    concurrent query on the same session can only ever observe the declared
+    values, not a transient. Anything per-replay or value-varying (e.g. the
+    streaming state-store fan-out) must instead be scoped to a
+    ``newSession()`` child (see queries/streaming._stream_session).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -50,17 +60,24 @@ def ensure_read_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Pushdown/pruning are Catalyst's job.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as epoch-nanos long
-    and is converted here to a proper TimestampType (integer ``div`` so no
-    double-precision loss; fixture values are µs-resolution → lossless).
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Depending on the
+    Spark version it scans as epoch-nanos ``bigint`` (≤4.0 with the legacy
+    conf; converted via integer ``div`` so no double-precision loss) or as
+    ``timestamp_ntz`` (4.1+; cast to TimestampType under the UTC session
+    zone set above — the engine's declared event-time semantics, and what
+    watermarks/unix_micros/windowing require). Fixture values are
+    µs-resolution → both paths are lossless.
     """
     ensure_read_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,24 +1,58 @@
-"""Distributed connected components — cluster assignment for near-dup
-groups (every member of a duplicate cluster gets the cluster's min id).
+"""Distributed iterative graph algorithms — connected components (cluster
+assignment for near-dup groups) and fixed-iteration PageRank.
 
 Iterative min-label propagation on DataFrames: each round every vertex
 takes the min label among itself and its neighbors; convergence when no
 label changes. Rounds needed = component diameter — for dedup graphs
 (many tiny clusters) that is 2-3, so the simple algorithm beats the
 O(log n)-round star-contraction variants on constant factors while
-staying fully distributed (each round is one shuffle-join + one
-aggregation; the only driver-side value is the changed-count scalar).
+staying fully distributed.
 
-Scale notes: `localCheckpoint` after every round truncates the lineage —
-without it the plan doubles per iteration and planning dominates by round
-~10. For graphs with large-diameter components (not the dedup shape),
-switch to alternating large-star/small-star contraction.
+Shuffle design (the 100 TB story): every join and aggregation in an
+iteration keys on the vertex id, so the edge list should shuffle ONCE,
+not once per round. Two mechanisms deliver that here:
+
+- Within a single lazy multi-round query (`pagerank_fixed`, and each
+  round-batch of `connected_components`), the edge list carries ONE
+  explicit ``repartition(p, key)``; Catalyst's ReuseExchange (and AQE's
+  stage reuse at runtime) materializes that shuffle once and every
+  round's join reads the same shuffle output — the plan shows one
+  Exchange plus ReusedExchange references (pinned in tests/test_plans).
+- Across queries (convergence checks need an action), rounds are BATCHED:
+  `connected_components` runs ``batch_rounds`` propagation rounds inside
+  one lazy plan before checkpointing + counting changes, amortizing the
+  edge shuffle and the per-action overhead over the batch.
+
+`localCheckpoint` between batches truncates the lineage — without it the
+plan doubles per round (labels appear twice per round) and planning
+dominates by round ~10. Note checkpointing does NOT preserve partitioning
+metadata under AQE (measured: LogicalRDD reports UnknownPartitioning), so
+the in-plan repartition — not the checkpoint — is what carries the
+co-partitioning. On a real cluster the same effect comes from bucketing
+the edge table by vertex id. For graphs with large-diameter components
+(not the dedup shape), switch to alternating large-star/small-star
+contraction.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _shuffle_partitions(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _prehash(df: DataFrame, key: str, partitions: int) -> DataFrame:
+    """One explicit hash-partition on the iteration key. Kept LAZY on
+    purpose: downstream joins/aggregations on ``key`` inside the same
+    query all hang off this single Exchange, which ReuseExchange (static
+    plans) and AQE stage reuse (runtime) materialize exactly once — the
+    DataFrame equivalent of bucketing the edge list by vertex id. An
+    explicit user repartition is also exempt from AQE partition
+    coalescing, so the partition count stays aligned across rounds."""
+    return df.repartition(partitions, key)
 
 
 def connected_components(
@@ -28,35 +62,55 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    batch_rounds: int = 2,
 ) -> DataFrame:
     """(vertex, component) for an undirected graph; component = min vertex
     id reachable. ``vertices``: one column ``id_col``; ``edges``: pairs
     (undirected — both directions are derived here).
 
+    Rounds run in lazy batches of ``batch_rounds``: one Spark action per
+    batch (checkpoint + changed-count) instead of per round, with the
+    edge-list shuffle reused across the batch's joins. Min-label
+    propagation is monotone (labels only decrease), so comparing labels
+    at batch boundaries detects any change made by an inner round.
+
     Returns DataFrame[id_col, component]. Raises if not converged within
     ``max_iter`` rounds (diameter bound exceeded — wrong algorithm for
     that graph, see module docstring).
     """
-    bidir = (
+    p = _shuffle_partitions(vertices)
+    bidir = _prehash(
         edges.select(F.col(src_col).alias("v"), F.col(dst_col).alias("n"))
         .union(edges.select(F.col(dst_col).alias("v"), F.col(src_col).alias("n")))
-        .distinct()
+        .distinct(),
+        "v",
+        p,
+    ).localCheckpoint(eager=True)
+    labels = (
+        vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # The checkpointed edge list lost its partitioning metadata (module
+    # docstring) — re-declare it once; every batch reuses this one node.
+    bidir = _prehash(bidir, "v", p)
 
-    for _ in range(max_iter):
-        neighbor_labels = bidir.join(labels, "v").select(
-            F.col("n").alias("v"), "label"
-        )
-        new_labels = (
-            labels.union(neighbor_labels)
-            .groupBy("v")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+    rounds_done = 0
+    while rounds_done < max_iter:
+        new_labels = labels
+        for _ in range(min(batch_rounds, max_iter - rounds_done)):
+            # bidir ⋈ labels joins hang off bidir's single Exchange; the
+            # one new shuffle per round is the min-label groupBy (labels
+            # flow n→v, re-clustering on the destination vertex).
+            neighbor_labels = bidir.join(new_labels, "v").select(
+                F.col("n").alias("v"), "label"
+            )
+            new_labels = (
+                new_labels.union(neighbor_labels)
+                .groupBy("v")
+                .agg(F.min("label").alias("label"))
+            )
+            rounds_done += 1
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             labels.alias("o")
             .join(new_labels.alias("nw"), "v")
@@ -85,35 +139,49 @@ def pagerank_fixed(
 
     Deterministic by construction: a FIXED iteration count (no
     convergence test, so any engine replays it exactly), dangling vertices
-    keep only the teleport term, and each iteration is one
-    shuffle-on-dst + one join back to degrees. At 100 TB the edge list
-    shuffles on the same key every round — pre-partitioning/bucketing by
-    vertex id makes every iteration after the first shuffle-free.
+    keep only the teleport term.
+
+    Shuffle shape: the whole ``iterations``-round computation is ONE lazy
+    query; the edge list and vertex set each carry one explicit
+    ``repartition`` on the vertex key, so every per-round join reuses
+    those two shuffles (ReuseExchange / AQE stage reuse) and the only new
+    shuffle per round is the inherent message-passing groupBy that moves
+    contributions from u-partitioning to v-partitioning (plan pinned in
+    tests/test_plans.py). Degrees fold into the rank state (rank/deg
+    carried as ``share``) so rounds don't re-join ``deg``.
     """
     n = vertices.count()
-    both = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    p = _shuffle_partitions(vertices)
+    both = _prehash(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        ),
+        "u",
+        p,
+    )
+    # Input already HashPartitioning(u, p) → partial+final agg with no
+    # Exchange; join back to verts is likewise co-partitioned.
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = vertices.select(
-        F.col(id_col).alias("u"), F.lit(1.0 / n).alias("rank")
+    verts = _prehash(vertices.select(F.col(id_col).alias("u")), "u", p)
+    # State = (u, rank, share=rank/deg): dangling vertices get share 0 and
+    # contribute nothing, matching "teleport-only" semantics.
+    state = verts.join(deg, "u", "left_outer").select(
+        "u",
+        F.lit(1.0 / n).alias("rank"),
+        (F.lit(1.0 / n) / F.col("deg")).alias("share"),
     )
     for _ in range(iterations):
         contrib = (
-            both.join(ranks, "u")
-            .join(deg, "u")
+            both.join(state.select("u", "share"), "u")
             .groupBy(F.col("v").alias("u"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+            .agg(F.sum("share").alias("inflow"))
         )
-        ranks = (
-            vertices.select(F.col(id_col).alias("u"))
-            .join(contrib, "u", "left_outer")
-            .select(
-                "u",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        rank = F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(
+            F.col("inflow"), F.lit(0.0)
         )
-    return ranks.select(F.col("u").alias(id_col), "rank")
+        state = (
+            verts.join(contrib, "u", "left_outer")
+            .join(deg, "u", "left_outer")
+            .select("u", rank.alias("rank"), (rank / F.col("deg")).alias("share"))
+        )
+    return state.select(F.col("u").alias(id_col), "rank")

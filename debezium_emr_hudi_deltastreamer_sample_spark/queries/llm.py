@@ -744,8 +744,31 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("llm_pagerank")
+def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the LSH-candidate near-dup graph —
+    the 100 TB default. Edge generation is banded LSH (candidates share a
+    signature band bucket, exact cosine re-check on candidates only), so
+    building the graph costs O(n · bucket_size), never the all-pairs
+    O(n²) of `llm_pagerank_exact` (which is kept as the SQL-oracle
+    variant — same split as `llm_dedup_clusters` / `_exact`). Rows-only
+    for the driver; rank containment vs the exact edge set is pinned in
+    tests/test_operators.py."""
+    from ..operators.components import pagerank_fixed
+    from ..operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = embedding_neardup_pairs(emb, threshold=0.46, approx=True).select(
+        F.col("aid").alias("src"), F.col("bid").alias("dst")
+    )
+    pr = pagerank_fixed(
+        emb.select("vec_id"), edges, id_col="vec_id", iterations=3
+    )
+    return pr.select("vec_id", dround("rank", 6).alias("rank"))
+
+
 @_q(
-    "llm_pagerank",
+    "llm_pagerank_exact",
     """
     WITH pairs AS (
       SELECT a.vec_id AS s, b.vec_id AS d
@@ -775,15 +798,13 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT u AS vec_id, round(rank, 6) AS rank FROM r3
     """,
 )
-def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration PageRank (3 rounds, damping 0.85) over the exact
-    near-dup similarity graph — importance prior for picking cluster
-    representatives / ordering a crawl frontier; with
-    connected_components this is the second iterative distributed
-    algorithm in the engine (operators/components.pagerank_fixed). The
-    fixed iteration count is what makes it oracle-replayable: the SQL
-    unrolls the same three rounds; dangling vertices carry only the
-    teleport term in both."""
+def llm_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, damping 0.85) over the EXACT
+    all-pairs near-dup similarity graph — the oracle-replayable variant
+    (the SQL unrolls the same three rounds; dangling vertices carry only
+    the teleport term in both). O(n²) edge generation by documented
+    contract: only the exact edge set is SQL-expressible; the default
+    `llm_pagerank` builds its edges with banded LSH instead."""
     from ..operators.components import pagerank_fixed
     from ..operators.similarity import embedding_neardup_pairs
 

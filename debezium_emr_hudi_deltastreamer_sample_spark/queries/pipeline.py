@@ -79,7 +79,7 @@ def pipe_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_sessionize",
     """
     WITH d AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM events),
     s AS (

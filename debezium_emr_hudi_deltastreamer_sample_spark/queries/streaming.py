@@ -61,45 +61,67 @@ def _tmp(prefix: str) -> str:
 _STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
 
 
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """An isolated child session for one streaming replay.
+
+    ``newSession()`` shares the SparkContext (executors, caches) but owns
+    its OWN SQLConf and catalog, so pinning the small state-store fan-out
+    here can never be observed by batch queries running concurrently on the
+    caller's session — the conf-hygiene contract: engine code must not
+    mutate a session it does not own. The pin itself: a stateful query
+    opens/commits one state store per shuffle partition per operator per
+    micro-batch and the count is FROZEN into the checkpoint at first start;
+    inheriting a batch-sized fan-out (32-200) makes tiny replays
+    commit-overhead-bound (measured ~2x on stream_stream_join: 64
+    instances -> 16). Size it to expected STATE volume, not CPU count —
+    these fixture replays hold a few thousand keys, so 8 is plenty; an
+    unbounded 100 TB stream wants hundreds, via the env override."""
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
+    ensure_read_confs(child)
+    return child
+
+
 def _drain(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DF to completion into a memory sink; return the
     materialized table. Unique query name per call — the driver and parity
     may invoke the same query twice in one session.
 
-    Shuffle partitions are pinned to ``_STATE_PARTITIONS`` for the stream's
-    lifetime (each call starts a fresh checkpoint, so the pin takes) and
-    restored afterwards so batch queries keep the session's fan-out."""
+    Mutates NO session conf: callers build the stream on a
+    ``_stream_session`` child whose fan-out was pinned at creation; the
+    memory-sink table registers in (and is read back from) that same
+    child's catalog."""
     spark = df.sparkSession
     name = f"q_{uuid.uuid4().hex[:12]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", _tmp("ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        run_until_drained(q)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", _tmp("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_until_drained(q)
     return spark.table(name)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream. The fixture stores ts as
-    TIMESTAMP(NANOS) (read as long under nanosAsLong, converted exactly as
-    catalog.load_table does for batch)."""
+    TIMESTAMP(NANOS), converted to TimestampType exactly as
+    catalog.load_table does for batch (epoch-nanos bigint under Spark
+    ≤4.0's legacy conf; timestamp_ntz under 4.1+, cast in the UTC session
+    zone — watermarks demand a zoned event-time column)."""
     ensure_read_confs(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The fixture is a single file and the file stream source requires a
     # directory path — a glob keeps basePath = sf_dir (a directory) while
     # matching only the events file.
     stream = spark.readStream.schema(batch_schema).parquet(f"{sf_dir}/[e]vents.parquet")
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -115,6 +137,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day event counts per type, computed by a streaming
     aggregation over a file stream (state per (type, window))."""
+    spark = _stream_session(spark)
     agg = tumbling_counts(
         _events_stream(spark, sf_dir), "ts", "1 day", keys=["event_type"],
         watermark="1 day",
@@ -139,6 +162,7 @@ def stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2-day/1-day window sums per type as a streaming agg — an
     event at time t lands in the two windows starting at bucket(t) and
     bucket(t)-1d, which is exactly what the oracle unnests."""
+    spark = _stream_session(spark)
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 day")
@@ -345,6 +369,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriches against a static broadcast dimension — stateless, no
     watermark; the per-micro-batch join plan is the same broadcast-hash
     join a batch query gets."""
+    spark = _stream_session(spark)
     stream = _events_stream(spark, sf_dir)
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
@@ -372,6 +397,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream join's state finite at 100 TB. Inner join under a
     bounded availableNow replay emits exactly the batch-join result, which
     is what the oracle computes."""
+    spark = _stream_session(spark)
     clicks = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -411,6 +437,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.windows import running_totals
 
+    spark = _stream_session(spark)
     emitted = _drain(
         running_totals(_events_stream(spark, sf_dir), "user_id", "value"),
         output_mode="update",
@@ -439,6 +466,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once-per-key viable on an unbounded 100 TB stream."""
     from ..streaming.windows import dedup_stream
 
+    spark = _stream_session(spark)
     dedup = dedup_stream(
         _events_stream(spark, sf_dir),
         keys=["user_id", "event_type"],

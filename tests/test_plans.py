@@ -192,3 +192,74 @@ def test_incremental_read_prunes_old_batches(spark, qs):
     p = plan(qs["cdc_incremental_read"](spark, SF))
     pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
     assert "ingest_batch" in pf
+
+
+def test_pagerank_joins_add_no_shuffles(spark):
+    """Iterative-graph scale contract (operators/components.py): the whole
+    fixed-iteration PageRank is ONE lazy query whose edge list and vertex
+    set each carry one declared repartition on the vertex key. Every
+    per-iteration join must be satisfied by those declared shuffles (or a
+    co-partitioned aggregate output), so the ONLY EnsureRequirements
+    exchanges are the three inherent message-passing groupBys — one per
+    iteration. ReuseExchange collapses the repeated repartition
+    references; nothing gets broadcast (unknown-stats leaves)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.components import (
+        pagerank_fixed,
+    )
+
+    verts = spark.createDataFrame([(v,) for v in range(8)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(pagerank_fixed(verts, edges, iterations=3))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert p.count("ENSURE_REQUIREMENTS") == 3
+    assert p.count("REPARTITION_BY_NUM") <= 4
+    assert "ReusedExchange" in p
+    assert "BroadcastExchange" not in p
+
+
+def test_connected_components_batch_bounds_shuffles(spark):
+    """One convergence batch of label propagation (connected_components
+    runs rounds in lazy batches of 2) must bound its shuffles: the edge
+    list contributes at most one declared repartition per round (reused,
+    never recomputed — it is checkpointed), and EnsureRequirements adds at
+    most 2 exchanges per round (the inherent min-label groupBy plus the
+    label-frame rehash). The naive per-round-query version shuffled the
+    edge list from scratch every round."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.components import (
+        _prehash,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    bidir = _prehash(
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct(),
+        "v",
+        8,
+    ).localCheckpoint(eager=True)
+    bidir = _prehash(bidir, "v", 8)
+    labels = spark.createDataFrame(
+        [(v, v) for v in range(3)], "v long, label long"
+    ).localCheckpoint(eager=True)
+    new_labels = labels
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(2):
+            nb = bidir.join(new_labels, "v").select(F.col("n").alias("v"), "label")
+            new_labels = (
+                new_labels.union(nb).groupBy("v").agg(F.min("label").alias("label"))
+            )
+        p = plan(new_labels)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert p.count("REPARTITION_BY_NUM") <= 2
+    assert p.count("ENSURE_REQUIREMENTS") <= 4
+    # The checkpointed edge list appears as an RDD scan — its distinct/
+    # union construction never re-executes inside the batch.
+    assert "ReusedExchange" in p

@@ -703,3 +703,35 @@ def test_rollup_crash_before_publish_is_invisible_and_recoverable(spark, tmp_pat
     [r] = roll.read().collect()
     assert (r.n, r.total) == (2, 4.0)          # applied exactly once
     assert roll.last_applied_batch() == 1
+
+
+def test_stream_replay_never_leaks_confs_to_parent_session(spark, sf_tiny):
+    """Streaming replays pin their tiny state-store fan-out (8) on an
+    isolated newSession child. A batch workload sharing the caller's
+    session must never observe that pin: sample the parent's
+    shuffle-partition conf concurrently throughout a replay and require
+    every sample to equal the sentinel set before the replay started."""
+    import threading
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.streaming import (
+        stream_tumbling_counts,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    samples, stop = [], threading.Event()
+
+    def probe():
+        while not stop.is_set():
+            samples.append(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    try:
+        rows = stream_tumbling_counts(spark, sf_tiny).collect()
+    finally:
+        stop.set()
+        t.join(timeout=30)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows
+    assert samples and set(samples) == {"13"}
