@@ -237,3 +237,73 @@ def parse_envelope_avro(
         )
         .filter(F.col("op").isNotNull())
     )
+
+
+def parse_envelope_avro_py(
+    raw: DataFrame,
+    avro_schema_json: str | None = None,
+    row_schema: T.StructType = EMPLOYEES_SCHEMA,
+    value_col: str = "value",
+    confluent_header: bool = False,
+) -> DataFrame:
+    """Avro-binary envelope decode WITHOUT the spark-avro jar: the engine's
+    own pure-Python Avro reader (avro_codec.EnvelopeAvro) runs inside
+    mapInPandas — Arrow batches of (value: binary) in, the same flat change
+    rows as `parse_envelope` out (op, _lsn, _ts_ms + row fields;
+    before-image for deletes). Same output contract as
+    `parse_envelope_avro`, so callers can fall back transparently when
+    `avro_available` is False (this container).
+
+    Scale note: this is the slow lane — a per-record Python decode, Arrow
+    only at the batch boundary. With the jar present prefer
+    `parse_envelope_avro` (JVM-side from_avro, codegen projection). It
+    exists because the Avro SEMANTICS (schema shape, union nulls, logical
+    dates, delete before-images) must be testable and usable without an
+    external package. ``confluent_header=True`` strips the 5-byte schema
+    registry prefix per record (explicit, not sniffed — an Avro body can
+    legitimately begin with 0x00)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .avro_codec import EnvelopeAvro
+
+    if avro_schema_json is None:
+        avro_schema_json = envelope_avro_schema(row_schema)
+    out_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("_lsn", T.LongType()),
+            T.StructField("_ts_ms", T.LongType()),
+            *row_schema.fields,
+        ]
+    )
+    row_fields = [f.name for f in row_schema.fields]
+    cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = EnvelopeAvro(avro_schema_json)
+        for pdf in batches:
+            rows = []
+            for blob in pdf[value_col]:
+                b = bytes(blob)
+                if confluent_header:
+                    b = b[5:]
+                try:
+                    env = codec.decode(b)
+                except Exception:
+                    continue  # defensive: malformed record, mirror JSON path
+                img = env.get("before") if env.get("op") == "d" else env.get("after")
+                img = img or {}
+                src = env.get("source") or {}
+                rows.append(
+                    {
+                        "op": env.get("op"),
+                        "_lsn": src.get("lsn"),
+                        "_ts_ms": env.get("ts_ms"),
+                        **{k: img.get(k) for k in row_fields},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.select(value_col).mapInPandas(run, out_schema)

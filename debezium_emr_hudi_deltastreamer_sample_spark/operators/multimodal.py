@@ -3,15 +3,17 @@
 Model: media is an opaque `binary` column plus a typed metadata struct —
 exactly how a 100 TB multimodal corpus rides in parquet. The Spark-side
 plumbing (schema, batching, partition-sized Arrow transfer via mapInPandas)
-is real and tested; the codec step itself is STUBBED because no image/audio
-libraries ship in this container:
+is real and tested. Codec coverage is tiered:
 
-- ``decode_image`` with ``strict=True`` uses a real imaging library when one
-  is importable (PIL probe below — none ships here, so that path is live
-  code but cold in this container) and otherwise raises NotImplementedError;
-  non-strict produces a deterministic fake decode (dimensions parsed from
-  the synthetic header) so the downstream plumbing stays testable
-  end-to-end.
+- UNCOMPRESSED formats decode for real IN THIS CONTAINER: pure-numpy
+  PPM (P6) and BMP (24-bit BI_RGB) encoders/decoders below — no imaging
+  library needed, exercised end-to-end by strict decode tests.
+- COMPRESSED formats (png/jpeg/...) go through a real imaging library when
+  one is importable (PIL probe — none ships here, so that branch is live
+  code but cold) and otherwise raise NotImplementedError.
+- The non-strict path produces a deterministic fake decode (dimensions
+  parsed from the synthetic header) so downstream plumbing stays testable
+  with zero codec dependencies at all.
 
 At scale: mapInPandas streams Arrow batches per partition — decode
 parallelism == partition count, no driver involvement, and binary columns
@@ -23,6 +25,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,6 +81,87 @@ def _be_int32(col) -> F.Column:
     return F.unhex(F.lpad(F.hex(c), 8, "0"))
 
 
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6). Uncompressed: header + raw RGB."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("PPM P6 requires 3 channels")
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Tolerant header tokenizer:
+    arbitrary whitespace between tokens, ``#`` comments to end-of-line
+    (the format's full generality — encoders differ here)."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # single whitespace after maxval, then raw samples
+    return np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP (BI_RGB): BGR byte
+    order, rows bottom-up, each row padded to a 4-byte boundary."""
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    bgr = arr[:, :, ::-1].astype(np.uint8)
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].tobytes() + b"\x00" * pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + bytes(body)
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB. Handles the
+    bottom-up (positive height) and top-down (negative height) row orders
+    and 4-byte row padding; refuses compressed or non-24-bit variants."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack("<I", b[10:14])[0]
+    _size, w, h, _planes, bitcount, compression = struct.unpack("<IiiHHI", b[14:34])
+    if bitcount != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def _decode_uncompressed(b: bytes) -> np.ndarray | None:
+    """Magic-sniff the two container-native formats; None = not one of them
+    (caller falls through to the imaging-library branch)."""
+    if b[:2] == b"P6":
+        return decode_ppm(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    return None
+
+
 def _imaging():
     """Optional-imaging-library probe: PIL if importable, else None. Keeps
     the real-decode path live wherever Pillow is installed without making
@@ -91,31 +175,43 @@ def _imaging():
 
 
 def decode_image_batch(pdf: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
-    """Per-Arrow-batch decode. ``strict=True`` requires a real imaging
-    library (PIL probe) and decodes actual image bytes; otherwise the
-    deterministic fake-header decode keeps the plumbing testable in
-    containers that ship no codec (this one)."""
+    """Per-Arrow-batch decode. ``strict=True`` decodes REAL image bytes:
+    uncompressed PPM/BMP via the pure-numpy codecs above (in-container),
+    anything else via an imaging library if importable (PIL probe), else
+    NotImplementedError. Non-strict is the deterministic fake-header
+    decode that keeps plumbing testable with zero codec dependencies.
+    ``mean_byte`` in strict mode is the mean over RGB pixel samples."""
     if strict:
-        image_mod = _imaging()
-        if image_mod is None:
-            raise NotImplementedError(
-                "image decoding requires an imaging library not present in "
-                "this container; plumbing is exercised with the "
-                "deterministic fake"
-            )
-        import io
-
         out = []
+        image_mod = None
         for media_id, blob in zip(pdf["media_id"], pdf["media"]):
-            img = image_mod.open(io.BytesIO(bytes(blob)))
-            px = list(img.convert("L").getdata())
+            b = bytes(blob)
+            arr = _decode_uncompressed(b)
+            if arr is not None:
+                h, w = arr.shape[:2]
+                mean = float(arr.mean()) if arr.size else 0.0
+            else:
+                if image_mod is None:
+                    image_mod = _imaging()
+                if image_mod is None:
+                    raise NotImplementedError(
+                        "compressed-image decoding requires an imaging "
+                        "library not present in this container; PPM/BMP "
+                        "decode natively, other formats need PIL"
+                    )
+                import io
+
+                img = image_mod.open(io.BytesIO(b))
+                px = np.asarray(img.convert("RGB"), dtype=np.float64)
+                w, h = img.width, img.height
+                mean = float(px.mean()) if px.size else 0.0
             out.append(
                 {
                     "media_id": media_id,
-                    "width": img.width,
-                    "height": img.height,
-                    "n_bytes": len(bytes(blob)),
-                    "mean_byte": float(sum(px)) / len(px) if px else 0.0,
+                    "width": w,
+                    "height": h,
+                    "n_bytes": len(b),
+                    "mean_byte": mean,
                 }
             )
         return pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
@@ -137,15 +233,18 @@ def decode_image_batch(pdf: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
     return pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 
 
-def decode_images(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+def decode_images(
+    df: DataFrame, id_col: str = "media_id", strict: bool = False
+) -> DataFrame:
     """Distributed decode: mapInPandas over (id, media) — Arrow batches in,
     decoded feature rows out. The projection before mapInPandas matters:
-    only the blob + id cross the JVM↔Python boundary."""
+    only the blob + id cross the JVM↔Python boundary. ``strict=True``
+    decodes real bytes (PPM/BMP natively; other formats via PIL probe)."""
     src = df.select(F.col(id_col).alias("media_id"), "media")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield decode_image_batch(pdf)
+            yield decode_image_batch(pdf, strict=strict)
 
     return src.mapInPandas(run, DECODED_SCHEMA)
 

@@ -219,6 +219,62 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_decode_codec",
+    """
+    SELECT (doc_id % 7) AS size_class,
+           count(*) AS n,
+           round(avg((doc_id % 32 + 8) * (doc_id % 24 + 8)), 4) AS avg_pixels,
+           round(avg(doc_id % 256), 4) AS avg_mean_byte
+    FROM documents GROUP BY 1
+    """,
+)
+def mm_decode_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end, no imaging library: encode each doc's
+    synthetic image as an actual uncompressed container format — PPM (P6)
+    for even ids, 24-bit BMP for odd ids — with every pixel set to
+    doc_id % 256, then strictly decode via the pure-numpy codecs
+    (operators/multimodal.decode_ppm/decode_bmp) through the same
+    mapInPandas plumbing as any corpus decode. The oracle recomputes the
+    dimensions AND the per-image mean byte from the generating formulas,
+    so a codec that mis-parses a header, drops row padding, or swaps
+    BGR/RGB channel math fails the hash, not just a unit test."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from ..operators.multimodal import encode_bmp, encode_ppm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 32 + 8).cast("int").alias("w"),
+        (F.col("doc_id") % 24 + 8).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                arr = np.full((int(h), int(w), 3), int(mid) % 256, dtype=np.uint8)
+                blob = encode_ppm(arr) if int(mid) % 2 == 0 else encode_bmp(arr)
+                rows.append({"media_id": int(mid), "media": blob})
+            yield pd.DataFrame(rows, columns=["media_id", "media"])
+
+    media = docs.mapInPandas(gen, "media_id long, media binary")
+    decoded = decode_images(media, strict=True)
+    return (
+        decoded.withColumn("size_class", F.col("media_id") % 7)
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("width").cast("long") * F.col("height")), 4).alias(
+                "avg_pixels"
+            ),
+            F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+        )
+    )
+
+
+@_q(
     "mm_frame_sample",
     """
     SELECT doc_id AS media_id,

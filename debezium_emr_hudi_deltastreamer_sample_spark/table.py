@@ -310,7 +310,14 @@ class DeltaLogTable:
 
     The trade is exactly Hudi's: COW = slow write / fast read, MOR = fast
     write / merge-on-read. At 100 TB the delta dirs are also the
-    incremental-pull surface (streaming.pipeline.incremental_read)."""
+    incremental-pull surface (``read_incremental`` here, mirroring
+    streaming.pipeline.incremental_read's directory pruning).
+
+    ``auto_compact_deltas``: when set, ``append_changes`` triggers
+    ``compact()`` once the delta log reaches that many batch directories —
+    Hudi's inline-compaction trigger (``hoodie.compact.inline.max.delta.
+    commits``). Bounds merge-on-read cost by compaction cadence without an
+    external table service."""
 
     def __init__(
         self,
@@ -319,12 +326,16 @@ class DeltaLogTable:
         keys: Sequence[str],
         ordering: Sequence[str] = ("_lsn",),
         op_col: str | None = "op",
+        auto_compact_deltas: int | None = None,
+        compact_target_files: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.ordering = list(ordering)
         self.op_col = op_col
+        self.auto_compact_deltas = auto_compact_deltas
+        self.compact_target_files = compact_target_files
 
     def _base(self) -> str:
         return f"{self.path}/base"
@@ -338,12 +349,41 @@ class DeltaLogTable:
         except Exception:
             return None
 
+    def _fs(self):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def delta_batches(self) -> list[int]:
+        """Batch ids currently in the delta log (one FS listing — cheap;
+        compaction retires them)."""
+        fs, hpath = self._fs()
+        try:
+            listed = fs.listStatus(hpath(self._delta()))
+        except Exception:
+            return []
+        out = []
+        for s in listed:
+            name = s.getPath().getName()
+            if name.startswith("ingest_batch="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
     def append_changes(self, changes: DataFrame, batch_id: int) -> None:
         """Land one change batch (idempotent per batch id: a replay
-        overwrites its own directory, the append-sink contract)."""
+        overwrites its own directory, the append-sink contract). May
+        trigger inline compaction (``auto_compact_deltas``) — safe under
+        replay: a re-landed batch's changes are latest-wins idempotent
+        against a base that already folded them."""
         changes.write.mode("overwrite").parquet(
             f"{self._delta()}/ingest_batch={batch_id}"
         )
+        if (
+            self.auto_compact_deltas
+            and len(self.delta_batches()) >= self.auto_compact_deltas
+        ):
+            self.compact()
 
     def read(self) -> DataFrame:
         """Merge-on-read snapshot: base patched with the delta log.
@@ -374,13 +414,33 @@ class DeltaLogTable:
             op_col=self.op_col,
         )
 
+    def read_incremental(self, since_batch: int) -> DataFrame:
+        """Changes landed AFTER ``since_batch`` — the MOR incremental-pull
+        surface (Hudi incremental query on a MOR table). The filter on the
+        ``ingest_batch`` partition column prunes at the DIRECTORY level
+        (PartitionFilters in the plan, pinned in tests/test_plans.py):
+        pre-checkpoint delta dirs are never even listed, so an incremental
+        consumer's scan cost is O(new batches), not O(log). History is
+        bounded by compaction cadence — compaction retires delta dirs, so
+        consumers must keep ``since_batch`` within the uncompacted window
+        (exactly Hudi's incremental-read-vs-cleaner contract)."""
+        deltas = self._read_dir(self._delta())
+        if deltas is None:
+            raise FileNotFoundError(
+                f"no delta log at {self.path} (compacted or empty table)"
+            )
+        return deltas.filter(F.col("ingest_batch") > since_batch)
+
     def compact(self) -> None:
         """Fold the delta log into the base snapshot (Hudi compaction):
         one merge, then the deltas are retired. Readers before/after see
-        the identical state — pinned by tests."""
+        the identical state — pinned by tests. ``compact_target_files``
+        bounds the rewritten base's file count (small-file control: a
+        merge at the session's shuffle fan-out would leave one sliver file
+        per partition)."""
         merged = self.read().localCheckpoint(eager=True)
+        if self.compact_target_files:
+            merged = merged.coalesce(self.compact_target_files)
         merged.write.mode("overwrite").parquet(self._base())
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs, hpath = self._fs()
         fs.delete(hpath(self._delta()), True)

@@ -143,3 +143,101 @@ def test_avro_envelope_schema_matches_declared_structtype():
     assert src_types == {"lsn": "long", "ts_ms": "long", "table": "string"}
     assert fields["op"]["type"][1] == "string"
     assert fields["ts_ms"]["type"][1] == "long"
+
+
+def test_avro_binary_roundtrip_pure_python():
+    """The engine's own Avro binary codec must round-trip the envelope —
+    records, null unions, logical dates — byte-exactly through encode →
+    decode."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.avro_codec import EnvelopeAvro
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import (
+        envelope_avro_schema,
+    )
+
+    codec = EnvelopeAvro(envelope_avro_schema())
+    row = dict(ROW, created_at=datetime.date(2020, 1, 2))
+    envd = {
+        "before": None,
+        "after": row,
+        "source": {"lsn": 42, "ts_ms": 42, "table": "employees"},
+        "op": "c",
+        "ts_ms": 42,
+    }
+    back = codec.decode(codec.encode(envd))
+    assert back["op"] == "c" and back["source"]["lsn"] == 42
+    assert back["after"] == row and back["before"] is None
+    # Zigzag negatives + delete shape.
+    envd2 = {
+        "before": dict(row, salary=-5),
+        "after": None,
+        "source": {"lsn": -9, "ts_ms": 1, "table": "employees"},
+        "op": "d",
+        "ts_ms": 1,
+    }
+    back2 = codec.decode(codec.encode(envd2))
+    assert back2["before"]["salary"] == -5 and back2["source"]["lsn"] == -9
+
+
+def test_avro_and_json_envelope_paths_agree(spark):
+    """Serde equivalence (reference B4): the SAME event sequence pushed
+    through the JSON path (payload wrapper → from_json) and through real
+    Avro binary bytes (pure-Python writer → parse_envelope_avro_py) must
+    produce identical flat change rows — including delete before-images
+    and the date logical type."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.avro_codec import EnvelopeAvro
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import (
+        envelope_avro_schema,
+        parse_envelope_avro_py,
+    )
+
+    row2 = dict(ROW, id=2, full_name="Grace Hopper", salary=140000)
+    events = [
+        ("c", None, ROW, 10),
+        ("c", None, row2, 11),
+        ("u", None, dict(row2, salary=150000), 12),
+        ("d", ROW, None, 13),
+    ]
+
+    json_df = parse_envelope(
+        kafka_shaped(
+            spark,
+            [
+                env(op, after=a, before=b, lsn=lsn, ts_ms=lsn)
+                for op, b, a, lsn in events
+            ],
+        )
+    )
+
+    codec = EnvelopeAvro(envelope_avro_schema())
+
+    def avroize(img):
+        if img is None:
+            return None
+        return dict(img, created_at=datetime.date.fromisoformat(img["created_at"]))
+
+    blobs = [
+        codec.encode(
+            {
+                "before": avroize(b),
+                "after": avroize(a),
+                "source": {"lsn": lsn, "ts_ms": lsn, "table": "employees"},
+                "op": op,
+                "ts_ms": lsn,
+            }
+        )
+        for op, b, a, lsn in events
+    ]
+    avro_df = parse_envelope_avro_py(
+        spark.createDataFrame([(b,) for b in blobs], "value binary")
+    )
+
+    assert avro_df.columns == json_df.columns
+    assert avro_df.schema == json_df.schema
+    key = lambda r: r["_lsn"]  # noqa: E731
+    jrows = sorted((r.asDict() for r in json_df.collect()), key=key)
+    arows = sorted((r.asDict() for r in avro_df.collect()), key=key)
+    assert jrows == arows

@@ -691,3 +691,51 @@ def test_pagerank_lsh_edges_rank_containment(spark, sf_tiny):
     assert len(top(approx) & top(exact)) >= 12
     ra = {r.vec_id: r.rank for r in approx}
     assert max(abs(ra[r.vec_id] - r.rank) for r in exact) <= 0.01
+
+
+def test_ppm_bmp_codec_roundtrip():
+    """Pure-numpy uncompressed codecs: encode→decode is the identity for
+    arbitrary pixel data, including odd widths (BMP row padding) and PPM
+    headers carrying comments."""
+    import numpy as np
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(5, 3), (8, 8), (1, 1), (33, 2)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(arr)) == arr).all(), (w, h, "ppm")
+        assert (decode_bmp(encode_bmp(arr)) == arr).all(), (w, h, "bmp")
+    # Comment-bearing PPM header (other encoders emit these).
+    arr = rng.integers(0, 256, size=(2, 4, 3), dtype=np.uint8)
+    blob = b"P6\n# made by a test\n4 2\n# more\n255\n" + arr.tobytes()
+    assert (decode_ppm(blob) == arr).all()
+
+
+def test_strict_decode_batch_dispatches_by_magic():
+    """decode_image_batch(strict=True) must route PPM and BMP blobs to the
+    native codecs and report exact dimensions and RGB mean."""
+    import numpy as np
+    import pandas as pd
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import (
+        decode_image_batch,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    a = np.full((3, 5, 3), 10, dtype=np.uint8)
+    b = np.full((2, 7, 3), 200, dtype=np.uint8)
+    pdf = pd.DataFrame(
+        {"media_id": [1, 2], "media": [encode_ppm(a), encode_bmp(b)]}
+    )
+    out = decode_image_batch(pdf, strict=True).set_index("media_id")
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (5, 3)
+    assert (out.loc[2, "width"], out.loc[2, "height"]) == (7, 2)
+    assert out.loc[1, "mean_byte"] == 10.0
+    assert out.loc[2, "mean_byte"] == 200.0

@@ -272,3 +272,50 @@ def test_mor_table_merge_on_read_and_compaction(spark, tmp_path):
         (1, "b"),
         (3, "n"),
     }
+
+
+def test_mor_auto_compaction_and_incremental_read(spark, tmp_path):
+    """Inline compaction (auto_compact_deltas) must fire when the delta log
+    reaches the threshold, retire the delta dirs, bound the rewritten base
+    to compact_target_files, and preserve state; read_incremental must
+    return exactly the post-checkpoint batches via directory-level pruning
+    (its plan carries an ingest_batch PartitionFilter, so pre-checkpoint
+    dirs are never listed)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.plans import formatted_plan
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    t = DeltaLogTable(
+        spark,
+        str(tmp_path / "mor_auto"),
+        keys=["id"],
+        ordering=["_lsn"],
+        auto_compact_deltas=2,
+        compact_target_files=1,
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id int, v string, op string, _lsn long"
+    )
+    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    assert t.delta_batches() == [0]
+    # Second batch reaches the threshold -> inline compaction retires both.
+    t.append_changes(mk([(2, "x", "c", 2)]), 1)
+    assert t.delta_batches() == []
+    state = t.read()
+    assert {(r.id, r.v) for r in state.select("id", "v").collect()} == {
+        (1, "a"),
+        (2, "x"),
+    }
+    # Small-file control: the folded base is exactly the target file count.
+    assert len(state.inputFiles()) == 1
+
+    # Fresh deltas after compaction serve the incremental surface.
+    t.append_changes(mk([(1, "b", "u", 3)]), 2)
+    t.append_changes(mk([(3, "m", "c", 4)]), 3)  # threshold -> compacts again
+    t.append_changes(mk([(4, "q", "c", 5)]), 4)
+    inc = t.read_incremental(since_batch=2)
+    # Only batches > 2 that are still uncompacted (batch 3 was folded; the
+    # window is bounded by compaction cadence, batch 4 remains).
+    assert {r.id for r in inc.collect()} == {4}
+    p = formatted_plan(inc)
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "ingest_batch" in pf
