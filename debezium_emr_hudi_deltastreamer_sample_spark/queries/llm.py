@@ -816,3 +816,84 @@ def llm_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id"), edges, id_col="vec_id", iterations=3
     )
     return pr.select("vec_id", dround("rank", 6).alias("rank"))
+
+
+@_q(
+    "llm_repetition_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             len(t) - 2 AS n_tri,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tri
+      FROM toks WHERE len(t) >= 3)
+    SELECT doc_id, n_tri,
+           round(1.0 - len(list_distinct(tri))::DOUBLE / n_tri, 4)
+             AS tri_repetition
+    FROM grams
+    """,
+)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram fraction per document — the Gopher-style
+    repetition quality rule (high repetition flags boilerplate/spam for
+    the training-data filter). Trigrams are built JVM-side with
+    transform over a sequence of slice positions (no explode, no shuffle:
+    the plan is scan → project → project); at 100 TB this runs at scan
+    speed and composes with llm_quality_langstats as another signal
+    column."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "t", F.split("text", " ")
+    ).filter(F.size("t") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("t", i + 1),
+            F.element_at("t", i + 2),
+            F.element_at("t", i + 3),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        (F.size("t") - 2).alias("n_tri"),
+        dround(
+            1.0 - F.size(F.array_distinct(tri)).cast("double") / (F.size("t") - 2),
+            4,
+        ).alias("tri_repetition"),
+    )
+
+
+@_q(
+    "pipe_dataset_mix",
+    """
+    WITH sampled AS (
+      SELECT source, doc_id, n_chars
+      FROM documents
+      WHERE doc_id % 10 < CASE source
+              WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
+              WHEN 'src2' THEN 2 ELSE 1 END)
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM sampled GROUP BY source
+    """,
+)
+def pipe_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-source sampling weights applied as a
+    DETERMINISTIC modulus rule (src0 keeps 100%, src1 50%, src2 20%,
+    long-tail sources 10%) — the reproducibility property a dataset card
+    needs (rerun = same mix, unlike Bernoulli sample()). The predicate is
+    a pure scan filter: at 100 TB the rejected rows never leave the
+    parquet reader, and the weights table would ride along as a broadcast
+    map."""
+    weights = F.when(F.col("source") == "src0", 10).when(
+        F.col("source") == "src1", 5
+    ).when(F.col("source") == "src2", 2).otherwise(1)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 < weights)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

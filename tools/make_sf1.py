@@ -1,0 +1,155 @@
+"""Synthesize an sf1-scale fixture (10x sf0.1) for the local scale sweep.
+
+The driver ships sf0.001/0.01/0.1 only; the 100x design claims deserve one
+more measured decade. This builds sf1 deterministically from sf0.1 —
+10 key-shifted replicas per fact table, so value distributions, join
+selectivities, and skew shape are preserved while keys stay unique:
+
+- star facts (lineitem/orders/customer/supplier/part): every key column
+  offset by replica * (max_key + 1); dimension tables (nation/region) keep
+  their real-world-constant size.
+- events: ids shifted; ts shifted by replica * (span + 1 day) so event
+  time extends instead of stacking (sessionization/windows stay
+  non-degenerate).
+- documents: doc_id shifted; text prefixed with a per-replica token —
+  replicas become NEAR-duplicates (high Jaccard, not exact), which turns
+  the corpus into 10-member near-dup clusters: a realistic, harder input
+  for the MinHash/LSH/component queries than verbatim copies.
+- embeddings: vec_id shifted; a small deterministic per-replica rotation
+  of two coordinates keeps replicas near-duplicate in cosine without
+  being identical.
+
+Output: $SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1), parquet per
+table, idempotent (skips if the marker file exists). Sizes at sf1:
+~6 M lineitem, 1 M events, 500 k documents, 500 k embeddings (64-dim).
+
+Usage: python tools/make_sf1.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+REPLICAS = 10
+
+#: key columns to shift, per table (offset = replica * (max+1) of the
+#: table that OWNS the key, so foreign keys stay consistent).
+KEY_OWNERS = {
+    "c_custkey": "customer",
+    "o_orderkey": "orders",
+    "o_custkey": "customer",
+    "l_orderkey": "orders",
+    "l_partkey": "part",
+    "l_suppkey": "supplier",
+    "p_partkey": "part",
+    "s_suppkey": "supplier",
+    "event_id": "events",
+    "user_id": "events_user",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
+
+    marker = os.path.join(DST, "_DONE")
+    if os.path.exists(marker):
+        print(f"sf1 fixture already present at {DST}")
+        return
+    spark = get_spark(app_name="make_sf1")
+
+    tables = {
+        n: load_table(spark, SRC, n)
+        for n in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split()
+    }
+
+    # Key-owner maxima (drive every shift so FKs stay aligned).
+    owner_max = {
+        "customer": tables["customer"].agg(F.max("c_custkey")).first()[0],
+        "orders": tables["orders"].agg(F.max("o_orderkey")).first()[0],
+        "part": tables["part"].agg(F.max("p_partkey")).first()[0],
+        "supplier": tables["supplier"].agg(F.max("s_suppkey")).first()[0],
+        "events": tables["events"].agg(F.max("event_id")).first()[0],
+        "events_user": tables["events"].agg(F.max("user_id")).first()[0],
+        "documents": tables["documents"].agg(F.max("doc_id")).first()[0],
+        "embeddings": tables["embeddings"].agg(F.max("vec_id")).first()[0],
+    }
+    ts_min, ts_max = tables["events"].agg(
+        F.min("ts"), F.max("ts")
+    ).first()
+    span_sec = int((ts_max - ts_min).total_seconds()) + 86400
+
+    def replicate(name, extra=None):
+        df = tables[name]
+        parts = []
+        for i in range(REPLICAS):
+            r = df
+            for col in df.columns:
+                if col in KEY_OWNERS:
+                    off = i * (int(owner_max[KEY_OWNERS[col]]) + 1)
+                    r = r.withColumn(col, F.col(col) + F.lit(off))
+            if extra is not None:
+                r = extra(r, i)
+            parts.append(r)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def events_extra(r, i):
+        return r.withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {i * span_sec} SECOND")
+        )
+
+    def documents_extra(r, i):
+        # Per-replica prefix token -> near-dup (not exact-dup) clusters.
+        return r.withColumn("text", F.concat(F.lit(f"rep{i} "), F.col("text")))
+
+    def embeddings_extra(r, i):
+        if i == 0:
+            return r
+        # Deterministic tiny perturbation: bump two coordinates by i/100 —
+        # cosine to the original stays ~1 (near-dup) but not exactly 1.
+        eps = i / 100.0
+        return r.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, j: F.when(j < 2, x + F.lit(eps)).otherwise(x),
+            ),
+        )
+
+    os.makedirs(DST, exist_ok=True)
+    writes = {
+        "region": tables["region"],
+        "nation": tables["nation"],
+        "customer": replicate("customer"),
+        "supplier": replicate("supplier"),
+        "part": replicate("part"),
+        "orders": replicate("orders"),
+        "lineitem": replicate("lineitem"),
+        "events": replicate("events", events_extra),
+        "documents": replicate("documents", documents_extra),
+        "embeddings": replicate("embeddings", embeddings_extra),
+    }
+    for name, df in writes.items():
+        df.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        print(f"wrote {name}")
+    open(marker, "w").write("ok\n")
+    print(f"sf1 fixture at {DST}")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
+#: Fourth decade: the locally-synthesized sf1 fixture (tools/make_sf1.py,
+#: 10x sf0.1 with preserved distributions). Included when present — the
+#: growth factor sf0.1->sf1 is the strongest single piece of evidence for
+#: the 100x design claims because fixed overheads no longer dominate.
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+
 #: Batch-only subset (streaming queries carry state-store setup noise that
 #: swamps the scaling signal at these sizes).
 QUERIES = [
@@ -51,11 +57,14 @@ def main() -> None:
     qs = all_queries()
     spark.range(1).count()
 
+    points = [(sf, f"/root/testdata/{sf}") for sf in SFS]
+    if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
+        points.append(("sf1", SF1_DIR))
+
     out: dict[str, dict[str, float]] = {}
     for name in QUERIES:
         out[name] = {}
-        for sf in SFS:
-            sf_dir = f"/root/testdata/{sf}"
+        for sf, sf_dir in points:
             best = None
             for _ in range(2):  # best-of-2, same rationale as bench.py
                 t0 = time.perf_counter()
@@ -66,7 +75,12 @@ def main() -> None:
         out[name]["growth_01_to_1"] = round(
             out[name]["sf0.1"] / max(out[name]["sf0.01"], 1e-9), 2
         )
-    worst = max(v["growth_01_to_1"] for v in out.values())
+        if "sf1" in out[name]:
+            out[name]["growth_1_to_10"] = round(
+                out[name]["sf1"] / max(out[name]["sf0.1"], 1e-9), 2
+            )
+    worst_key = "growth_1_to_10" if "sf1" in out[QUERIES[0]] else "growth_01_to_1"
+    worst = max(v.get(worst_key, 0.0) for v in out.values())
     print(json.dumps({"queries": out, "worst_growth": worst}))
 
 
