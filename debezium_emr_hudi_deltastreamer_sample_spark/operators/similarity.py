@@ -162,6 +162,42 @@ def _kmeans_fit_sample(
     return min(fits, key=lambda t: t[0])[1]
 
 
+def kmeans_assign(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    seed: int = 7,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Spherical k-means assignment at scan speed: fit ``k`` centroids on a
+    bounded driver sample (`_kmeans_fit_sample` — never the full table),
+    ship the tiny (k, dim) array in Arrow pandas_udf closures, and tag
+    every row with its nearest-by-cosine ``cluster_id`` plus the cosine to
+    that centroid (``cluster_cos``, the per-row cohesion). One pass, one
+    vectorized matmul per Arrow batch, no iteration over the full table —
+    the cost profile that survives 100 TB."""
+    centroids = _kmeans_fit_sample(
+        embeddings, vec_col, nlist=k, seed=seed, max_iter=max_iter
+    )
+
+    @F.pandas_udf("struct<cluster_id:int,cluster_cos:double>")
+    def assign(vec: pd.Series) -> pd.DataFrame:
+        m = np.stack(vec.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ centroids.T
+        best = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": best.astype("int32"),
+                "cluster_cos": sims[np.arange(len(best)), best],
+            }
+        )
+
+    return embeddings.withColumn("_kc", assign(vec_col)).select(
+        "*", "_kc.cluster_id", "_kc.cluster_cos"
+    ).drop("_kc")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -407,3 +407,54 @@ def cdc_mor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         t.append_changes(ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), i)
     return t.read().select("user_id", "event_id", "event_type")
+
+
+@_q(
+    "cdc_avro_roundtrip",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+           event_type,
+           event_id * 10 AS lsn
+    FROM events WHERE event_id <= 1000
+    """,
+)
+def cdc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Avro binary serde round-trip under the correctness gate
+    (reference B4, README.md:262-263): flat change rows are encoded to
+    Avro-binary envelope records by the engine's pure-Python writer
+    (envelope.encode_envelope_avro_py, mapInPandas) and decoded back by
+    its reader (parse_envelope_avro_py) — deletes travel as before-images
+    and must come back intact. The oracle sees only the original rows:
+    a hash match proves encode∘decode is the identity on the wire format.
+
+    Scale note: both sides are the documented Python slow lane; with
+    spark-avro present the same contract runs JVM-side via
+    to_avro/from_avro (envelope.parse_envelope_avro). The graded query
+    pins the SEMANTICS so either lane must reproduce it."""
+    from pyspark.sql import types as T
+
+    from ..envelope import encode_envelope_avro_py, parse_envelope_avro_py
+
+    row_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    flat = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 1000)
+        .select(
+            F.when(F.col("event_type") == "error", "d").otherwise("c").alias("op"),
+            (F.col("event_id") * 10).alias("_lsn"),
+            F.col("event_id").cast("long").alias("_ts_ms"),
+            "event_id",
+            "event_type",
+        )
+    )
+    wire = encode_envelope_avro_py(flat, row_schema=row_schema, table="events")
+    decoded = parse_envelope_avro_py(wire, row_schema=row_schema)
+    return decoded.select(
+        "event_id", "op", "event_type", F.col("_lsn").alias("lsn")
+    )

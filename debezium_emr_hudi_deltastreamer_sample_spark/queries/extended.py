@@ -1022,3 +1022,71 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("psum") / 1000.0, 3).alias("total"),
         dround(F.max("pmax"), 3).alias("vmax"),
     )
+
+
+@_q(
+    "sink_orc_roundtrip",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total_price,
+           round(avg(l_discount), 4) AS avg_disc
+    FROM lineitem WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (SURVEY.md §2.C scans/sinks row — the second
+    columnar format next to parquet): a lineitem projection written as
+    ORC, read back, filtered and aggregated. The read-back filter
+    exercises ORC's predicate pushdown path (Spark pushes `l_quantity >=
+    25` into the ORC reader the same way it does for parquet; at 100 TB
+    stripe-level min/max skipping does the pruning)."""
+    out = tempfile.mkdtemp(prefix="spark_graft_orcsink_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("l_quantity") >= 25)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("l_extendedprice"), 2).alias("total_price"),
+        dround(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+@_q(
+    "source_jsonl_roundtrip",
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 3) AS total_value,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events WHERE value > 10
+    GROUP BY event_type
+    """,
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source (SURVEY.md §2.C scans row — the
+    text-format sibling of the CSV round-trip, and the file-level
+    counterpart of the from_json envelope path): events written as
+    newline-delimited JSON, read back with an EXPLICIT schema (a schema
+    inference pass is a full extra read — never at 100 TB), filtered and
+    aggregated. Doubles survive the text round-trip at full precision;
+    the timestamp column is excluded (JSON timestamp serialization is
+    engine-config-dependent, and the query contract is about the scan
+    path, not timestamp text formats)."""
+    out = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "user_id"
+    )
+    ev.write.mode("overwrite").json(out)
+    back = (
+        spark.read.schema("event_id bigint, event_type string, value double, user_id bigint")
+        .json(out)
+        .filter(F.col("value") > 10)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("value"), 3).alias("total_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -6,7 +6,7 @@ assertions in tests/ (recall vs exact baselines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as _t
@@ -896,4 +896,144 @@ def pipe_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
+    )
+
+
+@_q(
+    "llm_span_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    blk AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(cast(ceil(len(t) / 10.0) AS BIGINT), 1)))
+               AS blk_idx,
+             unnest(list_transform(
+               range(0, greatest(cast(ceil(len(t) / 10.0) AS BIGINT), 1)),
+               i -> array_to_string(t[(i * 10 + 1):(i * 10 + 10)], ' ')))
+               AS span
+      FROM toks),
+    firsts AS (
+      SELECT doc_id, blk_idx, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, blk_idx)
+               AS rn
+      FROM blk)
+    SELECT doc_id,
+           count(*) AS n_spans,
+           count(*) FILTER (rn = 1) AS kept_spans,
+           coalesce(length(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                                      ORDER BY blk_idx)), 0) AS clean_len
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-SPAN removal: split each document into
+    10-token spans, keep only the globally FIRST occurrence of every
+    distinct span (ordered by doc_id, position), and reassemble what
+    survives. This is the intra-corpus repeated-boilerplate scrub
+    (headers, navbars, license blocks) that exact-dedup misses because
+    the containing documents differ.
+
+    Scale: two shuffles total — one hash-partition on the span (the
+    window that elects first occurrences; at 100 TB the partition key is
+    xxhash64(span) and the span text rides along only until the window
+    resolves) and one on doc_id to reassemble. Both are plain hash
+    exchanges with no skew worse than the corpus' boilerplate frequency,
+    and AQE splits a pathological mega-span partition."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n_blk = F.greatest(F.ceil(F.size("t") / F.lit(10.0)).cast("long"), F.lit(1))
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_blk - 1).cast("int")),
+                lambda i: F.array_join(F.slice("t", i * 10 + 1, 10), " "),
+            )
+        ).alias("blk_idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "blk_idx")
+    firsts = spans.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("blk_idx", "span"))
+    return firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("kept_spans"),
+        F.length(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
+                ),
+                " ",
+            )
+        ).alias("clean_len"),
+    )
+
+
+@_q(
+    "llm_length_histogram",
+    """
+    WITH n AS (
+      SELECT least(len(string_split(text, ' ')) // 10, 19) * 10
+               AS bucket_start
+      FROM documents)
+    SELECT bucket_start, count(*) AS n_docs,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 4)
+             AS pct
+    FROM n GROUP BY bucket_start
+    """,
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (fixed-width token-count buckets of 10,
+    top bucket open-ended at 190+) — the first profiling chart of any
+    corpus curation run. Bucketing is pure integer arithmetic identical
+    in Spark and the oracle, so no width_bucket portability trap.
+
+    Scale: one scan + a ≤20-key hash aggregate; the share-of-corpus
+    column is a window over the already-aggregated 20 rows (no second
+    scan of the data)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        (
+            F.least(
+                F.floor(F.size(F.split("text", " ")) / 10), F.lit(19)
+            ).cast("long")
+            * 10
+        ).alias("bucket_start")
+    )
+    hist = docs.groupBy("bucket_start").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = Window.partitionBy()
+    return hist.select(
+        "bucket_start",
+        "n_docs",
+        dround(F.col("n_docs").cast("double") / F.sum("n_docs").over(total), 4).alias(
+            "pct"
+        ),
+    )
+
+
+@_q("llm_kmeans_clusters")  # rows-only: centroids come from a numpy sample fit
+def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering for data curation (topic balancing, per-cluster
+    sampling): spherical k-means with the IVF recipe — fit k=8 centroids
+    on a bounded driver-side sample (operators/similarity._kmeans_fit_sample;
+    never the full table), broadcast the (8, dim) array inside an Arrow
+    pandas_udf closure (operators/similarity.kmeans_assign), and report
+    per-cluster membership and cohesion.
+
+    Scale: the fit is O(sample) regardless of table size; assignment is
+    one scan with a vectorized matmul per Arrow batch; the final agg is
+    an 8-key hash aggregate. No iteration touches the full table —
+    clustering 100 TB costs one pass. Quality (cohesion beats a
+    shuffled-assignment baseline) is pinned in tests/test_operators.py."""
+    from ..operators.similarity import kmeans_assign
+
+    assigned = kmeans_assign(_t(spark, sf_dir, "embeddings"))
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            dround(F.avg("cluster_cos"), 4).alias("avg_cohesion"),
+            F.min("vec_id").alias("min_vec"),
+        )
+        .orderBy("cluster_id")
     )

@@ -202,26 +202,11 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "stream_cdc_upsert",
-    """
-    SELECT c_custkey, c_name, c_nationkey,
-           CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 100.0, 2)
-                ELSE c_acctbal END AS c_acctbal,
-           c_mktsegment
-    FROM customer WHERE c_custkey % 100 <> 0
-    """,
-)
-def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end CDC streaming replay — the reference's whole intended
-    pipeline as one verifiable query (SURVEY.md §3.2):
-
+def _customer_change_feed(spark: SparkSession, sf_dir: str):
+    """Shared CDC load generator for the end-to-end streaming replays:
     customer rows → Debezium envelopes (insert each row; update acctbal
-    +100 for custkey%10==0; delete custkey%100==0, LSN-ordered) → JSON-lines
-    Kafka double → file stream → foreachBatch latest-wins merge with delete
-    application → final table, checked against the directly-computed final
-    state in SQL.
-    """
+    +100 for custkey%10==0; delete custkey%100==0, LSN-ordered) →
+    JSON-lines Kafka double on disk. Returns (src_dir, row_schema)."""
     cust = _t(spark, sf_dir, "customer")
     row_schema = cust.schema
     row_struct = F.struct(*[F.col(c) for c in cust.columns])
@@ -275,7 +260,26 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _tmp("cdc_src")
     records.write.mode("overwrite").json(src)
+    return src, row_schema
 
+
+_CDC_UPSERT_ORACLE = """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 100.0, 2)
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 100 <> 0
+    """
+
+
+@_q("stream_cdc_upsert", _CDC_UPSERT_ORACLE)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC streaming replay — the reference's whole intended
+    pipeline as one verifiable query (SURVEY.md §3.2): the shared change
+    feed (_customer_change_feed) → file stream → foreachBatch latest-wins
+    COW merge with delete application → final table, checked against the
+    directly-computed final state in SQL."""
+    src, row_schema = _customer_change_feed(spark, sf_dir)
     table_path = _tmp("cdc_table")
     q = start_pipeline(
         cast_value_projection(file_envelope_source(spark, src)),
@@ -285,6 +289,41 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_until_drained(q)
     return spark.read.parquet(table_path).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@_q("stream_mor_upsert", _CDC_UPSERT_ORACLE)
+def stream_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME end-to-end CDC replay on the MERGE_ON_READ axis
+    (streaming/pipeline.mor_batch_processor → table.DeltaLogTable):
+    each micro-batch lands as an O(batch) delta append — no per-batch
+    table rewrite — with inline compaction after 2 delta commits, and the
+    final merge-on-read snapshot must equal the COW result (identical
+    oracle). Grades Hudi's write.table.type trade end-to-end under
+    streaming: COW rewrite-per-batch vs MOR merge-at-read.
+    Cites reference README.md:295-313 (table type + compaction configs)."""
+    from ..streaming.pipeline import mor_batch_processor
+    from ..table import DeltaLogTable
+
+    src, row_schema = _customer_change_feed(spark, sf_dir)
+    table_path = _tmp("mor_table")
+    q = start_pipeline(
+        cast_value_projection(file_envelope_source(spark, src)),
+        mor_batch_processor(
+            table_path,
+            keys=["c_custkey"],
+            row_schema=row_schema,
+            auto_compact_deltas=2,
+        ),
+        checkpoint=_tmp("mor_ckpt"),
+        available_now=True,
+    )
+    run_until_drained(q)
+    table = DeltaLogTable(
+        spark, table_path, keys=["c_custkey"], ordering=["_lsn"], op_col="op"
+    )
+    return table.read().select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
 

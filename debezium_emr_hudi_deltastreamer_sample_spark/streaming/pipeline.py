@@ -99,6 +99,45 @@ def upsert_batch_processor(
     return process
 
 
+def mor_batch_processor(
+    table_path: str,
+    keys: Sequence[str],
+    row_schema: T.StructType = EMPLOYEES_SCHEMA,
+    ordering: Sequence[str] = ("_lsn",),
+    auto_compact_deltas: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Per-micro-batch MERGE_ON_READ ingest (Hudi's other
+    ``write.table.type`` next to `upsert_batch_processor`'s COW): parse
+    envelope → land the batch as one immutable delta directory on a
+    `DeltaLogTable` — O(batch) per micro-batch, no table rewrite; the
+    latest-wins merge happens at read time (or at inline compaction when
+    ``auto_compact_deltas`` is set). Idempotent under at-least-once
+    replay: a replayed batch overwrites its own ``ingest_batch=<id>``
+    directory.
+
+    This is the write-profile you want when the stream is hot and reads
+    are periodic: COW pays a full rewrite per micro-batch (write
+    amplification ∝ table size), MOR pays ∝ batch size."""
+
+    def process(df: DataFrame, batch_id: int) -> None:
+        from ..table import DeltaLogTable
+
+        changes = parse_envelope(df, row_schema)
+        if not changes.head(1):
+            return
+        table = DeltaLogTable(
+            df.sparkSession,
+            table_path,
+            keys=keys,
+            ordering=list(ordering),
+            op_col="op",
+            auto_compact_deltas=auto_compact_deltas,
+        )
+        table.append_changes(changes, batch_id)
+
+    return process
+
+
 def routed_upsert_processor(
     tables: dict[str, tuple[str, Sequence[str], T.StructType]],
     ordering: Sequence[str] = ("_lsn",),

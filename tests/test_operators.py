@@ -224,13 +224,25 @@ def test_fake_media_decode_roundtrip(spark):
     assert out == want
 
 
-def test_decode_strict_is_stubbed(spark):
+def test_decode_strict_gates_compressed_formats(spark):
+    """Strict decode handles PPM/BMP natively; bytes that are neither
+    (e.g. a JPEG magic) require an imaging library and must raise the
+    documented capability error when PIL is absent (pass through when
+    PIL is importable)."""
     import pandas as pd
 
-    from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import decode_image_batch
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import (
+        _imaging,
+        decode_image_batch,
+    )
 
-    with pytest.raises(NotImplementedError):
-        decode_image_batch(pd.DataFrame({"media_id": [], "media": []}), strict=True)
+    jpeg_like = pd.DataFrame({"media_id": [1], "media": [b"\xff\xd8\xff\xe0junk"]})
+    if _imaging() is None:
+        with pytest.raises(NotImplementedError):
+            decode_image_batch(jpeg_like, strict=True)
+    # Empty batch never needs a codec, in either mode.
+    empty = decode_image_batch(pd.DataFrame({"media_id": [], "media": []}), strict=True)
+    assert len(empty) == 0
 
 
 def test_frame_sample_plan(spark):
@@ -739,3 +751,56 @@ def test_strict_decode_batch_dispatches_by_magic():
     assert (out.loc[2, "width"], out.loc[2, "height"]) == (7, 2)
     assert out.loc[1, "mean_byte"] == 10.0
     assert out.loc[2, "mean_byte"] == 200.0
+
+
+def test_kmeans_assign_clusters_separable_data(spark):
+    """Three well-separated direction clusters → kmeans_assign puts
+    same-cluster vectors together (cohesion ~1) and never mixes ground
+    truth groups that are 90° apart."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import kmeans_assign
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, base in enumerate([0, 5, 10]):
+        center = np.zeros(16)
+        center[base] = 1.0
+        for i in range(20):
+            v = center + rng.normal(scale=0.05, size=16)
+            rows.append((g * 100 + i, g, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id int, truth int, embedding array<float>")
+    out = kmeans_assign(df, k=3, seed=11, max_iter=10).collect()
+    by_truth = {}
+    for r in out:
+        by_truth.setdefault(r.truth, set()).add(r.cluster_id)
+        assert r.cluster_cos > 0.9  # tight clusters → near-centroid cosine
+    # Each ground-truth group maps to exactly one cluster, all distinct.
+    assert all(len(s) == 1 for s in by_truth.values())
+    assert len({s.pop() for s in by_truth.values()}) == 3
+
+
+def test_span_dedup_removes_repeated_spans(spark):
+    """A span repeated across documents survives only in its first
+    (doc_id, position) occurrence; unique spans always survive."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import llm_span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-token span
+    uniq = {d: " ".join(f"u{d}_{i}" for i in range(10)) for d in range(3)}
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="span_dedup_fix_")
+    spark.createDataFrame(
+        [
+            (0, boiler + " " + uniq[0]),
+            (1, boiler + " " + uniq[1]),   # leading boiler span is a dup
+            (2, uniq[2] + " " + boiler),   # trailing boiler span is a dup
+        ],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r.doc_id: r for r in llm_span_dedup(spark, tmp).collect()}
+    assert (out[0].n_spans, out[0].kept_spans) == (2, 2)  # first owner keeps all
+    assert (out[1].n_spans, out[1].kept_spans) == (2, 1)
+    assert (out[2].n_spans, out[2].kept_spans) == (2, 1)
+    # Reassembled length drops by exactly the boiler span + 1 separator.
+    assert out[1].clean_len == len(uniq[1])
+    assert out[2].clean_len == len(uniq[2])
