@@ -1090,3 +1090,111 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@_q(
+    "ts_gap_fill",
+    """
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             round(avg(value), 3) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(time_bucket(INTERVAL 1 HOUR, ts)) AS lo,
+                      max(time_bucket(INTERVAL 1 HOUR, ts)) AS hi
+               FROM events),
+    grid AS (
+      SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t, bounds)
+    SELECT g.event_type, g.h,
+           last_value(v IGNORE NULLS) OVER
+             (PARTITION BY g.event_type ORDER BY g.h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           v IS NULL AS is_gap
+    FROM grid g LEFT JOIN b USING (event_type, h)
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (the hypertable `time_bucket_gapfill`
+    / `locf` pattern): hourly per-type averages projected onto a dense
+    hour grid (sequence + explode — generated, never collected), missing
+    buckets forward-filled with the last observed value via
+    `last(ignorenulls)` over a running frame, and flagged.
+
+    Scale: the aggregate shrinks events to (types × hours) before the
+    grid join, so the left join and the forward-fill window both run on
+    rollup-sized data — at 100 TB of events the grid is still only
+    |types| × |hours|. The fill window partitions by type: parallel
+    across types, sequential only within one type's timeline (a year is
+    8 760 rows — nothing)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    b = ev.groupBy("event_type", "h").agg(dround(F.avg("value"), 3).alias("v"))
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    fill = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        grid.join(b, ["event_type", "h"], "left")
+        .withColumn("v_filled", F.last("v", ignorenulls=True).over(fill))
+        .select("event_type", "h", "v_filled", F.col("v").isNull().alias("is_gap"))
+    )
+
+
+@_q(
+    "udtf_doc_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    n AS (
+      SELECT doc_id, t,
+             greatest(cast(ceil(len(t) / 20.0) AS BIGINT), 1) AS nchunks
+      FROM toks)
+    SELECT doc_id,
+           cast(unnest(range(0, nchunks)) AS INT) AS chunk_idx,
+           cast(unnest(list_transform(range(0, nchunks),
+                                      i -> least(20, len(t) - i * 20)))
+                AS INT) AS n_tokens
+    FROM n
+    """,
+)
+def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY.md §2.C UDF/UDAF/UDTF row — the table-function
+    API surface itself, Spark 3.5+/4.x `@udtf`): one input document row →
+    N chunk rows via a lateral join, the canonical UDTF shape.
+
+    Scale note: a row-at-a-time Python UDTF is the SLOW lane — the
+    equivalent generator plan (`pipe_chunk_documents`: split + sequence +
+    explode, whole-stage codegen, zero Python) is the 100 TB path and is
+    graded separately. This entry pins the API's semantics (lateral
+    multiplicity, typed output rows, empty-doc floor) so either lane must
+    agree; use it where the per-row logic genuinely can't be expressed in
+    built-ins (external tokenizers, stateful parsers)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t != ""]
+            n_chunks = max((len(toks) + 19) // 20, 1)
+            for i in range(n_chunks):
+                yield i, min(20, len(toks) - i * 20)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.n_tokens "
+        "FROM udtf_docs_src, LATERAL chunk_doc(text) AS c"
+    )

@@ -1037,3 +1037,54 @@ def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@_q(
+    "llm_graph_triangles",
+    """
+    WITH edges AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35)
+    SELECT e1.ida AS id_a, e1.idb AS id_b, e3.idb AS id_c
+    FROM edges e1
+    JOIN edges e2 ON e1.idb = e2.ida
+    JOIN edges e3 ON e1.ida = e3.ida AND e2.idb = e3.idb
+    """,
+)
+def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the similarity graph — the third graph
+    operator next to connected components and PageRank, and the standard
+    cohesion probe (a near-dup cluster shows up as a dense triangle
+    nest; a chain of pairwise-coincidental matches has none). Edges are
+    oriented low→high id, so every triangle is emitted exactly once as
+    (a<b<c) via two hash joins on vertex keys.
+
+    Scale: edge construction is the documented split — all-pairs cosine
+    here (oracle-replayable at fixture size), LSH candidates at 100 TB
+    (operators/similarity.embedding_neardup_pairs approx=True). The
+    triangle join itself shuffles the EDGE list on vertex id twice;
+    with edges pre-partitioned by vertex key (the PageRank layout) the
+    first join is co-located, and skewed hub vertices are the AQE
+    skew-join case."""
+    from ..operators.similarity import embedding_neardup_pairs
+
+    edges = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, approx=False
+    ).select(F.col("aid").alias("ida"), F.col("bid").alias("idb"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.idb") == F.col("e2.ida"))
+        .join(
+            e3,
+            (F.col("e1.ida") == F.col("e3.ida"))
+            & (F.col("e2.idb") == F.col("e3.idb")),
+        )
+        .select(
+            F.col("e1.ida").alias("id_a"),
+            F.col("e1.idb").alias("id_b"),
+            F.col("e3.idb").alias("id_c"),
+        )
+    )
