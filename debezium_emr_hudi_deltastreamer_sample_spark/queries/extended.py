@@ -1198,3 +1198,108 @@ def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, c.chunk_idx, c.n_tokens "
         "FROM udtf_docs_src, LATERAL chunk_doc(text) AS c"
     )
+
+
+@_q(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey, c_custkey AS root, 0 AS depth
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, ch.root, ch.depth + 1
+      FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.c_custkey
+      WHERE c.c_custkey >= 10)
+    SELECT root, depth, count(*) AS n,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+    FROM chain GROUP BY root, depth
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE — iterative SQL inside one
+    statement): customers form an implicit decimal tree (parent =
+    custkey div 10); the recursion walks every root's subtree computing
+    depth, then aggregates subtree shape per (root, depth).
+
+    Scale: each recursion step is one hash join of the frontier against
+    the table — the same plan an iterative driver loop would build, but
+    planned once; depth is log10(maxkey) ≈ 7 at 100 TB, so the step
+    count stays tiny while each step is fully distributed. (Unbounded
+    graph recursion at scale still belongs to the dedicated operators —
+    operators/components.py — which pre-partition and batch rounds.)"""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey, c_custkey AS root, 0 AS depth
+          FROM rcte_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, ch.root, ch.depth + 1
+          FROM rcte_customer c JOIN chain ch ON c.c_custkey DIV 10 = ch.c_custkey
+          WHERE c.c_custkey >= 10)
+        SELECT root, depth, count(*) AS n,
+               min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        FROM chain GROUP BY root, depth
+        """
+    )
+
+
+@_q(
+    "agg_skew_kurtosis",
+    """
+    WITH mu AS (SELECT event_type, avg(value) AS m FROM events GROUP BY 1)
+    SELECT e.event_type,
+           round(avg(pow(value - m, 3))
+                 / pow(avg(pow(value - m, 2)), 1.5), 3) AS skew,
+           round(avg(pow(value - m, 4))
+                 / pow(avg(pow(value - m, 2)), 2) - 3, 3) AS kurt,
+           round(stddev_samp(value), 3) AS sd
+    FROM events e JOIN mu USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates: Spark's single-pass skewness/kurtosis
+    (population excess formulas, co-moment updates — one scan, partial
+    aggregation) checked against the oracle's two-pass textbook
+    computation; agreement to 3 decimals pins both the formula
+    (population, excess) and the numerical stability of the streaming
+    co-moment path on 20k-row groups."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        dround(F.skewness("value"), 3).alias("skew"),
+        dround(F.kurtosis("value"), 3).alias("kurt"),
+        dround(F.stddev_samp("value"), 3).alias("sd"),
+    )
+
+
+@_q(
+    "set_ops_all",
+    """
+    SELECT n_nationkey FROM (
+      (SELECT c_nationkey AS n_nationkey FROM customer WHERE c_acctbal > 0
+       INTERSECT ALL
+       SELECT s_nationkey FROM supplier)
+      UNION ALL
+      (SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+       EXCEPT ALL
+       SELECT s_nationkey FROM supplier))
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL — the
+    bag-semantics siblings of set_ops_nations): duplicate-preserving
+    intersection and difference over nation keys. Spark plans both as
+    hash aggregates with count arithmetic (no row explosion), same as
+    the oracle's semantics."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    a = cust.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    b = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    return a.intersectAll(supp).unionAll(b.exceptAll(supp))
