@@ -1120,21 +1120,25 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets forward-filled with the last observed value via
     `last(ignorenulls)` over a running frame, and flagged.
 
-    Scale: the aggregate shrinks events to (types × hours) before the
-    grid join, so the left join and the forward-fill window both run on
-    rollup-sized data — at 100 TB of events the grid is still only
-    |types| × |hours|. The fill window partitions by type: parallel
-    across types, sequential only within one type's timeline (a year is
-    8 760 rows — nothing)."""
+    Scale: ONE scan of events (the hourly rollup); the hour bounds and
+    the type list are both derived from the rollup itself — every event
+    lands in some bucket, so min/max bucket and the distinct types are
+    identical to raw-table answers at rollup cost. The left join and the
+    forward-fill window then run on rollup-sized data — at 100 TB of
+    events the grid is still only |types| × |hours|. The fill window
+    partitions by type: parallel across types, sequential only within
+    one type's timeline (a year is 8 760 rows — nothing)."""
     from pyspark.sql import Window as W
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
     )
-    b = ev.groupBy("event_type", "h").agg(dround(F.avg("value"), 3).alias("v"))
-    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    b = ev.groupBy("event_type", "h").agg(
+        dround(F.avg("value"), 3).alias("v")
+    ).localCheckpoint(eager=False)
+    bounds = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = (
-        ev.select("event_type")
+        b.select("event_type")
         .distinct()
         .crossJoin(bounds)
         .select(

@@ -263,3 +263,29 @@ def test_connected_components_batch_bounds_shuffles(spark):
     # The checkpointed edge list appears as an RDD scan — its distinct/
     # union construction never re-executes inside the batch.
     assert "ReusedExchange" in p
+
+
+def test_triangles_no_cartesian_product(spark, qs):
+    """Triangle enumeration must be two equi-joins on vertex keys; a
+    CartesianProduct/BroadcastNestedLoop on the EDGE list is the plan
+    that dies at scale (the exact edge GENERATION is a documented
+    broadcast nested loop — exclude it by checking the closing joins)."""
+    p = plan(qs["llm_graph_triangles"](spark, SF))
+    # The two triangle-closing joins are hash joins (broadcast or SMJ).
+    assert p.count("HashJoin") + p.count("SortMergeJoin") >= 2
+
+
+def test_gap_fill_single_events_scan(spark, qs):
+    """ts_gap_fill derives bounds and the type list from the hourly
+    rollup (checkpointed once), so the events parquet is scanned exactly
+    once in the plan."""
+    p = plan(qs["ts_gap_fill"](spark, SF))
+    assert p.count("events.parquet") <= 1
+
+
+def test_span_dedup_two_exchanges(spark, qs):
+    """Span dedup is two hash shuffles by design — the span window (first
+    -occurrence election) and the doc_id reassembly groupBy; partial
+    aggregation keeps the second exchange rollup-sized."""
+    p = plan(qs["llm_span_dedup"](spark, SF))
+    assert p.count(") Exchange") == 2
