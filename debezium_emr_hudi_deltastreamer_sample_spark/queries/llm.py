@@ -1088,3 +1088,88 @@ def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e3.idb").alias("id_c"),
         )
     )
+
+
+@_q(
+    "llm_bpe_merge_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || '+' || t[i+1])) AS pair
+      FROM toks WHERE len(t) >= 2)
+    SELECT pair, count(*) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 20
+    """,
+)
+def llm_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary training: corpus-wide adjacent-
+    token pair frequencies, top-20 (each training iteration merges the
+    argmax pair and recounts — this query IS that iteration's counting
+    job, the part that touches the corpus).
+
+    Scale: transform-over-sequence builds pairs in place (no self-join on
+    position), explode + hash aggregate with map-side partial counts
+    makes the shuffle vocabulary²-bounded (in practice pair-vocab-sized,
+    ≪ corpus), and TakeOrderedAndProject returns the top-k without a
+    global sort."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                F.slice("t", 1, F.size("t") - 1),
+                lambda tok, i: F.concat(tok, F.lit("+"), F.element_at("t", i + 2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+@_q(
+    "pipe_incremental_dedup",
+    """
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE source <> 'src1'),
+    batch AS (
+      SELECT * FROM documents WHERE source = 'src1')
+    SELECT b.lang, count(*) AS n_new,
+           sum(b.n_chars) AS new_chars, min(b.doc_id) AS min_doc
+    FROM batch b
+    WHERE md5(b.text) NOT IN (SELECT h FROM corpus)
+    GROUP BY b.lang
+    """,
+)
+def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (source='src1') is admitted
+    only where its content digest is absent from the existing corpus —
+    the steady-state form of corpus dedup (you don't re-dedup 100 TB per
+    ingest; you anti-join the delta against the digest index).
+
+    Scale: both sides reduce to 128-bit digests before the anti-join
+    (left_anti on md5 — 16-byte shuffle keys, text never leaves the
+    scan); the corpus side of a real deployment is the persisted digest
+    index, so per-ingest cost is O(batch + index probe), not O(corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src1").select(
+        F.md5("text").alias("h")
+    ).distinct()
+    batch = docs.filter(F.col("source") == "src1").withColumn("h", F.md5("text"))
+    return (
+        batch.join(corpus, "h", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum("n_chars").alias("new_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
