@@ -263,3 +263,80 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+# ------------------------------------------------------------------ audio
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono PCM → RIFF/WAVE bytes (PCM fmt chunk + data chunk) —
+    the audio sibling of encode_ppm/encode_bmp: an uncompressed real
+    container the engine can produce and parse without any audio
+    library."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (int16 mono samples, sample_rate). Walks the chunk
+    list (fmt may be padded / followed by LIST chunks — the format's
+    generality), accepts only uncompressed 16-bit PCM mono."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only 16-bit mono PCM supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def decode_audio(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Distributed audio feature extraction: mapInPandas over
+    (media_id, media) WAV bytes → per-clip sample_rate / n_samples /
+    duration_ms / RMS / peak. Same execution shape as decode_images:
+    Arrow batches in, one numpy pass per clip, no audio library."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, blob in zip(pdf[id_col], pdf["media"]):
+                samples, rate = decode_wav(bytes(blob))
+                x = samples.astype("float64")
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": rate,
+                        "n_samples": len(samples),
+                        "duration_ms": len(samples) * 1000 // rate,
+                        "rms": float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+                        "peak": int(np.abs(samples).max()) if len(samples) else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return df.select(id_col, "media").mapInPandas(run, AUDIO_SCHEMA)

@@ -1307,3 +1307,63 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("n_nationkey")
     )
     return a.intersectAll(supp).unionAll(b.exceptAll(supp))
+
+
+@_q(
+    "mm_audio_stats",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 10),
+    p AS (SELECT media_id, 1600 + media_id * 160 AS n FROM ids),
+    s AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM p),
+    v AS (SELECT media_id, n,
+                 ((media_id * 7 + i) % 256 - 128) * 100 AS x
+          FROM s)
+    SELECT media_id, 16000 AS sample_rate, n AS n_samples,
+           n * 1000 // 16000 AS duration_ms,
+           round(sqrt(avg(x * x)), 3) AS rms,
+           cast(max(abs(x)) AS INT) AS peak
+    FROM v GROUP BY media_id, n
+    """,
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end with REAL container bytes (the WAV
+    sibling of mm_decode_codec): deterministic int16 PCM clips are
+    RIFF/WAVE-encoded per row (operators/multimodal.encode_wav inside a
+    pandas UDF), then decoded DISTRIBUTEDLY by decode_audio (mapInPandas
+    chunk-walk + numpy) into sample_rate / duration / RMS / peak — and
+    the oracle recomputes the same stats from the signal formula alone,
+    so a hash match proves the byte container round-trips losslessly.
+
+    Scale: one Arrow pass per clip, binary column never leaves the
+    executor; at 100 TB this is the binaryFile-source → mapInPandas
+    feature-extraction shape (sources/binary.py), with compressed codecs
+    (MP3/FLAC) behind the same capability-gate pattern as PIL."""
+    import numpy as np
+
+    from ..operators.multimodal import decode_audio, encode_wav
+
+    @F.pandas_udf("binary")
+    def make_wav(media_id: pd.Series) -> pd.Series:
+        out = []
+        for m in media_id:
+            n = 1600 + int(m) * 160
+            i = np.arange(n, dtype="int64")
+            samples = (((int(m) * 7 + i) % 256 - 128) * 100).astype("int16")
+            out.append(encode_wav(samples))
+        return pd.Series(out)
+
+    clips = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select(F.col("doc_id").alias("media_id"))
+        .withColumn("media", make_wav("media_id"))
+    )
+    stats = decode_audio(clips)
+    return stats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        dround(F.col("rms"), 3).alias("rms"),
+        "peak",
+    )

@@ -822,3 +822,23 @@ def test_adaptive_band_bits_bounds_bucket_size():
     for n in (5_000, 50_000, 500_000, 5_000_000):
         bits = adaptive_band_bits(n)
         assert 64 <= n / (1 << bits) <= 256
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """RIFF/WAVE codec: int16 PCM survives encode → decode byte-exactly,
+    the chunk walker skips unknown chunks, and malformed containers are
+    rejected."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = ((np.arange(999) * 31 % 4096) - 2048).astype("int16")
+    b = encode_wav(s, sample_rate=8000)
+    back, rate = decode_wav(b)
+    assert rate == 8000 and (back == s).all()
+    # Insert a LIST chunk between fmt and data (odd size → word padding).
+    fmt_end = b.index(b"data")
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    b2 = b[:fmt_end] + extra + b[fmt_end:]
+    back2, _ = decode_wav(b2)
+    assert (back2 == s).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
