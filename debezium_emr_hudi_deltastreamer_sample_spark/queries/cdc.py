@@ -458,3 +458,54 @@ def cdc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "event_id", "op", "event_type", F.col("_lsn").alias("lsn")
     )
+
+
+@_q(
+    "cdc_schema_evolution",
+    """
+    WITH snap AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey <= 200),
+    chg AS (
+      SELECT c_custkey, round(c_acctbal + 50.0, 2) AS c_acctbal,
+             CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS c_tier
+      FROM customer WHERE c_custkey <= 200 AND c_custkey % 2 = 0)
+    SELECT s.c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN s.c_name END AS c_name,
+           coalesce(c.c_acctbal, s.c_acctbal) AS c_acctbal,
+           c.c_tier
+    FROM snap s LEFT JOIN chg c USING (c_custkey)
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way schema reconciliation UNDER THE ORACLE GATE (reference B11,
+    Hudi `reconcile.schema` — previously pinned only in pytest): the
+    change batch both DROPS a snapshot column (c_name) and ADDS a new
+    one (c_tier), and the oracle encodes the reconciliation contract
+    exactly:
+
+    - added column: c_tier joins the table schema, valued for updated
+      rows, NULL for untouched rows;
+    - dropped column: an UPDATED row's c_name becomes NULL — the batch
+      row is authoritative for the whole row (a Debezium after-image
+      carries every column; one that omits a column writes NULL rather
+      than resurrecting stale values), while untouched rows keep their
+      snapshot c_name."""
+    cust = _t(spark, sf_dir, "customer")
+    snap = cust.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    changes = (
+        cust.filter((F.col("c_custkey") <= 200) & (F.col("c_custkey") % 2 == 0))
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 50.0, 2).alias("c_acctbal"),
+            F.when(F.col("c_acctbal") >= 5000, "gold").otherwise("std").alias(
+                "c_tier"
+            ),
+            F.lit("u").alias("op"),
+            F.lit(2).alias("_lsn"),
+        )
+    )
+    merged = merge_upsert(snap, changes, keys=["c_custkey"], ordering=["_lsn"])
+    return merged.select("c_custkey", "c_name", "c_acctbal", "c_tier")

@@ -1173,3 +1173,51 @@ def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
         )
     )
+
+
+@_q(
+    "llm_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt) AS n FROM vocab)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln(v.cnt / total.n)), 4) AS avg_neg_logp
+    FROM toks t JOIN vocab v USING (tok), total
+    GROUP BY t.doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signal (the KenLM-perplexity stand-in every
+    curation pipeline runs): corpus unigram probabilities, then each
+    document's mean negative log-probability — high values flag
+    gibberish/rare-token soup, low values flag repetitive boilerplate;
+    both tails get filtered.
+
+    Scale: the vocabulary aggregate is partial-agg'd (shuffle is
+    vocab-sized, not corpus-sized) and the per-token probability join is
+    a BROADCAST of the vocabulary (real-corpus vocabs are millions of
+    rows — still broadcastable; beyond that, a bucketed join on tok).
+    One more shuffle re-groups by doc_id. In deployment the LM is
+    trained once on a reference corpus and reused — that variant is a
+    pure broadcast-join scan, no vocab pass at all."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_col()).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dround(F.avg(-F.log(F.col("cnt") / F.col("n"))), 4).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )
