@@ -513,3 +513,72 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
     )
     return _drain(dedup, output_mode="append").select("user_id", "event_type")
+
+
+@_q("stream_avro_upsert", _CDC_UPSERT_ORACLE)
+def stream_avro_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end CDC replay on the AVRO wire (reference B4,
+    README.md:262-263 — AvroConverter instead of JsonConverter): the same
+    insert/update/delete change set as stream_cdc_upsert is serialized to
+    REAL Avro-binary envelope records (encode_envelope_avro_py), streamed
+    as a binary column, decoded per micro-batch by the engine's
+    pure-Python Avro reader (parse_envelope_avro_py as the
+    upsert_batch_processor's parser), and latest-wins merged — final
+    state must hash-match the same SQL oracle as the JSON wire. Proves
+    the serde lane is interchangeable end-to-end, not just record-level
+    (cdc_avro_roundtrip). Delete before-images travel through Avro's
+    null-union `before` field."""
+    from ..envelope import (
+        encode_envelope_avro_py,
+        envelope_avro_schema,
+        parse_envelope_avro_py,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    row_schema = cust.schema
+    key = F.col("c_custkey")
+
+    def flat(df, op, lsn):
+        return df.select(
+            F.lit(op).alias("op"),
+            lsn.cast("long").alias("_lsn"),
+            lsn.cast("long").alias("_ts_ms"),
+            *[c for c in cust.columns],
+        )
+
+    inserts = flat(cust, "c", key)
+    updates = flat(
+        cust.filter(key % 10 == 0).withColumn(
+            "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+        ),
+        "u",
+        key + F.lit(10_000_000),
+    )
+    deletes = flat(cust.filter(key % 100 == 0), "d", key + F.lit(20_000_000))
+
+    schema_json = envelope_avro_schema(row_schema, namespace="debezium1.public")
+    wire = encode_envelope_avro_py(
+        inserts.unionByName(updates).unionByName(deletes),
+        schema_json,
+        row_schema,
+        table="customer",
+    )
+    src = _tmp("avro_src")
+    wire.write.mode("overwrite").parquet(src)
+
+    table_path = _tmp("avro_table")
+    q = start_pipeline(
+        spark.readStream.schema("value binary").parquet(src),
+        upsert_batch_processor(
+            table_path,
+            keys=["c_custkey"],
+            row_schema=row_schema,
+            parser=lambda df: parse_envelope_avro_py(df, schema_json, row_schema),
+        ),
+        checkpoint=_tmp("avro_ckpt"),
+        available_now=True,
+    )
+    run_until_drained(q)
+    return spark.read.parquet(table_path).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )

@@ -64,6 +64,7 @@ def upsert_batch_processor(
     row_schema: T.StructType = EMPLOYEES_SCHEMA,
     ordering: Sequence[str] = ("_lsn",),
     partition_by: Sequence[str] = (),
+    parser: Callable[[DataFrame], DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Per-micro-batch COW upsert (the intended DeltaStreamer lifecycle,
     SURVEY.md §3.2): parse envelope → order by LSN → latest-wins merge with
@@ -77,7 +78,9 @@ def upsert_batch_processor(
     """
     def process(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        changes = parse_envelope(df, row_schema)
+        changes = (
+            parser(df) if parser is not None else parse_envelope(df, row_schema)
+        )
         if not changes.head(1):
             return
         try:
