@@ -1367,3 +1367,34 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("rms"), 3).alias("rms"),
         "peak",
     )
+
+
+@_q(
+    "agg_multi_distinct",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT cast(ts AS DATE)) AS n_days,
+           round(sum(value), 3) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact COUNT(DISTINCT ...) over different columns in one
+    aggregate — Catalyst plans this with an Expand node (one replicated
+    row per distinct-group), then a two-level aggregate, so BOTH
+    distincts resolve in a single shuffle pass instead of one job each.
+
+    Scale: Expand multiplies the shuffled rows by the number of distinct
+    groups (here 3: two distincts + the plain aggregates) — the standard
+    trade; when a column's cardinality makes exact counting too hot,
+    the approx_count_distinct family (agg_approx_distinct,
+    agg_hll_sketch) is the documented escape hatch."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+        dround(F.sum("value"), 3).alias("total"),
+    )
