@@ -1398,3 +1398,25 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
         dround(F.sum("value"), 3).alias("total"),
     )
+
+
+@_q(
+    "sql_lateral_topk",
+    """
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer
+                  WHERE customer.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the SQL
+    form of top-k-per-group): each nation pulls its two richest
+    customers. Catalyst decorrelates this to the same ranked-window plan
+    the DataFrame form (window_topk_per_group) produces — one shuffle on
+    the correlation key, no per-outer-row re-execution. The tie-break on
+    c_name makes the top-2 set deterministic, so the oracle's LATERAL
+    (DuckDB executes it natively) must agree exactly."""
+    _view(spark, sf_dir, "nation"), _view(spark, sf_dir, "customer")
+    return spark.sql(ORACLES["sql_lateral_topk"])
