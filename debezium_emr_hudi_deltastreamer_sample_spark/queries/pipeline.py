@@ -386,3 +386,119 @@ def pipe_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("lang", "source", "n_chars"):
         out = out.unionByName(profile(c))
     return out
+
+
+@_q(
+    "pipe_funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+      FROM s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+           AND e.ts >= s.signup_ts
+           AND e.ts < s.signup_ts + INTERVAL 7 DAY
+      GROUP BY s.user_id, s.signup_ts)
+    SELECT count(*) AS n_signup_users,
+           count(first_purchase_ts) AS n_converted,
+           round(count(first_purchase_ts)::DOUBLE / count(*), 4)
+             AS conversion_rate,
+           round(avg(date_diff('second', signup_ts, first_purchase_ts))
+                 / 3600.0, 3) AS avg_hours_to_convert
+    FROM conv
+    """,
+)
+def pipe_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (signup → purchase within 7 days): first signup
+    per user, earliest qualifying purchase inside the window, corpus
+    conversion rate and mean time-to-convert.
+
+    Scale: the signup aggregate shrinks the left side to one row per
+    user before the range-joined purchase probe; the range join is an
+    equi-join on user_id with the time window as a residual predicate —
+    one shuffle on user_id, never a time-cross-product. The final
+    aggregate is a single global row (partial-agg'd)."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(
+            p,
+            (s.user_id == p.user_id)
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAY")),
+            "left",
+        )
+        .groupBy(s.user_id, "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("first_purchase_ts").alias("n_converted"),
+        dround(
+            F.count("first_purchase_ts").cast("double") / F.count(F.lit(1)), 4
+        ).alias("conversion_rate"),
+        dround(
+            F.avg(
+                F.col("first_purchase_ts").cast("long")
+                - F.col("signup_ts").cast("long")
+            )
+            / 3600.0,
+            3,
+        ).alias("avg_hours_to_convert"),
+    )
+
+
+@_q(
+    "pipe_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(time_bucket(INTERVAL 1 WEEK, ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL 1 WEEK, ts) AS act_week
+      FROM events)
+    SELECT f.cohort_week,
+           date_diff('week', f.cohort_week, a.act_week) AS week_offset,
+           count(*) AS n_active
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def pipe_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    counted in every later week they were active — the standard
+    engagement triangle.
+
+    Scale: both inputs collapse to (user, week) grain before the join
+    (distinct + min are partial-agg'd, shuffle is user-sized not
+    event-sized); the cohort join is an equi-join on user_id. The output
+    is |weeks|² rows — chart-sized."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("week"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.distinct().withColumnRenamed("week", "act_week")
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                (
+                    F.col("act_week").cast("long")
+                    - F.col("cohort_week").cast("long")
+                )
+                / (7 * 86400)
+            ).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
