@@ -46,6 +46,12 @@ QUERIES = [
     "llm_decontaminate",
     "pipe_sessionize",
     "pipe_tfidf_top_terms",
+    # round 3 additions: span-level dedup (two hash shuffles), the
+    # unigram-LM scorer (vocab partial-agg + broadcast join) and the
+    # funnel (user-grain reduction + residual-predicate range join).
+    "llm_span_dedup",
+    "llm_unigram_logprob",
+    "pipe_funnel_conversion",
 ]
 
 
