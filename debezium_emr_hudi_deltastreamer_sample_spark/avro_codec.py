@@ -25,7 +25,8 @@ Wire format (Avro spec "Binary encoding"): int/long are zigzag varints;
 string/bytes are length-prefixed; float/double little-endian IEEE;
 union = zigzag branch index then value; record = fields in declared
 order, no framing. Confluent wire format adds a 5-byte header
-(magic 0 + schema id) ahead of the body — `strip_confluent_header`.
+(magic 0 + schema id) ahead of the body — stripped explicitly (never
+sniffed) via ``parse_envelope_avro_py(confluent_header=True)``.
 """
 
 from __future__ import annotations
@@ -104,6 +105,11 @@ class EnvelopeAvro:
         if isinstance(schema, list):  # union: branch index, then value
             idx = self._branch(schema, v)
             _write_long(out, idx)
+            branch = _resolve(schema[idx], self.registry)
+            if branch == "null" or (
+                isinstance(branch, dict) and branch.get("type") == "null"
+            ):
+                return  # NaN-as-null: do not pass the NaN into the branch
             self._enc(schema[idx], v, out)
             return
         t = schema["type"] if isinstance(schema, dict) else schema
@@ -119,7 +125,12 @@ class EnvelopeAvro:
             if logical == "date" and isinstance(v, _dt.date):
                 v = (v - _EPOCH).days
             elif logical == "timestamp-micros" and isinstance(v, _dt.datetime):
-                v = int(v.timestamp() * 1_000_000)
+                # Naive datetimes are UTC by engine convention (session TZ is
+                # pinned to UTC); integer math avoids float-microsecond loss.
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                delta = v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                v = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
             _write_long(out, int(v))
         elif t == "float":
             out.write(struct.pack("<f", float(v)))
@@ -133,8 +144,13 @@ class EnvelopeAvro:
             raise TypeError(f"unsupported Avro type {t!r}")
 
     def _branch(self, union: list, v: Any) -> int:
+        # pandas upcasts nullable numeric columns to float64 and represents
+        # NULL as NaN — treat NaN exactly like None so the null branch is
+        # taken (a non-null double field can still carry a genuine NaN via
+        # numpy float only through the non-union schema path).
+        is_null = v is None or (isinstance(v, float) and v != v)
         for i, s in enumerate(union):
-            if (s == "null") == (v is None):
+            if (s == "null") == is_null:
                 return i
         raise TypeError(f"no union branch for {type(v).__name__} in {union}")
 
@@ -170,11 +186,3 @@ class EnvelopeAvro:
         if t == "string":
             return buf.read(_read_long(buf)).decode("utf-8")
         raise TypeError(f"unsupported Avro type {t!r}")
-
-
-def strip_confluent_header(b: bytes) -> bytes:
-    """Drop the Confluent wire-format prefix (magic 0 + 4-byte schema id)
-    if present; plain Avro bodies pass through untouched."""
-    if len(b) >= 5 and b[0] == 0:
-        return b[5:]
-    return b

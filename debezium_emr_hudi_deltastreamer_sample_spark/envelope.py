@@ -293,6 +293,11 @@ def parse_envelope_avro_py(
                     env = codec.decode(b)
                 except Exception:
                     continue  # defensive: malformed record, mirror JSON path
+                if env.get("op") is None:
+                    # Contract parity with parse_envelope / parse_envelope_avro,
+                    # which both filter op IS NOT NULL — a null-op envelope
+                    # must not surface as an implicit upsert under fallback.
+                    continue
                 img = env.get("before") if env.get("op") == "d" else env.get("after")
                 img = img or {}
                 src = env.get("source") or {}

@@ -1,0 +1,38 @@
+"""Filesystem commit primitives shared by the table / rollup publish
+protocols (table.KeyedTable._publish_snapshot, streaming.rollup).
+
+The publish protocol stages a directory and renames it to its final
+commit name, treating the rename as a compare-and-swap: "false" means a
+concurrent writer won the name. One Hadoop quirk breaks that premise on
+LocalFileSystem (and any POSIX-`mv`-semantics store): renaming a
+directory onto an EXISTING directory moves the source INSIDE the target
+and still returns true — the loser's commit would silently nest inside
+the winner's, corrupting reads of that commit. `rename_commit` closes
+the hole: pre-check, rename, then detect-and-undo the move-into case
+(stage basenames are uuids, so the nested-name probe cannot collide
+with real commit content). On stores with atomic directory rename
+(HDFS) the extra probes are two cheap namenode calls; on object stores
+the whole rename-commit protocol is already documented as
+single-writer."""
+
+from __future__ import annotations
+
+
+def rename_commit(fs, hpath, stage: str, target: str) -> bool:
+    """Publish ``stage`` as ``target`` with CAS semantics: True iff this
+    call made ``target`` exist with exactly the staged content. Returns
+    False (leaving ``stage`` in place for the caller to retry or clean
+    up) when a concurrent writer holds the name."""
+    if fs.exists(hpath(target)):
+        return False
+    if not fs.rename(hpath(stage), hpath(target)):
+        return False
+    base = stage.rstrip("/").rsplit("/", 1)[-1]
+    nested = f"{target}/{base}"
+    if fs.exists(hpath(nested)):
+        # POSIX move-INTO: a concurrent writer created target between the
+        # exists-probe and the rename. Undo our nested copy; the stage is
+        # consumed, so report failure with nothing left to clean.
+        fs.delete(hpath(nested), True)
+        return False
+    return True

@@ -154,11 +154,17 @@ def decode_bmp(b: bytes) -> np.ndarray:
 
 def _decode_uncompressed(b: bytes) -> np.ndarray | None:
     """Magic-sniff the two container-native formats; None = not one of them
-    (caller falls through to the imaging-library branch)."""
-    if b[:2] == b"P6":
-        return decode_ppm(b)
-    if b[:2] == b"BM":
-        return decode_bmp(b)
+    OR a variant the native codecs don't cover (e.g. 32-bit / RLE BMP,
+    16-bit PPM) — the caller falls through to the imaging-library branch,
+    which may well decode what the minimal codec cannot. Only the no-
+    library case surfaces an error, and it surfaces there."""
+    try:
+        if b[:2] == b"P6":
+            return decode_ppm(b)
+        if b[:2] == b"BM":
+            return decode_bmp(b)
+    except ValueError:
+        return None
     return None
 
 

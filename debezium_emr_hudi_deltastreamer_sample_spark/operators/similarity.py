@@ -370,16 +370,29 @@ def embedding_neardup_pairs(
     a = embeddings.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("ae"))
     b = embeddings.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("be"))
     if approx:
-        if band_bits is None:
-            band_bits = adaptive_band_bits(embeddings.count())
-        if n_planes is None:
-            n_planes = 3 * band_bits
         # The signature (Arrow pandas_udf matmul) feeds BOTH sides of the
         # bucket self-join; checkpoint so it is computed once, not twice
         # (blocks free with the result DataFrame — see dedup.py rationale).
-        sig = with_lsh_signature(
-            embeddings, vec_col, n_planes, seed, dim
-        ).localCheckpoint(eager=True)
+        #
+        # Adaptive sizing without an extra scan: compute the signature at
+        # the MAX width (48 planes = 3 × 16-bit clamp), checkpoint, and
+        # size the bands from the count of the now-materialized blocks —
+        # `_hyperplanes` is prefix-stable (rng fills C-order), so the low
+        # 3·bits signature bits are bit-identical to a narrow signature
+        # and small-fixture behavior is unchanged.
+        if band_bits is None:
+            sig = with_lsh_signature(
+                embeddings, vec_col, 48, seed, dim
+            ).localCheckpoint(eager=True)
+            band_bits = adaptive_band_bits(sig.count())
+            if n_planes is None:
+                n_planes = 3 * band_bits
+        else:
+            if n_planes is None:
+                n_planes = 3 * band_bits
+            sig = with_lsh_signature(
+                embeddings, vec_col, n_planes, seed, dim
+            ).localCheckpoint(eager=True)
         pairs = (
             _explode_bands(
                 sig, id_col, vec_col, "a", n_planes, band_bits, probe=multiprobe

@@ -109,7 +109,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            dround(F.sum("c_acctbal"), 2).alias("total_acctbal"),
             F.count(F.lit(1)).cast("double").alias("n_customers"),
         )
     )
@@ -211,7 +211,7 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("size_class")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(F.col("width").cast("long") * F.col("height")), 4).alias(
+            dround(F.avg(F.col("width").cast("long") * F.col("height")), 4).alias(
                 "avg_pixels"
             ),
         )
@@ -266,10 +266,10 @@ def mm_decode_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("size_class")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(F.col("width").cast("long") * F.col("height")), 4).alias(
+            dround(F.avg(F.col("width").cast("long") * F.col("height")), 4).alias(
                 "avg_pixels"
             ),
-            F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+            dround(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
         )
     )
 

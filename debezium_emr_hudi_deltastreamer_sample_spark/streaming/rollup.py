@@ -41,6 +41,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import rename_commit
+
 _COMMIT_RE = re.compile(r"^c(\d{12})_b(\d{12})_(.+)$")
 
 
@@ -158,7 +160,9 @@ class IncrementalRollup:
             merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(stage)
 
             fs.mkdirs(hpath(self._commits_dir()))
-            committed = fs.rename(hpath(stage), hpath(f"{self._commits_dir()}/{token}"))
+            committed = rename_commit(
+                fs, hpath, stage, f"{self._commits_dir()}/{token}"
+            )
             if committed:
                 self._trim(commits, run, fs, hpath)
                 return

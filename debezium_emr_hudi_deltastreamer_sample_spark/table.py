@@ -145,6 +145,8 @@ class KeyedTable:
             return
         import uuid as _uuid
 
+        from .fsutil import rename_commit
+
         jvm = self.spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path
         fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
@@ -154,11 +156,16 @@ class KeyedTable:
         existing = self.snapshots()
         for _attempt in range(5):
             seq = existing[-1][0] + 1 if existing else 0
-            if fs.rename(hpath(stage), hpath(f"{self.path}__snapshots/s{seq:012d}")):
+            if rename_commit(
+                fs, hpath, stage, f"{self.path}__snapshots/s{seq:012d}"
+            ):
                 break
             # A concurrent writer took this seq (or the rename failed
-            # transiently): re-list and retry with a fresh number rather
-            # than silently losing the commit.
+            # transiently): re-stage if the attempt consumed the stage
+            # (move-INTO undo), re-list, and retry with a fresh number
+            # rather than silently losing the commit.
+            if not fs.exists(hpath(stage)):
+                df.write.mode("overwrite").parquet(stage)
             existing = self.snapshots()
         else:
             fs.delete(hpath(stage), True)

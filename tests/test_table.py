@@ -319,3 +319,39 @@ def test_mor_auto_compaction_and_incremental_read(spark, tmp_path):
     p = formatted_plan(inc)
     pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
     assert "ingest_batch" in pf
+
+
+def test_rename_commit_detects_posix_move_into(spark, tmp_path):
+    """LocalFileSystem renames a directory onto an existing directory by
+    moving it INSIDE (POSIX mv) and still returns true — rename_commit
+    must detect that, undo the nested copy, and report failure instead of
+    letting a commit silently nest inside another writer's commit."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.fsutil import rename_commit
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(str(tmp_path)).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    # Winner's commit already published.
+    target = str(tmp_path / "commits" / "c000")
+    fs.mkdirs(hpath(target))
+    with open(tmp_path / "commits" / "c000" / "winner.txt", "w") as f:
+        f.write("w")
+    # Loser's staged dir.
+    stage = str(tmp_path / "stage" / "deadbeef")
+    fs.mkdirs(hpath(stage))
+    with open(tmp_path / "stage" / "deadbeef" / "loser.txt", "w") as f:
+        f.write("l")
+
+    assert rename_commit(fs, hpath, stage, target) is False
+    # Winner's content intact, no nested stage dir left behind.
+    assert (tmp_path / "commits" / "c000" / "winner.txt").exists()
+    assert not (tmp_path / "commits" / "c000" / "deadbeef").exists()
+
+    # And the success path still works on a fresh name.
+    stage2 = str(tmp_path / "stage" / "cafe0000")
+    fs.mkdirs(hpath(stage2))
+    with open(tmp_path / "stage" / "cafe0000" / "data.txt", "w") as f:
+        f.write("d")
+    assert rename_commit(fs, hpath, stage2, str(tmp_path / "commits" / "c001"))
+    assert (tmp_path / "commits" / "c001" / "data.txt").exists()
