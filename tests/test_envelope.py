@@ -241,3 +241,70 @@ def test_avro_and_json_envelope_paths_agree(spark):
     jrows = sorted((r.asDict() for r in json_df.collect()), key=key)
     arows = sorted((r.asDict() for r in avro_df.collect()), key=key)
     assert jrows == arows
+
+
+def test_avro_codec_nan_is_null_and_null_op_dropped(spark):
+    """Two serde-lane-parity regressions: (1) pandas representes NULL
+    numeric fields as float64 NaN — the codec must take the null union
+    branch, not crash in the varint writer or leak NaN into doubles;
+    (2) a decodable envelope with op=null must be DROPPED by
+    parse_envelope_avro_py, exactly as the JSON and jar lanes filter
+    op IS NOT NULL."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.avro_codec import EnvelopeAvro
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import (
+        envelope_avro_schema,
+        parse_envelope_avro_py,
+    )
+    from pyspark.sql import types as T
+
+    row_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    schema_json = envelope_avro_schema(row_schema)
+    codec = EnvelopeAvro(schema_json)
+    nan = float("nan")
+    good = codec.encode(
+        {
+            "before": None,
+            "after": {"id": nan, "v": nan},   # pandas-NULL shape
+            "source": {"lsn": nan, "ts_ms": 1, "table": "t"},
+            "op": "c",
+            "ts_ms": 1,
+        }
+    )
+    back = codec.decode(good)
+    assert back["after"] == {"id": None, "v": None}
+    assert back["source"]["lsn"] is None
+
+    no_op = codec.encode(
+        {
+            "before": None,
+            "after": {"id": 7, "v": 1.5},
+            "source": {"lsn": 1, "ts_ms": 1, "table": "t"},
+            "op": None,
+            "ts_ms": 1,
+        }
+    )
+    raw = spark.createDataFrame(
+        [(bytearray(good),), (bytearray(no_op),)], "value binary"
+    )
+    out = parse_envelope_avro_py(raw, schema_json, row_schema).collect()
+    assert len(out) == 1 and out[0].op == "c"
+
+
+def test_avro_codec_timestamp_micros_utc_integer_roundtrip():
+    """timestamp-micros: naive datetimes encode as UTC (engine session
+    convention) with integer math — no float microsecond loss — and
+    decode to the same tz-aware UTC instant."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.avro_codec import EnvelopeAvro
+
+    schema = (
+        '{"type":"record","name":"R","fields":[{"name":"ts","type":'
+        '{"type":"long","logicalType":"timestamp-micros"}}]}'
+    )
+    codec = EnvelopeAvro(schema)
+    naive = datetime.datetime(2024, 6, 1, 12, 30, 45, 123457)
+    back = codec.decode(codec.encode({"ts": naive}))["ts"]
+    assert back == naive.replace(tzinfo=datetime.timezone.utc)
