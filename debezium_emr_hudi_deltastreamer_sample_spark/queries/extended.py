@@ -1420,3 +1420,64 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB executes it natively) must agree exactly."""
     _view(spark, sf_dir, "nation"), _view(spark, sf_dir, "customer")
     return spark.sql(ORACLES["sql_lateral_topk"])
+
+
+def _zorder_key(x, y, bits: int = 16):
+    """Interleave the low ``bits`` of two non-negative int columns into a
+    Morton (Z-order) key — pure JVM bit expressions, codegen'd."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            .bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(
+                F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    return z
+
+
+@_q(
+    "sink_zorder_readback",
+    """
+    SELECT count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue,
+           min(l_orderkey) AS min_order
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 20 AND 60
+    """,
+)
+def sink_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout — the TWO-dimensional sibling of
+    sink_clustered_readback: lineitem is range-partitioned and sorted by
+    a Morton key interleaving (l_partkey, l_suppkey) bits, so parquet
+    row-group min/max footers are narrow in BOTH dimensions at once and
+    a conjunctive 2-D range predicate skips row groups on either column.
+    A single-column sort gives perfect skipping on one dimension and
+    none on the other; Z-order trades a little of each for locality in
+    both — the standard technique (Delta OPTIMIZE ZORDER, Hudi
+    clustering) for multi-predicate scan-heavy tables at 100 TB.
+
+    The key is 32 pure bit-expressions (whole-stage codegen, no UDF);
+    the oracle reads the ORIGINAL table — content invariance through the
+    re-layout is part of the check."""
+    out = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    (
+        li.withColumn("_z", _zorder_key(F.col("l_partkey"), F.col("l_suppkey")))
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(20, 60)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.min("l_orderkey").alias("min_order"),
+    )
