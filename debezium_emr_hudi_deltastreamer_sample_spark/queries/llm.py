@@ -1221,3 +1221,48 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q("llm_bloom_decontaminate")  # Bloom FP side-effects — rows-only; bounds in tests
+def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a broadcast BLOOM FILTER
+    (operators/bloom.py) — the scale form of llm_decontaminate for when
+    even the distinct benchmark-gram list outgrows a hash join but its
+    bits don't: build a 1%-FP filter from the benchmark 4-grams on the
+    driver (bounded iterator), probe every corpus gram with a vectorized
+    Arrow UDF, flag docs with any maybe-hit. One-sided error: never
+    misses a contaminated doc (no false negatives — pinned in tests);
+    drops a small extra fraction of clean docs, the conservative
+    direction. Rows-only: FP hits depend on the hash, not on SQL."""
+    from ..operators.bloom import bloom_contains, build_bloom
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 4)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-4),"
+                " i -> array_join(slice(toks, i+1, 4), ' '))"
+            )
+        ).alias("ng"),
+    )
+    bench = grams.filter(F.col("doc_id") % 25 == 0).select("ng").distinct()
+    words, m, k = build_bloom(bench, "ng", fp_rate=0.01)
+    train = grams.filter(F.col("doc_id") % 25 != 0)
+    flagged = (
+        train.withColumn("hit", bloom_contains(words, m, k, F.col("ng")))
+        .filter("hit")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = docs.filter(F.col("doc_id") % 25 != 0).join(
+        flagged, "doc_id", "left_anti"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+    )

@@ -842,3 +842,53 @@ def test_wav_codec_roundtrip_and_chunk_walk():
     assert (back2 == s).all()
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_tiny):
+    """The Bloom path must never KEEP a doc the exact path drops (one-
+    sided error): bloom-kept ⊆ exact-kept, and the extra drops (false
+    positives) stay within a loose multiple of the 1% design rate."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.bloom import (
+        bloom_contains,
+        bloom_params,
+        build_bloom,
+    )
+    from pyspark.sql import functions as F2
+
+    docs = (
+        spark.read.parquet(f"{sf_tiny}/documents.parquet")
+        .select("doc_id", F2.split("text", " ").alias("toks"))
+        .filter(F2.size("toks") >= 4)
+    )
+    grams = docs.select(
+        "doc_id",
+        F2.explode(
+            F2.expr(
+                "transform(sequence(0, size(toks)-4),"
+                " i -> array_join(slice(toks, i+1, 4), ' '))"
+            )
+        ).alias("ng"),
+    )
+    bench = grams.filter(F2.col("doc_id") % 25 == 0).select("ng").distinct()
+    train = grams.filter(F2.col("doc_id") % 25 != 0)
+
+    exact_flagged = {
+        r.doc_id
+        for r in train.join(bench, "ng", "left_semi").select("doc_id").distinct().collect()
+    }
+    words, m, k = build_bloom(bench, "ng", fp_rate=0.01)
+    bloom_flagged = {
+        r.doc_id
+        for r in train.withColumn("hit", bloom_contains(words, m, k, F2.col("ng")))
+        .filter("hit")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert exact_flagged <= bloom_flagged  # no false negatives, ever
+    n_train_docs = train.select("doc_id").distinct().count()
+    extra = len(bloom_flagged - exact_flagged)
+    # Doc-level FP compounds over ~n_grams probes per doc; keep a loose
+    # ceiling that still catches a broken filter (which flags everything).
+    assert extra <= max(5, int(0.5 * n_train_docs))
+    assert bloom_params(1000, 0.01)[0] >= 9000  # ~9.6 bits/elem at 1%
