@@ -1481,3 +1481,48 @@ def sink_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("l_extendedprice"), 2).alias("revenue"),
         F.min("l_orderkey").alias("min_order"),
     )
+
+
+@_q(
+    "source_python_datasource",
+    """
+    WITH g AS (SELECT unnest(range(0, 2000)) AS i),
+    feed AS (
+      SELECT CASE WHEN i % 10 = 0 THEN 'd'
+                  WHEN i % 10 = 5 THEN 'u' ELSE 'c' END AS op,
+             i AS lsn, i % 97 AS key,
+             ((i * 31) % 1000) / 10.0 AS amount
+      FROM g)
+    SELECT op, count(*) AS n, round(sum(amount), 2) AS total,
+           count(DISTINCT key) AS n_keys, max(lsn) AS max_lsn
+    FROM feed GROUP BY op
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DATA SOURCE end-to-end (Spark 4 Python Data Source
+    API, sources/pydatasource.py): register the synthetic changefeed
+    source, read 2000 rows across 8 planned input partitions, aggregate.
+    Every row is a pure function of its index, so the oracle replays the
+    content contract exactly — what's actually under test is the source
+    machinery: registration, declared schema, partition planning,
+    per-partition iteration, Arrow batching. Filter pushdown into the
+    source (skip generation at the origin) is pinned separately in
+    tests/test_operators.py."""
+    from ..sources.pydatasource import ChangefeedDataSource
+
+    # Monotone use-site declaration (the ensure_read_confs pattern): a
+    # reader that implements pushFilters refuses to run without this.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ChangefeedDataSource)
+    feed = (
+        spark.read.format("changefeed")
+        .option("rows", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+    return feed.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("amount"), 2).alias("total"),
+        F.countDistinct("key").alias("n_keys"),
+        F.max("lsn").alias("max_lsn"),
+    )

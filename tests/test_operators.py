@@ -892,3 +892,40 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_tiny):
     # ceiling that still catches a broken filter (which flags everything).
     assert extra <= max(5, int(0.5 * n_train_docs))
     assert bloom_params(1000, 0.01)[0] >= 9000  # ~9.6 bits/elem at 1%
+
+
+def test_python_datasource_partitions_and_pushdown(spark):
+    """Spark 4 Python Data Source: partition planning yields one task per
+    planned range, pushFilters consumes the op-equality filter (source
+    skips generation) and leaves others for Spark, and a filtered read
+    agrees with the content contract."""
+    from pyspark.sql.datasource import EqualTo
+    from debezium_emr_hudi_deltastreamer_sample_spark.sources.pydatasource import (
+        ChangefeedDataSource,
+        ChangefeedReader,
+        row_at,
+    )
+
+    r = ChangefeedReader({"rows": "100", "partitions": "7"})
+    parts = r.partitions()
+    assert len(parts) == 7
+    assert [p.start for p in parts][0] == 0 and parts[-1].end == 100
+    # Pushdown: op filter consumed, unknown filter returned to Spark.
+    other = EqualTo(("lsn",), 5)
+    left = list(r.pushFilters([EqualTo(("op",), "d"), other]))
+    assert left == [other]
+    got = [row for p in parts for row in r.read(p)]
+    assert got == [row_at(i) for i in range(100) if row_at(i)[0] == "d"]
+
+    # End-to-end: Spark-applied filter on a registered read matches the
+    # contract regardless of which side evaluates it.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ChangefeedDataSource)
+    n = (
+        spark.read.format("changefeed")
+        .option("rows", "500")
+        .load()
+        .filter("op = 'u'")
+        .count()
+    )
+    assert n == sum(1 for i in range(500) if row_at(i)[0] == "u")
