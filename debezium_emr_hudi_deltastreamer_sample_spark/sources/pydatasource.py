@@ -25,7 +25,12 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _Range(InputPartition):
@@ -82,3 +87,45 @@ class ChangefeedDataSource(DataSource):
 
     def reader(self, schema) -> ChangefeedReader:
         return ChangefeedReader(self.options)
+
+    def streamReader(self, schema) -> "ChangefeedStreamReader":
+        return ChangefeedStreamReader(self.options)
+
+
+class ChangefeedStreamReader(DataSourceStreamReader):
+    """Streaming lane of the changefeed source — the Python-source
+    analogue of the reference's Kafka scan (A1, README.md:191-194):
+    offset-addressed micro-batches with replay semantics.
+
+    Offsets are plain dicts ({"index": n}) checkpointed by the engine;
+    `latestOffset` advances the cursor by at most ``batch_rows`` per
+    trigger (Kafka's maxOffsetsPerTrigger analogue), `partitions`
+    splits each [start, end) window into independent tasks, and a
+    restarted query re-enters at the checkpointed offset — `read` is a
+    pure function of the range, so replays are exact. `commit` is the
+    ack hook (a real feed would trim its retention there)."""
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", "1000"))
+        self.batch_rows = int(options.get("batch_rows", "250"))
+        self.n_parts = int(options.get("partitions", "4"))
+        self._pos = 0
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        self._pos = min(self.total, self._pos + self.batch_rows)
+        return {"index": self._pos}
+
+    def partitions(self, start, end):
+        lo, hi = start["index"], end["index"]
+        step = max(1, math.ceil((hi - lo) / self.n_parts))
+        return [_Range(a, min(a + step, hi)) for a in range(lo, hi, step)]
+
+    def read(self, partition: _Range):
+        for i in range(partition.start, partition.end):
+            yield row_at(i)
+
+    def commit(self, end):
+        pass  # ack-only; synthetic feed has no retention to trim

@@ -777,3 +777,63 @@ def test_mor_pipeline_restart_and_replay_idempotent(spark, tmp_path):
     ).localCheckpoint(eager=True)
     t.append_changes(replay, batches[-1])
     assert {r.id: r.full_name for r in t.read().collect()} == final
+
+
+def test_python_stream_source_paces_and_restarts(spark, tmp_path):
+    """ChangefeedStreamReader: multi-batch pacing (batch_rows per
+    trigger), exact content through the streaming engine, and
+    restart-at-checkpointed-offset semantics (a second run on the same
+    checkpoint appends nothing). Parquet sink — the memory sink refuses
+    checkpoint recovery."""
+    import time
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.sources.pydatasource import (
+        ChangefeedDataSource,
+        row_at,
+    )
+
+    spark.dataSource.register(ChangefeedDataSource)
+    ckpt = str(tmp_path / "pyds_ckpt")
+    out = str(tmp_path / "pyds_out")
+    total = 900
+
+    def count_out():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    def run(expect_rows):
+        q = (
+            spark.readStream.format("changefeed")
+            .option("rows", str(total))
+            .option("batch_rows", "250")
+            .option("partitions", "3")
+            .load()
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline and count_out() < expect_rows:
+                time.sleep(0.3)
+            time.sleep(1.5)  # settle: confirm no further appends
+        finally:
+            q.stop()
+
+    run(total)
+    got = {(r.op, r.lsn, r.key, r.amount) for r in spark.read.parquet(out).collect()}
+    assert got == {row_at(i) for i in range(total)}
+    # 250-row windows over 900 rows forced >= 4 micro-batch commits.
+    commits = [
+        p for p in (tmp_path / "pyds_ckpt" / "commits").iterdir()
+        if p.name.isdigit()
+    ]
+    assert len(commits) >= 4
+    # Restart on the same checkpoint: offsets are at the end; nothing re-read.
+    run(total)
+    assert spark.read.parquet(out).count() == total
