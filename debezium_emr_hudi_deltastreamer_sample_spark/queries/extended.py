@@ -1508,12 +1508,12 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition iteration, Arrow batching. Filter pushdown into the
     source (skip generation at the origin) is pinned separately in
     tests/test_operators.py."""
-    from ..sources.pydatasource import ChangefeedDataSource
+    from ..sources.pydatasource import register_changefeed
 
     # Monotone use-site declaration (the ensure_read_confs pattern): a
     # reader that implements pushFilters refuses to run without this.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(ChangefeedDataSource)
+    register_changefeed(spark)
     feed = (
         spark.read.format("changefeed")
         .option("rows", "2000")

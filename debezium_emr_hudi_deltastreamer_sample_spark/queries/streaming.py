@@ -610,12 +610,15 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are pinned in tests/test_streaming.py. The oracle replays
     the feed's content contract — what is graded is the source machinery
     delivering exactly the declared rows through the streaming engine."""
-    from ..sources.pydatasource import ChangefeedDataSource
+    from ..sources.pydatasource import register_changefeed
 
-    child = _stream_session(spark)
-    child.dataSource.register(ChangefeedDataSource)
+    # No stateful operator in this stream (pure projection append), so no
+    # state-partition pinning is needed — run on the caller's session:
+    # newSession children CLONE the data-source registry at creation, so a
+    # source registered afterwards on the parent is invisible to them.
+    register_changefeed(spark)
     feed = (
-        child.readStream.format("changefeed")
+        spark.readStream.format("changefeed")
         .option("rows", "2000")
         .option("batch_rows", "2000")
         .option("partitions", "8")

@@ -129,3 +129,14 @@ class ChangefeedStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass  # ack-only; synthetic feed has no retention to trim
+
+
+def register_changefeed(spark) -> None:
+    """Idempotent registration: Spark raises DATA_SOURCE_ALREADY_EXISTS on
+    a duplicate name, and two queries in one session (or a session and its
+    newSession children, which share the registry) both need the source."""
+    try:
+        spark.dataSource.register(ChangefeedDataSource)
+    except Exception as e:  # noqa: BLE001
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise

@@ -920,7 +920,8 @@ def test_python_datasource_partitions_and_pushdown(spark):
     # End-to-end: Spark-applied filter on a registered read matches the
     # contract regardless of which side evaluates it.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(ChangefeedDataSource)
+    from debezium_emr_hudi_deltastreamer_sample_spark.sources.pydatasource import register_changefeed
+    register_changefeed(spark)
     n = (
         spark.read.format("changefeed")
         .option("rows", "500")

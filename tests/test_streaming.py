@@ -792,7 +792,8 @@ def test_python_stream_source_paces_and_restarts(spark, tmp_path):
         row_at,
     )
 
-    spark.dataSource.register(ChangefeedDataSource)
+    from debezium_emr_hudi_deltastreamer_sample_spark.sources.pydatasource import register_changefeed
+    register_changefeed(spark)
     ckpt = str(tmp_path / "pyds_ckpt")
     out = str(tmp_path / "pyds_out")
     total = 900
