@@ -1526,3 +1526,40 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("key").alias("n_keys"),
         F.max("lsn").alias("max_lsn"),
     )
+
+
+@_q(
+    "sink_python_format_roundtrip",
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 3) AS total, max(event_id) AS max_id
+    FROM events WHERE event_id < 5000
+    GROUP BY event_type
+    """,
+)
+def sink_python_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A COMPLETE custom file format through the Python Data Source API,
+    both directions (sources/pydatasource.AvroLogDataSource): events rows
+    are written as length-prefixed Avro records via per-task two-phase
+    commit (temp file → commit-time rename; failed tasks can never leak
+    partial output into a reader's listing), then read back with one task
+    per part file and a DECLARED schema, and aggregated. The oracle reads
+    the original table — exactness through the engine's own wire format
+    and the custom-format machinery is the check."""
+    import tempfile as _tf
+
+    from ..sources.pydatasource import register_avrolog
+
+    register_avrolog(spark)
+    out = _tf.mkdtemp(prefix="spark_graft_avrolog_")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000).select(
+        "event_id", "event_type", "value"
+    )
+    ddl = "event_id bigint, event_type string, value double"
+    ev.write.format("avrolog").option("ddl", ddl).mode("overwrite").save(out)
+    back = spark.read.format("avrolog").option("ddl", ddl).load(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("value"), 3).alias("total"),
+        F.max("event_id").alias("max_id"),
+    )

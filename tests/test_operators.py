@@ -930,3 +930,43 @@ def test_python_datasource_partitions_and_pushdown(spark):
         .count()
     )
     assert n == sum(1 for i in range(500) if row_at(i)[0] == "u")
+
+
+def test_avrolog_two_phase_commit(spark, tmp_path):
+    """The avrolog writer's task-commit protocol: written files stay
+    invisible (temp-named) until driver commit renames them; abort
+    removes them; overwrite commit clears prior part files."""
+    import os
+
+    from pyspark.sql import Row
+    from debezium_emr_hudi_deltastreamer_sample_spark.sources.pydatasource import (
+        AvroLogDataSource,
+    )
+
+    path = str(tmp_path / "log")
+    ds = AvroLogDataSource({"path": path, "ddl": "id bigint, v double"})
+    w = ds.writer("id bigint, v double", overwrite=True)
+    m1 = w.write(iter([Row(id=1, v=1.5), Row(id=2, v=None)]))
+    m2 = w.write(iter([Row(id=3, v=2.5)]))
+    names = set(os.listdir(path))
+    assert all(n.startswith("_temp-") for n in names)  # nothing visible yet
+
+    # Abort the second task: its temp disappears, the first remains.
+    w.abort([m2])
+    assert m2.temp_name not in set(os.listdir(path))
+
+    w.commit([m1])
+    visible = [n for n in os.listdir(path) if n.startswith("part-")]
+    assert len(visible) == 1
+
+    # Read back through the reader: only committed rows, null intact.
+    r = ds.reader("id bigint, v double")
+    got = sorted(row for p in r.partitions() for row in r.read(p))
+    assert got == [(1, 1.5), (2, None)]
+
+    # A second overwrite commit clears the old part file.
+    w2 = ds.writer("id bigint, v double", overwrite=True)
+    m3 = w2.write(iter([Row(id=9, v=9.0)]))
+    w2.commit([m3])
+    r2 = ds.reader("id bigint, v double")
+    assert [row for p in r2.partitions() for row in r2.read(p)] == [(9, 9.0)]
