@@ -1563,3 +1563,84 @@ def sink_python_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("value"), 3).alias("total"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@_q(
+    "udf_arrow_batch",
+    """
+    SELECT vec_id, round(norm, 4) AS norm, n_dims
+    FROM (SELECT vec_id,
+                 sqrt(list_reduce(list_transform(embedding, x -> x*x),
+                                  (a, b) -> a + b)) AS norm,
+                 len(embedding) AS n_dims
+          FROM embeddings)
+    """,
+)
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (the UDF family's lowest-overhead lane): RecordBatches
+    flow straight from Tungsten into pyarrow with NO pandas
+    materialization — for numeric kernels the pandas Series wrapper is
+    pure overhead, and at 100 TB the per-batch copy it avoids is real
+    money. The kernel computes L2 norms via zero-copy numpy views over
+    the Arrow buffers; the oracle recomputes with list arithmetic."""
+    import math as _math
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    def norms(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("embedding"))
+            flat = col.flatten()
+            vals = flat.to_numpy(zero_copy_only=False)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            sq = np.add.reduceat(vals * vals, offs[:-1])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("vec_id")),
+                    pa.array(np.sqrt(sq), type=pa.float64()),
+                    pa.array((offs[1:] - offs[:-1]).astype("int32")),
+                ],
+                names=["vec_id", "norm", "n_dims"],
+            )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = emb.mapInArrow(norms, "vec_id bigint, norm double, n_dims int")
+    return out.select("vec_id", dround(F.col("norm"), 4).alias("norm"), "n_dims")
+
+
+@_q(
+    "obs_scan_metrics",
+    """
+    SELECT count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price,
+           count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+    FROM lineitem WHERE l_quantity >= 30
+    """,
+)
+def obs_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API: side-channel metrics accumulated DURING a
+    query's one pass (no second scan) — the pattern for data-quality
+    counters riding production jobs (rows seen, nulls, domain
+    violations) at zero extra I/O. The observed values are returned as a
+    one-row DataFrame and must equal the oracle's directly-computed
+    aggregates; the action that materializes them is a count on the
+    observed frame, not a separate metrics query."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        dround(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the single pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_price"], m["n_discounted"])],
+        "n_rows bigint, total_price double, n_discounted bigint",
+    )
