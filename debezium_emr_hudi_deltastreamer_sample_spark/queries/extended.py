@@ -1644,3 +1644,39 @@ def obs_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["total_price"], m["n_discounted"])],
         "n_rows bigint, total_price double, n_discounted bigint",
     )
+
+
+@_q(
+    "ps_pandas_on_spark",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           round(avg(c_acctbal), 3) AS avg_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def ps_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark (pyspark.pandas) — the drop-in pandas API over
+    distributed frames: a groupby().agg() written exactly as pandas
+    compiles to the SAME Catalyst hash-aggregate plan as the DataFrame
+    form (no collect, no driver materialization at any point; the
+    default-index warning cases are avoided by aggregating immediately).
+    The result converts back to a Spark DataFrame for the oracle
+    comparison. This is the migration surface for pandas-shop teams —
+    same engine, same plan, pandas spelling."""
+    import pyspark.pandas as ps
+
+    cust = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    psdf = cust.pandas_api()
+    agg = (
+        psdf.groupby("c_mktsegment")
+        .agg({"c_acctbal": ["count", "mean", "max"]})
+        .reset_index()
+    )
+    out = agg.to_spark()  # multi-level pandas columns flatten to "(col, fn)"
+    return out.select(
+        F.col("`(c_mktsegment, )`").alias("c_mktsegment"),
+        F.col("`(c_acctbal, count)`").cast("long").alias("n"),
+        dround(F.col("`(c_acctbal, mean)`"), 3).alias("avg_bal"),
+        dround(F.col("`(c_acctbal, max)`"), 2).alias("max_bal"),
+    )
