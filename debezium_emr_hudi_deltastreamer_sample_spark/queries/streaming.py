@@ -630,3 +630,57 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("amount"), 2).alias("total"),
         F.max("lsn").alias("max_lsn"),
     )
+
+
+@_q(
+    "stream_python_sink_roundtrip",
+    """
+    WITH g AS (SELECT unnest(range(0, 1500)) AS i),
+    feed AS (
+      SELECT CASE WHEN i % 10 = 0 THEN 'd'
+                  WHEN i % 10 = 5 THEN 'u' ELSE 'c' END AS op,
+             i AS lsn, i % 97 AS key,
+             ((i * 31) % 1000) / 10.0 AS amount
+      FROM g)
+    SELECT op, count(*) AS n, round(sum(amount), 2) AS total,
+           max(lsn) AS max_lsn
+    FROM feed GROUP BY op
+    """,
+)
+def stream_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL custom extension-point matrix in one pipeline: the
+    Python-source changefeed STREAM (offset windows) writes through the
+    avrolog STREAMING SINK (per-micro-batch two-phase commit keyed by
+    batch id — a replayed batch overwrites its own part files, the
+    exactly-once idiom), and the avrolog BATCH READER brings the bytes
+    back for the aggregate the oracle replays from the content contract.
+    Four custom components (stream read, stream write, batch read, the
+    wire codec) and zero JVM connector code."""
+    import tempfile as _tf
+
+    from ..sources.pydatasource import register_avrolog, register_changefeed
+
+    register_changefeed(spark)
+    register_avrolog(spark)
+    out = _tf.mkdtemp(prefix="spark_graft_avrolog_stream_")
+    ddl = "op string, lsn bigint, key bigint, amount double"
+    q = (
+        spark.readStream.format("changefeed")
+        .option("rows", "1500")
+        .option("batch_rows", "1500")
+        .option("partitions", "6")
+        .load()
+        .writeStream.format("avrolog")
+        .option("ddl", ddl)
+        .option("path", out)
+        .option("checkpointLocation", _tmp("avrolog_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_until_drained(q)
+    back = spark.read.format("avrolog").option("ddl", ddl).load(out)
+    return back.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("amount"), 2).alias("total"),
+        F.max("lsn").alias("max_lsn"),
+    )

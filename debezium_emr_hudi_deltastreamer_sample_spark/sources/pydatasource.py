@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -293,6 +294,12 @@ class AvroLogDataSource(DataSource):
             self.options["path"], self._avro_json(schema), overwrite
         )
 
+    def streamWriter(self, schema, overwrite: bool) -> "AvroLogStreamWriter":
+        import os
+
+        os.makedirs(self.options["path"], exist_ok=True)
+        return AvroLogStreamWriter(self.options["path"], self._avro_json(schema))
+
 
 def register_avrolog(spark) -> None:
     """Idempotent registration (see register_changefeed)."""
@@ -301,3 +308,42 @@ def register_avrolog(spark) -> None:
     except Exception as e:  # noqa: BLE001
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
             raise
+
+
+class AvroLogStreamWriter(DataSourceStreamWriter):
+    """Streaming sink lane of the avrolog format — completes the custom
+    extension-point matrix (batch read/write, stream read, stream WRITE).
+    Same two-phase protocol as the batch writer, extended with the
+    micro-batch id: tasks stage temp files; `commit(messages, batchId)`
+    renames them to ``part-b<batchId>-…`` — so a REPLAYED batch id
+    overwrites its own part files instead of duplicating them (the
+    exactly-once idiom every engine sink here uses: the batch id IS the
+    idempotency key); `abort` discards the stage."""
+
+    def __init__(self, path: str, avro_schema_json: str):
+        self.path = path
+        self.avro_schema_json = avro_schema_json
+
+    def write(self, iterator):
+        return AvroLogWriter(self.path, self.avro_schema_json, False).write(
+            iterator
+        )
+
+    def commit(self, messages, batchId) -> None:
+        import os
+
+        # Idempotent replay: clear this batch id's previous part files.
+        for name in os.listdir(self.path):
+            if name.startswith(f"part-b{batchId:012d}-"):
+                os.remove(os.path.join(self.path, name))
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = f"part-b{batchId:012d}-{i:05d}.avrolog"
+            os.rename(
+                os.path.join(self.path, m.temp_name),
+                os.path.join(self.path, final),
+            )
+
+    def abort(self, messages, batchId) -> None:
+        AvroLogWriter(self.path, self.avro_schema_json, False).abort(messages)

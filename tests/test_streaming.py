@@ -838,3 +838,34 @@ def test_python_stream_source_paces_and_restarts(spark, tmp_path):
     # Restart on the same checkpoint: offsets are at the end; nothing re-read.
     run(total)
     assert spark.read.parquet(out).count() == total
+
+
+def test_avrolog_stream_sink_replay_idempotent(spark, tmp_path):
+    """The avrolog streaming sink's batch-id commit protocol: a replayed
+    micro-batch id REPLACES its own part files (no duplication), and
+    distinct batch ids coexist."""
+    import os
+
+    from pyspark.sql import Row
+    from debezium_emr_hudi_deltastreamer_sample_spark.sources.pydatasource import (
+        AvroLogDataSource,
+    )
+
+    path = str(tmp_path / "slog")
+    os.makedirs(path)
+    ds = AvroLogDataSource({"path": path, "ddl": "id bigint, v double"})
+    w = ds.streamWriter("id bigint, v double", overwrite=False)
+
+    m = w.write(iter([Row(id=1, v=1.0), Row(id=2, v=2.0)]))
+    w.commit([m], batchId=7)
+    m2 = w.write(iter([Row(id=3, v=3.0)]))
+    w.commit([m2], batchId=8)
+    # Replay batch 7 with the same content: replaces, never duplicates.
+    m3 = w.write(iter([Row(id=1, v=1.0), Row(id=2, v=2.0)]))
+    w.commit([m3], batchId=7)
+
+    r = ds.reader("id bigint, v double")
+    got = sorted(row for p in r.partitions() for row in r.read(p))
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    names = sorted(os.listdir(path))
+    assert [n.split("-")[1] for n in names] == ["b000000000007", "b000000000008"]
