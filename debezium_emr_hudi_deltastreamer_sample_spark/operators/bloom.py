@@ -61,8 +61,13 @@ def build_bloom(
     bounded by one partition, not the set; ``max_items`` is a guard rail —
     a side bigger than that belongs in the exact semi-join or a
     partitioned filter. Returns (bits_as_uint64_words, m_bits, k)."""
+    # Persist before the count: sizing needs n up front, and without the
+    # cache the count job and the toLocalIterator pass would each execute
+    # the (typically shuffle-heavy distinct-gram) plan from scratch.
+    df = df.persist()
     n = df.count()
     if n > max_items:
+        df.unpersist()
         raise ValueError(
             f"bloom build side has {n} items > max_items={max_items}; "
             "use the exact broadcast semi-join or shard the filter"
@@ -81,12 +86,15 @@ def build_bloom(
             # unbuffered |= handles duplicate word indices within one batch
             np.bitwise_or.at(words, w.astype(np.int64), np.uint64(1) << b)
 
-    for row in df.select(col).toLocalIterator():
-        batch.append(row[0])
-        if len(batch) >= 100_000:
-            flush(batch)
-            batch = []
-    flush(batch)
+    try:
+        for row in df.select(col).toLocalIterator():
+            batch.append(row[0])
+            if len(batch) >= 100_000:
+                flush(batch)
+                batch = []
+        flush(batch)
+    finally:
+        df.unpersist()
     return words, m, k
 
 

@@ -1465,8 +1465,18 @@ def sink_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
     )
+    # Size the interleave from the data: with FIXED 16-bit slices, any key
+    # >= 2^16 contributes only its low bits and the Z-locality silently
+    # collapses on that dimension (exactly the sf1+ regime). One tiny
+    # column-pruned agg pins the width; clamp 31 keeps the key in a long.
+    mx = li.agg(
+        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+    ).first()
+    bits = min(31, max(16, int(max(mx.p, mx.s)).bit_length()))
     (
-        li.withColumn("_z", _zorder_key(F.col("l_partkey"), F.col("l_suppkey")))
+        li.withColumn(
+            "_z", _zorder_key(F.col("l_partkey"), F.col("l_suppkey"), bits)
+        )
         .repartitionByRange(8, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
@@ -1593,10 +1603,19 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for batch in batches:
             col = batch.column(batch.schema.get_field_index("embedding"))
-            flat = col.flatten()
-            vals = flat.to_numpy(zero_copy_only=False)
-            offs = col.offsets.to_numpy(zero_copy_only=False)
-            sq = np.add.reduceat(vals * vals, offs[:-1])
+            if col.null_count:
+                # flatten() drops null entries while offsets keep them —
+                # a null list would silently misalign every later row.
+                raise ValueError("udf_arrow_batch: null embedding lists")
+            # float64 up-cast BEFORE squaring: prefix-sum differencing in
+            # float32 cancels catastrophically on long segments.
+            vals = col.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype("int64")
+            offs = offs - offs[0]  # sliced batches carry a nonzero base
+            # Segment sums via prefix sums: exact for EMPTY lists too,
+            # where np.add.reduceat would double-count or walk off the end.
+            csum = np.concatenate(([0.0], np.cumsum(vals * vals)))
+            sq = csum[offs[1:]] - csum[offs[:-1]]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(batch.schema.get_field_index("vec_id")),

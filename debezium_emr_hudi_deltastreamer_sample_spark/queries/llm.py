@@ -485,6 +485,33 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return type_rows.unionByName(all_row)
 
 
+def doc_grams(spark: SparkSession, sf_dir: str):
+    """Shared 4-gram decontamination pipeline: (docs, grams, bench, train).
+    docs = tokenized documents with >= 4 tokens; grams = exploded 4-grams
+    per doc; bench = DISTINCT grams of the held-out set (doc_id%25==0);
+    train = the other docs' grams. Single definition — the exact semi-join
+    (llm_decontaminate), the Bloom prefilter (llm_bloom_decontaminate) and
+    the no-false-negative test all consume it, so the gram contract cannot
+    drift between paths."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 4)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-4),"
+                " i -> array_join(slice(toks, i+1, 4), ' '))"
+            )
+        ).alias("ng"),
+    )
+    bench = grams.filter(F.col("doc_id") % 25 == 0).select("ng").distinct()
+    train = grams.filter(F.col("doc_id") % 25 != 0)
+    return docs, grams, bench, train
+
+
 @_q(
     "llm_decontaminate",
     """
@@ -516,21 +543,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against them, distinct the flagged doc ids. Never an all-pairs doc
     comparison; at 100 TB the benchmark side stays tiny so the probe is a
     broadcast hash join against a scan-sized gram stream."""
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.split("text", " ").alias("toks"))
-        .filter(F.size("toks") >= 4)
-    )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks)-4),"
-                " i -> array_join(slice(toks, i+1, 4), ' '))"
-            )
-        ).alias("ng"),
-    )
-    bench = grams.filter(F.col("doc_id") % 25 == 0).select("ng").distinct()
+    docs, grams, bench, train = doc_grams(spark, sf_dir)
     flagged = (
         grams.filter(F.col("doc_id") % 25 != 0)
         .join(F.broadcast(bench), "ng", "left_semi")
@@ -1236,21 +1249,7 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction. Rows-only: FP hits depend on the hash, not on SQL."""
     from ..operators.bloom import bloom_contains, build_bloom
 
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.split("text", " ").alias("toks"))
-        .filter(F.size("toks") >= 4)
-    )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks)-4),"
-                " i -> array_join(slice(toks, i+1, 4), ' '))"
-            )
-        ).alias("ng"),
-    )
-    bench = grams.filter(F.col("doc_id") % 25 == 0).select("ng").distinct()
+    docs, grams, bench, train = doc_grams(spark, sf_dir)
     words, m, k = build_bloom(bench, "ng", fp_rate=0.01)
     train = grams.filter(F.col("doc_id") % 25 != 0)
     flagged = (

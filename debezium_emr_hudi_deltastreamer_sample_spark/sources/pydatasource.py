@@ -102,17 +102,44 @@ class ChangefeedStreamReader(DataSourceStreamReader):
 
     Offsets are plain dicts ({"index": n}) checkpointed by the engine;
     `latestOffset` advances the cursor by at most ``batch_rows`` per
-    trigger (Kafka's maxOffsetsPerTrigger analogue), `partitions`
-    splits each [start, end) window into independent tasks, and a
-    restarted query re-enters at the checkpointed offset — `read` is a
-    pure function of the range, so replays are exact. `commit` is the
-    ack hook (a real feed would trim its retention there)."""
+    trigger (Kafka's maxOffsetsPerTrigger analogue) and `partitions`
+    splits each [start, end) window into independent tasks — `read` is a
+    pure function of the range, so replays of an explicit window are
+    exact.
+
+    Restart correctness: this API never tells the reader the
+    checkpointed offset (a fresh planner process calls `latestOffset`
+    first), so a purely in-memory cursor would regress and re-emit
+    committed rows. The reader therefore persists its high-water mark
+    from the `commit` ack into ``cursor_dir`` (atomic tmp+rename) and
+    floors the cursor at it on startup — the same move Kafka's group
+    offsets or a feed's server-side cursor make. Without ``cursor_dir``
+    the source is exact within one run and documents that restart
+    resume requires it."""
 
     def __init__(self, options):
         self.total = int(options.get("rows", "1000"))
         self.batch_rows = int(options.get("batch_rows", "250"))
         self.n_parts = int(options.get("partitions", "4"))
-        self._pos = 0
+        self.cursor_dir = options.get("cursor_dir")
+        self._pos = self._read_cursor()
+
+    def _cursor_file(self):
+        import os
+
+        return os.path.join(self.cursor_dir, "cursor.json") if self.cursor_dir else None
+
+    def _read_cursor(self) -> int:
+        import json as _json
+
+        f = self._cursor_file()
+        if not f:
+            return 0
+        try:
+            with open(f) as fh:
+                return int(_json.load(fh)["index"])
+        except Exception:
+            return 0
 
     def initialOffset(self):
         return {"index": 0}
@@ -123,6 +150,9 @@ class ChangefeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["index"], end["index"]
+        # A replayed/observed window also advances the in-memory cursor —
+        # belt next to the cursor-file braces.
+        self._pos = max(self._pos, hi)
         step = max(1, math.ceil((hi - lo) / self.n_parts))
         return [_Range(a, min(a + step, hi)) for a in range(lo, hi, step)]
 
@@ -131,7 +161,20 @@ class ChangefeedStreamReader(DataSourceStreamReader):
             yield row_at(i)
 
     def commit(self, end):
-        pass  # ack-only; synthetic feed has no retention to trim
+        """Ack: durably record the committed high-water mark (a real feed
+        would also trim retention here)."""
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        f = self._cursor_file()
+        if not f:
+            return
+        os.makedirs(self.cursor_dir, exist_ok=True)
+        tmp = f + f".{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"index": int(end["index"])}, fh)
+        os.replace(tmp, f)
 
 
 def register_changefeed(spark) -> None:
@@ -244,10 +287,23 @@ class AvroLogReader(DataSourceReader):
         with open(partition.file_path, "rb") as f:
             while True:
                 head = f.read(4)
-                if len(head) < 4:
+                if not head:
                     break
+                if len(head) < 4:
+                    raise IOError(
+                        f"truncated avrolog record header in {partition.file_path}"
+                    )
                 (n,) = _struct.unpack("<I", head)
-                rec = codec.decode(f.read(n))
+                body = f.read(n)
+                if len(body) < n:
+                    # A short body means the file was cut mid-record —
+                    # decoding the fragment would raise a confusing varint
+                    # error or, worse, yield garbage values.
+                    raise IOError(
+                        f"truncated avrolog record body in {partition.file_path}"
+                        f" (expected {n} bytes, got {len(body)})"
+                    )
+                rec = codec.decode(body)
                 yield tuple(rec.get(k) for k in self.field_names)
 
 
@@ -280,11 +336,14 @@ class AvroLogDataSource(DataSource):
         return _json.dumps(_avro_type(schema, "Row", "avrolog"))
 
     def reader(self, schema) -> AvroLogReader:
-        names = (
-            [f.name for f in schema.fields]
-            if hasattr(schema, "fields")
-            else [c.split()[0] for c in schema.split(",")]
-        )
+        if hasattr(schema, "fields"):
+            names = [f.name for f in schema.fields]
+        else:
+            # Real DDL parsing — naive comma-splitting breaks on
+            # parameterized types like decimal(10,2).
+            from pyspark.sql.types import _parse_datatype_string
+
+            names = _parse_datatype_string(schema).fieldNames()
         return AvroLogReader(
             self.options["path"], self._avro_json(schema), names
         )

@@ -855,22 +855,9 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_tiny):
     )
     from pyspark.sql import functions as F2
 
-    docs = (
-        spark.read.parquet(f"{sf_tiny}/documents.parquet")
-        .select("doc_id", F2.split("text", " ").alias("toks"))
-        .filter(F2.size("toks") >= 4)
-    )
-    grams = docs.select(
-        "doc_id",
-        F2.explode(
-            F2.expr(
-                "transform(sequence(0, size(toks)-4),"
-                " i -> array_join(slice(toks, i+1, 4), ' '))"
-            )
-        ).alias("ng"),
-    )
-    bench = grams.filter(F2.col("doc_id") % 25 == 0).select("ng").distinct()
-    train = grams.filter(F2.col("doc_id") % 25 != 0)
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import doc_grams
+
+    _docs, _grams, bench, train = doc_grams(spark, sf_tiny)
 
     exact_flagged = {
         r.doc_id

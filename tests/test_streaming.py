@@ -810,6 +810,7 @@ def test_python_stream_source_paces_and_restarts(spark, tmp_path):
             .option("rows", str(total))
             .option("batch_rows", "250")
             .option("partitions", "3")
+            .option("cursor_dir", str(tmp_path / "pyds_cursor"))
             .load()
             .writeStream.format("parquet")
             .outputMode("append")
@@ -822,7 +823,7 @@ def test_python_stream_source_paces_and_restarts(spark, tmp_path):
             deadline = time.time() + 90
             while time.time() < deadline and count_out() < expect_rows:
                 time.sleep(0.3)
-            time.sleep(1.5)  # settle: confirm no further appends
+            time.sleep(4.0)  # settle: several more triggers must add nothing
         finally:
             q.stop()
 
