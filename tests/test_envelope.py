@@ -308,3 +308,54 @@ def test_avro_codec_timestamp_micros_utc_integer_roundtrip():
     naive = datetime.datetime(2024, 6, 1, 12, 30, 45, 123457)
     back = codec.decode(codec.encode({"ts": naive}))["ts"]
     assert back == naive.replace(tzinfo=datetime.timezone.utc)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**62), 2**62 - 1)),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+            ),
+            st.one_of(st.none(), st.binary(max_size=24)),
+            st.one_of(st.none(), st.booleans()),
+        ),
+        max_size=8,
+    )
+)
+def test_avro_codec_roundtrip_property(rows):
+    """Property: encode∘decode is the identity for every nullable
+    primitive the codec maps (long, string, double, bytes, boolean) over
+    arbitrary values — zigzag negatives, empty strings/bytes, unicode,
+    denormals. Hypothesis shrinks failures to minimal rows."""
+    import json
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.avro_codec import EnvelopeAvro
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "P",
+            "fields": [
+                {"name": n, "type": ["null", t], "default": None}
+                for n, t in [
+                    ("a", "long"),
+                    ("b", "string"),
+                    ("c", "double"),
+                    ("d", "bytes"),
+                    ("e", "boolean"),
+                ]
+            ],
+        }
+    )
+    codec = EnvelopeAvro(schema)
+    for a, b, c, d, e in rows:
+        rec = {"a": a, "b": b, "c": c, "d": d, "e": e}
+        back = codec.decode(codec.encode(rec))
+        assert back == rec

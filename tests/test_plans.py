@@ -289,3 +289,14 @@ def test_span_dedup_two_exchanges(spark, qs):
     aggregation keeps the second exchange rollup-sized."""
     p = plan(qs["llm_span_dedup"](spark, SF))
     assert p.count(") Exchange") == 2
+
+
+def test_zorder_sink_range_partitions_on_morton_key(spark, qs):
+    """The Z-order write must range-partition + sort on the Morton key:
+    the read-back side then sees narrow row-group stats on both
+    dimensions. The filter on the re-read reaches the scan."""
+    p = plan(qs["sink_zorder_readback"](spark, SF))
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(l_partkey,100)" in p or "l_partkey" in next(
+        l for l in p.splitlines() if "PushedFilters" in l
+    )
