@@ -21,3 +21,20 @@ def dround(col: Column | str, scale: int = 0) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     p = F.lit(float(10**scale))
     return F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative int columns into a
+    Morton (Z-order) key — pure JVM bit expressions, codegen'd. Size
+    ``bits`` from the columns' maxima: values >= 2**bits contribute only
+    their low bits and the curve's locality silently collapses."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            .bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(
+                F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    return z

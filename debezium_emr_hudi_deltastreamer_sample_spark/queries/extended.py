@@ -1422,19 +1422,7 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(ORACLES["sql_lateral_topk"])
 
 
-def _zorder_key(x, y, bits: int = 16):
-    """Interleave the low ``bits`` of two non-negative int columns into a
-    Morton (Z-order) key — pure JVM bit expressions, codegen'd."""
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        z = (
-            z
-            .bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
-            .bitwiseOR(
-                F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-            )
-        )
-    return z
+from ..functions import zorder_key as _zorder_key  # noqa: E402
 
 
 @_q(

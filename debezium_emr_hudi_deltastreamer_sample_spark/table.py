@@ -276,20 +276,50 @@ class KeyedTable:
         self._write(merged, "overwrite")
         self._publish_snapshot(self.read())
 
-    def compact(self, target_partitions: int | None = None) -> None:
-        """Small-file compaction. Per-micro-batch CDC writes accrete small
-        files (one per task per batch) — the classic streaming-table decay;
-        Hudi runs this as an inline/async table service. Rewrites the table
-        at ``target_partitions`` output files per partition-dir (default:
-        session shuffle parallelism for the whole table)."""
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        cluster_by: Sequence[str] | None = None,
+    ) -> None:
+        """Small-file compaction, optionally WITH data clustering. Per-
+        micro-batch CDC writes accrete small files (one per task per
+        batch) — the classic streaming-table decay; Hudi runs this as an
+        inline/async table service, and its clustering service is the
+        same rewrite with a sort. ``cluster_by``: one column → range-
+        partition + sort on it (row-group skipping on that predicate
+        column); two columns → Morton/Z-order interleave (the
+        hoodie.clustering layout-optimize strategy), giving narrow
+        row-group min/max stats in BOTH dimensions at once. Bits are
+        sized from the column maxima so large keys keep their locality
+        (fixed-width slices silently collapse the curve)."""
         current = self.read().localCheckpoint(eager=True)
-        out = (
-            current.repartition(target_partitions)
-            if target_partitions
-            else current.repartition(
-                int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            )
+        n_out = target_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
         )
+        if cluster_by:
+            cluster_by = list(cluster_by)
+            if len(cluster_by) == 1:
+                out = current.repartitionByRange(
+                    n_out, cluster_by[0]
+                ).sortWithinPartitions(cluster_by[0])
+            elif len(cluster_by) == 2:
+                from .functions import zorder_key
+
+                x, y = (F.col(c) for c in cluster_by)
+                mx = current.agg(
+                    F.max(cluster_by[0]).alias("x"), F.max(cluster_by[1]).alias("y")
+                ).first()
+                bits = min(31, max(16, int(max(mx.x, mx.y)).bit_length()))
+                out = (
+                    current.withColumn("__z", zorder_key(x, y, bits))
+                    .repartitionByRange(n_out, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                raise ValueError("cluster_by supports 1 (sort) or 2 (Z-order) columns")
+        else:
+            out = current.repartition(n_out)
         self._write(out, "overwrite")
 
     def compact_history(self, history: DataFrame) -> None:

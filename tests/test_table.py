@@ -355,3 +355,47 @@ def test_rename_commit_detects_posix_move_into(spark, tmp_path):
         f.write("d")
     assert rename_commit(fs, hpath, stage2, str(tmp_path / "commits" / "c001"))
     assert (tmp_path / "commits" / "c001" / "data.txt").exists()
+
+
+def test_compact_with_zorder_clustering(spark, tmp_path):
+    """compact(cluster_by=[a, b]) rewrites the table Morton-ordered:
+    content is invariant and each output file's (a, b) min/max footprint
+    shrinks vs the unclustered layout — the row-group-skipping property
+    the clustering service exists for."""
+    import os
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable
+
+    path = str(tmp_path / "zt")
+    n = 4096
+    side = 64  # ids map to a (side x side) grid: x = id % side, y = id // side
+    df = spark.range(n).selectExpr(
+        "id", f"cast(id % {side} as long) AS x", f"cast(id div {side} as long) AS y"
+    )
+    t = KeyedTable(spark, path, keys=["id"], op_col=None)
+    df.write.mode("overwrite").parquet(path)
+
+    def spread(p):
+        # mean per-file bounding-box area over both cluster dims
+        areas = []
+        for f in os.listdir(p):
+            if not f.endswith(".parquet"):
+                continue
+            part = spark.read.parquet(os.path.join(p, f))
+            r = part.selectExpr(
+                "max(x) - min(x) AS dx", "max(y) - min(y) AS dy"
+            ).first()
+            areas.append((r.dx + 1) * (r.dy + 1))
+        return sum(areas) / len(areas)
+
+    t.compact(target_partitions=16)          # unclustered baseline
+    base = spread(path)
+    t.compact(target_partitions=16, cluster_by=["x", "y"])
+    clustered = spread(path)
+    assert spark.read.parquet(path).count() == n  # content invariant
+    assert clustered < base / 2  # Z-order tightens per-file 2-D footprints
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.compact(cluster_by=["x", "y", "id"])

@@ -52,6 +52,10 @@ QUERIES = [
     "llm_span_dedup",
     "llm_unigram_logprob",
     "pipe_funnel_conversion",
+    # Bloom prefilter (driver-side build must stay O(gram-set), probe at
+    # scan speed) and the 2-D Z-order re-layout (write-side sort cost).
+    "llm_bloom_decontaminate",
+    "sink_zorder_readback",
 ]
 
 

@@ -88,11 +88,18 @@ def main() -> None:
 
     spark = get_spark(app_name=f"stream_latency_{mode}")
     out = tempfile.mkdtemp(prefix="spark_graft_lat_out_")
-    proc = (
-        append_batch_processor(out)
-        if mode == "append"
-        else upsert_batch_processor(out, keys=["id"])
-    )
+    if mode == "append":
+        proc = append_batch_processor(out)
+    elif mode == "mor":
+        # MERGE_ON_READ ingest: O(batch) delta appends instead of the COW
+        # full-table rewrite — the write-amplification contrast the Hudi
+        # table-type axis is about (inline compaction every 8 deltas keeps
+        # read cost bounded without dominating write latency).
+        from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import mor_batch_processor
+
+        proc = mor_batch_processor(out, keys=["id"], auto_compact_deltas=8)
+    else:
+        proc = upsert_batch_processor(out, keys=["id"])
     q = start_pipeline(
         envelopes_from_rate(rate_source(spark, rows_per_sec)),
         proc,
