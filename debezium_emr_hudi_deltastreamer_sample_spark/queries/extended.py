@@ -1687,3 +1687,31 @@ def ps_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("`(c_acctbal, mean)`"), 3).alias("avg_bal"),
         dround(F.col("`(c_acctbal, max)`"), 2).alias("max_bal"),
     )
+
+
+@_q(
+    "sink_xml_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source (Spark 4's built-in XML data source — the last
+    text format in the family next to CSV and JSON-lines): nation written
+    as <row> elements, read back with an EXPLICIT schema and rowTag.
+    Small-dimension-table shaped on purpose: XML is the interchange
+    format of record systems (feeds, configs), not a 100 TB scan format —
+    at scale it is an INGEST format converted to parquet in one pass,
+    which is exactly what this query's write→read→project models."""
+    out = tempfile.mkdtemp(prefix="spark_graft_xmlsink_")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nat.write.format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).mode("overwrite").save(out)
+    return (
+        spark.read.format("xml")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .option("rowTag", "nation")
+        .load(out)
+    )
