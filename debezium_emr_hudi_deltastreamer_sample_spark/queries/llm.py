@@ -1265,3 +1265,44 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@_q(
+    "llm_corpus_fingerprint",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(text, ' '),
+                              t -> ascii(substring(t,1,1))::BIGINT * 131
+                                   + length(t)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      FROM documents)
+    SELECT count(*) AS n_docs,
+           sum(fingerprint) % 2305843009213693951 AS corpus_fingerprint,
+           sum((doc_id * 2654435761) % 1000000007) % 2305843009213693951
+             AS id_fingerprint
+    FROM fp
+    """,
+)
+def llm_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version fingerprint — the one-row content hash a dataset
+    card pins so a rebuild can PROVE it produced the same corpus:
+    order-insensitive sum (mod 2^61-1) of per-document rolling-hash
+    fingerprints, plus an id-set fingerprint that catches row
+    duplication/loss even when content collides. Any engine re-derives
+    it from the content alone — no RNG, no row order, no partitioning in
+    the result.
+
+    Scale: one scan, two integer aggregates; the per-doc fingerprint is
+    the same codegen'd recurrence as llm_fingerprint."""
+    docs = _t(spark, sf_dir, "documents").withColumn("tokens", tokens_col())
+    fp = docs.select("doc_id", fingerprint_col().alias("fingerprint"))
+    m = F.lit(2305843009213693951)
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("fingerprint") % m).alias("corpus_fingerprint"),
+        (F.sum((F.col("doc_id") * 2654435761) % 1000000007) % m).alias(
+            "id_fingerprint"
+        ),
+    )

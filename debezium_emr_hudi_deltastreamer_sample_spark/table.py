@@ -422,14 +422,27 @@ class DeltaLogTable:
         ):
             self.compact()
 
-    def read(self) -> DataFrame:
+    def read(self, optimized: bool = False) -> DataFrame:
         """Merge-on-read snapshot: base patched with the delta log.
 
         Delta precedence is (ingest_batch, *ordering) — equivalent to
         replaying the batches in id order with each batch's own
         latest-wins dedup, because ``merge_upsert`` gives changes priority
-        over the base and the prefixed ordering ranks across batches."""
+        over the base and the prefixed ordering ranks across batches.
+
+        ``optimized=True`` is Hudi's READ-OPTIMIZED query type: serve the
+        compacted BASE only — parquet-scan cost with zero merge work, at
+        the price of staleness bounded by compaction cadence (deltas
+        landed since the last ``compact()`` are not visible). The
+        dashboard/reporting lane next to the exact snapshot lane."""
         base = self._read_dir(self._base())
+        if optimized:
+            if base is None:
+                raise FileNotFoundError(
+                    f"read-optimized view of {self.path} requires a compacted "
+                    "base (run compact() first)"
+                )
+            return base
         deltas = self._read_dir(self._delta())
         if deltas is None:
             if base is None:

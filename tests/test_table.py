@@ -399,3 +399,31 @@ def test_compact_with_zorder_clustering(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.compact(cluster_by=["x", "y", "id"])
+
+
+def test_mor_read_optimized_serves_base_only(spark, tmp_path):
+    """Hudi's read-optimized query type on the MOR table: after compact()
+    the optimized view equals the snapshot; deltas landed afterwards are
+    visible to the snapshot but NOT to the optimized view (staleness
+    bounded by compaction cadence); without any base it refuses."""
+    import pytest as _pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    t = DeltaLogTable(spark, str(tmp_path / "mor"), keys=["id"], op_col=None)
+    b0 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "id long, v string, _lsn long")
+    t.append_changes(b0, 0)
+    with _pytest.raises(FileNotFoundError):
+        t.read(optimized=True)
+    t.compact()
+    assert sorted((r.id, r.v) for r in t.read(optimized=True).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    t.append_changes(
+        spark.createDataFrame([(1, "a2", 2)], "id long, v string, _lsn long"), 1
+    )
+    snap = {r.id: r.v for r in t.read().collect()}
+    ro = {r.id: r.v for r in t.read(optimized=True).collect()}
+    assert snap == {1: "a2", 2: "b"}   # snapshot merges the new delta
+    assert ro == {1: "a", 2: "b"}      # read-optimized stays at the base
