@@ -28,6 +28,12 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
     Morton (Z-order) key — pure JVM bit expressions, codegen'd. Size
     ``bits`` from the columns' maxima: values >= 2**bits contribute only
     their low bits and the curve's locality silently collapses."""
+    # Long-cast first: shiftleft on an IntegerType operand uses Java
+    # 32-bit shift semantics — shift 31 sign-extends into the key's high
+    # bits and shifts >= 32 alias mod 32 onto low positions, silently
+    # destroying the curve for int columns whenever bits > 15.
+    x = x.cast("long")
+    y = y.cast("long")
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
@@ -38,3 +44,14 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
             )
         )
     return z
+
+
+def adaptive_zorder_bits(df, col_x: str, col_y: str) -> int:
+    """Interleave width for `zorder_key`, sized from the columns' maxima
+    (one tiny column-pruned agg): floor 16, clamp 31 so the Morton key
+    stays in a long. Returns 16 for an empty / all-NULL input — callers
+    should treat that case as "nothing to cluster"."""
+    mx = df.agg(F.max(col_x).alias("x"), F.max(col_y).alias("y")).first()
+    if mx.x is None or mx.y is None:
+        return 16
+    return min(31, max(16, int(max(mx.x, mx.y)).bit_length()))

@@ -1455,12 +1455,10 @@ def sink_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Size the interleave from the data: with FIXED 16-bit slices, any key
     # >= 2^16 contributes only its low bits and the Z-locality silently
-    # collapses on that dimension (exactly the sf1+ regime). One tiny
-    # column-pruned agg pins the width; clamp 31 keeps the key in a long.
-    mx = li.agg(
-        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
-    ).first()
-    bits = min(31, max(16, int(max(mx.p, mx.s)).bit_length()))
+    # collapses on that dimension (exactly the sf1+ regime).
+    from ..functions import adaptive_zorder_bits
+
+    bits = adaptive_zorder_bits(li, "l_partkey", "l_suppkey")
     (
         li.withColumn(
             "_z", _zorder_key(F.col("l_partkey"), F.col("l_suppkey"), bits)

@@ -303,13 +303,10 @@ class KeyedTable:
                     n_out, cluster_by[0]
                 ).sortWithinPartitions(cluster_by[0])
             elif len(cluster_by) == 2:
-                from .functions import zorder_key
+                from .functions import adaptive_zorder_bits, zorder_key
 
                 x, y = (F.col(c) for c in cluster_by)
-                mx = current.agg(
-                    F.max(cluster_by[0]).alias("x"), F.max(cluster_by[1]).alias("y")
-                ).first()
-                bits = min(31, max(16, int(max(mx.x, mx.y)).bit_length()))
+                bits = adaptive_zorder_bits(current, *cluster_by)
                 out = (
                     current.withColumn("__z", zorder_key(x, y, bits))
                     .repartitionByRange(n_out, "__z")

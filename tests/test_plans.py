@@ -291,10 +291,12 @@ def test_span_dedup_two_exchanges(spark, qs):
     assert p.count(") Exchange") == 2
 
 
-def test_zorder_sink_range_partitions_on_morton_key(spark, qs):
-    """The Z-order write must range-partition + sort on the Morton key:
-    the read-back side then sees narrow row-group stats on both
-    dimensions. The filter on the re-read reaches the scan."""
+def test_zorder_readback_pushes_2d_filter(spark, qs):
+    """The Z-order READBACK's conjunctive 2-D range filter must reach the
+    parquet scan (row-group skipping needs pushed predicates on top of
+    the clustered layout). The layout itself — per-file 2-D bounding-box
+    shrinkage under the Morton rewrite — is pinned by
+    tests/test_table.py::test_compact_with_zorder_clustering."""
     p = plan(qs["sink_zorder_readback"](spark, SF))
     assert "PushedFilters" in p
     assert "GreaterThanOrEqual(l_partkey,100)" in p or "l_partkey" in next(

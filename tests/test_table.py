@@ -427,3 +427,28 @@ def test_mor_read_optimized_serves_base_only(spark, tmp_path):
     ro = {r.id: r.v for r in t.read(optimized=True).collect()}
     assert snap == {1: "a2", 2: "b"}   # snapshot merges the new delta
     assert ro == {1: "a", 2: "b"}      # read-optimized stays at the base
+
+
+def test_zorder_key_int_columns_and_empty_table(spark, tmp_path):
+    """Regression pins for the clustering service: (1) IntegerType
+    cluster columns with values >= 2^15 must produce the same Morton keys
+    as long columns (shiftleft on int operands sign-extends/aliases
+    without the internal long-cast); (2) clustering an empty table must
+    not crash — it degrades to a plain rewrite."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.functions import zorder_key
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable
+
+    df = spark.createDataFrame(
+        [(40000, 50000)], "xi int, yi int"
+    ).selectExpr("xi", "yi", "cast(xi as long) AS xl", "cast(yi as long) AS yl")
+    r = df.select(
+        zorder_key(F.col("xi"), F.col("yi"), 17).alias("zi"),
+        zorder_key(F.col("xl"), F.col("yl"), 17).alias("zl"),
+    ).first()
+    assert r.zi == r.zl and r.zi > 0
+
+    path = str(tmp_path / "empty_zt")
+    spark.createDataFrame([], "id long, x long, y long").write.parquet(path)
+    t = KeyedTable(spark, path, keys=["id"], op_col=None)
+    t.compact(target_partitions=2, cluster_by=["x", "y"])  # must not raise
+    assert spark.read.parquet(path).count() == 0

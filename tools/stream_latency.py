@@ -11,7 +11,7 @@ Context for the numbers: the reference's end-to-end latency floor is its
 source-side offset flush (1000 ms, BASELINE.md) plus an unpaced ASAP
 trigger; this harness measures what the Spark side adds per micro-batch.
 
-Usage:
+Usage (modes: append | upsert | mor):
     python tools/stream_latency.py [append|upsert] [rows_per_sec] [duration_sec]
 Prints ONE JSON line:
     {"mode": ..., "rows_per_sec": ..., "n_batches": ...,
@@ -83,6 +83,8 @@ def envelopes_from_rate(rate: DataFrame, n_keys: int = 10_000) -> DataFrame:
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "append"
+    if mode not in ("append", "upsert", "mor"):
+        raise SystemExit(f"unknown mode {mode!r}: use append | upsert | mor")
     rows_per_sec = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     duration_sec = float(sys.argv[3]) if len(sys.argv) > 3 else 20.0
 
