@@ -1633,10 +1633,14 @@ def obs_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row DataFrame and must equal the oracle's directly-computed
     aggregates; the action that materializes them is a count on the
     observed frame, not a separate metrics query."""
+    import uuid as _uuid
+
     from pyspark.sql import Observation
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
-    obs = Observation("scan_metrics")
+    # Unique name per invocation: observation names are session-scoped,
+    # and the driver/parity may run one query several times per session.
+    obs = Observation(f"scan_metrics_{_uuid.uuid4().hex[:8]}")
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
