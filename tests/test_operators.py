@@ -957,3 +957,29 @@ def test_avrolog_two_phase_commit(spark, tmp_path):
     w2.commit([m3])
     r2 = ds.reader("id bigint, v double")
     assert [row for p in r2.partitions() for row in r2.read(p)] == [(9, 9.0)]
+
+
+def test_zorder_key_bijective_on_grid(spark):
+    """Morton interleave is a bijection on [0, 2^bits)²: all 4096 keys of
+    a 64×64 grid are distinct, and the python-reference interleave agrees
+    bit-for-bit with the codegen'd column expression."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.functions import zorder_key
+
+    def ref(x, y, bits=6):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.range(4096).selectExpr(
+        "cast(id % 64 as int) AS x", "cast(id div 64 as int) AS y"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), 6).alias("z")
+        ).collect()
+    }
+    assert len(set(got.values())) == 4096  # bijective
+    assert all(z == ref(x, y) for (x, y), z in got.items())
