@@ -69,7 +69,13 @@ def main(names=None):
         spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # Driver fixtures are single files; the locally-synthesized sf1
+        # fixture (tools/make_sf1.py) writes Spark-style DIRECTORIES of
+        # part files — glob those so the oracle works at every decade.
+        src = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     todo = names or list(qs)
