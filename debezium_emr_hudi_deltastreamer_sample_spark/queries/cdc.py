@@ -280,6 +280,21 @@ def cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ts_terciles(ev) -> list[tuple]:
+    """Three equal time windows spanning ALL of `ev` — derived from the
+    data's own min/max ts, not fixture-era constants, so batch replays
+    cover every row at every scale factor (the sf1 fixture extends event
+    time 10×; hard-coded 2024 windows silently dropped nine tenths of
+    it). The final latest-wins state is boundary-independent; only full
+    coverage matters."""
+    import datetime as _dt
+
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = b.lo, b.hi + _dt.timedelta(seconds=1)
+    step = (hi - lo) / 3
+    return [(lo + i * step, lo + (i + 1) * step if i < 2 else hi) for i in range(3)]
+
+
 @_q(
     "table_compact_roundtrip",
     """
@@ -297,8 +312,8 @@ def table_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-file decay — then ``compact`` rewrites the table at a target
     file count. The graded property is that maintenance is semantically
     invisible: the compacted table still equals the global latest-row-per-
-    key state the oracle computes. Batches are split by time (10-day
-    windows) so cross-batch precedence (changes outrank snapshot, B9)
+    key state the oracle computes. Batches are split into data-derived
+    time terciles so cross-batch precedence (changes outrank snapshot, B9)
     coincides with the oracle's ts ordering."""
     import tempfile
 
@@ -319,8 +334,8 @@ def table_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordering=["_ts_ms", "_lsn"],
         op_col=None,
     )
-    for lo, hi in (("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")):
-        batch = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    for lo, hi in _ts_terciles(ev):
+        batch = ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
         t.upsert(batch)
     t.compact(target_partitions=2)
     return t.read().select("user_id", "event_id", "event_type")
@@ -402,10 +417,10 @@ def cdc_mor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordering=["_ts_ms", "_lsn"],
         op_col=None,
     )
-    for i, (lo, hi) in enumerate(
-        (("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01"))
-    ):
-        t.append_changes(ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), i)
+    for i, (lo, hi) in enumerate(_ts_terciles(ev)):
+        t.append_changes(
+            ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))), i
+        )
     return t.read().select("user_id", "event_id", "event_type")
 
 
