@@ -255,6 +255,64 @@ def decode_images(
     return src.mapInPandas(run, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("resized_mean", T.DoubleType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, id_col: str = "media_id", out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Distributed thumbnail/normalize stage: strict-decode each blob
+    (PPM/BMP native codecs) and nearest-neighbor-resize to a fixed
+    ``(out_h, out_w)`` grid — the preprocessing step every vision-training
+    pipeline runs before feature extraction. The index map is pure integer
+    floor (``src = dst * src_dim // out_dim``), so the resampled pixels
+    are engine-reproducible — which is what lets the driver oracle
+    recompute the resized means from the pixel-generating formula rather
+    than trusting the Python path.
+
+    Scale: same shape as `decode_images` — only (id, blob) crosses the
+    JVM↔Arrow boundary, each batch is decoded+strided in numpy with no
+    interpolation math, and the output is a fixed-width feature row
+    regardless of source resolution, so downstream cost is decoupled from
+    image size."""
+    src = df.select(F.col(id_col).alias("media_id"), "media")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                arr = _decode_uncompressed(bytes(blob))
+                if arr is None:
+                    raise ValueError(
+                        f"media_id={mid}: not a decodable PPM/BMP container"
+                    )
+                h, w = arr.shape[:2]
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                thumb = arr[ri][:, ci]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "src_width": int(w),
+                        "src_height": int(h),
+                        "resized_mean": float(thumb.mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "src_width", "src_height", "resized_mean"],
+            )
+
+    return src.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: expand each video row into frame
     timestamps (decode stubbed). Demonstrates the explode-shaped plan used

@@ -13,7 +13,7 @@ from __future__ import annotations
 import tempfile
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as _t
@@ -1716,4 +1716,210 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
         .option("rowTag", "nation")
         .load(out)
+    )
+
+
+# ------------------------------------------------- round-3 surface widening
+
+
+@_q(
+    "agg_mode_median",
+    """
+    WITH m AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity) AS rk
+      FROM m)
+    SELECT s.l_returnflag,
+           r.l_quantity AS mode_qty,
+           round(median(s.l_quantity), 4) AS median_qty,
+           round(median(s.l_extendedprice), 4) AS median_price
+    FROM lineitem s JOIN r ON s.l_returnflag = r.l_returnflag AND r.rk = 1
+    GROUP BY 1, 2
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode + exact median per group. The mode is computed as an explicit
+    count-then-rank (deterministic smallest-value tie-break) rather than
+    Spark's ``mode()``, whose tie behavior is engine-defined — the ranked
+    form is the one whose answer any engine reproduces. Median uses the
+    native exact ``median`` aggregate (interpolated at even counts, same
+    contract as DuckDB's).
+
+    Scale: the mode path aggregates to (group, value) pairs first — shuffle
+    is value-domain-sized, not row-sized — then a per-group top-1 window
+    over that tiny aggregate; exact median is a sort-based aggregate per
+    group, the one genuinely rank-based cost here (the approx sibling is
+    `agg_percentile_approx`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity")
+    )
+    mode = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        dround(F.median("l_quantity"), 4).alias("median_qty"),
+        dround(F.median("l_extendedprice"), 4).alias("median_price"),
+    )
+    return med.join(F.broadcast(mode), "l_returnflag").select(
+        "l_returnflag", "mode_qty", "median_qty", "median_price"
+    )
+
+
+@_q(
+    "agg_countif_bool",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (o_totalprice > 150000) AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_filled,
+           max(o_orderdate) AS latest_order
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_countif_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family — ``count_if``, ``bool_and``,
+    ``bool_or`` — the data-quality assertion aggregates (every one is a
+    partial-aggregable JVM expression; a 100 TB validity sweep is one
+    map-side-combined scan)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_filled"),
+        F.max("o_orderdate").alias("latest_order"),
+    )
+
+
+@_q(
+    "agg_grouping_id",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping_id()`` — the bitmask that tells subtotal
+    levels apart even when a real value collides with the NULL placeholder
+    (the reason grouping_id exists). Spark's bit order (first grouping
+    column = most significant) matches the explicit GROUPING()*2+GROUPING()
+    encoding on the oracle side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "gid",
+            "n",
+            "qty",
+        )
+    )
+
+
+@_q(
+    "join_nullaware_anti",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE nullif(c_nationkey, 3) NOT IN
+          (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+)
+def join_nullaware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a NULLable expression — the null-aware anti join, a
+    genuinely distinct physical operator from LeftAnti: a NULL probe key
+    matches NOTHING under three-valued logic (those customers vanish from
+    the result), and a NULL in the subquery would empty it entirely.
+    Catalyst plans the single-column case as a broadcast null-aware anti
+    join (NAAJ) rather than a per-row nested-loop.
+
+    Scale: the subquery side is a dimension (broadcastable); NAAJ keeps
+    the big side scan-shaped. The semantics are the point — rewriting NOT
+    IN to NOT EXISTS changes the answer in the presence of NULLs, so an
+    engine must carry both."""
+    _view(spark, sf_dir, "customer"), _view(spark, sf_dir, "nation")
+    return spark.sql(ORACLES["join_nullaware_anti"])
+
+
+@_q(
+    "mm_resize_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 32 + 8) AS w, (doc_id % 24 + 8) AS h
+      FROM documents),
+    px AS (
+      SELECT d.doc_id,
+             ((a.i * d.h) // 8 + (b.j * d.w) // 8 + d.doc_id) % 256 AS v
+      FROM dims d, range(8) a(i), range(8) b(j)),
+    means AS (SELECT doc_id, avg(v) AS m FROM px GROUP BY 1)
+    SELECT (doc_id % 7) AS size_class,
+           count(*) AS n,
+           round(avg(m), 4) AS avg_resized_mean
+    FROM means GROUP BY 1
+    """,
+)
+def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → nearest-neighbor resize end-to-end: each doc becomes a
+    gradient image (pixel[y][x] = (y + x + doc_id) % 256 on every channel)
+    encoded as an actual PPM (even ids) or BMP (odd ids) container, then
+    `resize_images` strict-decodes and resamples it to a fixed 8×8
+    thumbnail with the integer floor map ``src = dst * src_dim // 8``.
+    Because the map is pure integer math, the oracle recomputes every
+    sampled pixel from the generating formula — a codec that drops BMP row
+    padding, flips the bottom-up row order, or an off-by-one in the
+    resample index shifts the sampled gradient values and fails the hash."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from ..operators.multimodal import encode_bmp, encode_ppm, resize_images
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 32 + 8).cast("int").alias("w"),
+        (F.col("doc_id") % 24 + 8).cast("int").alias("h"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                y = np.arange(int(h), dtype=np.int64)[:, None]
+                x = np.arange(int(w), dtype=np.int64)[None, :]
+                plane = ((y + x + int(mid)) % 256).astype(np.uint8)
+                arr = np.repeat(plane[:, :, None], 3, axis=2)
+                blob = encode_ppm(arr) if int(mid) % 2 == 0 else encode_bmp(arr)
+                rows.append({"media_id": int(mid), "media": blob})
+            yield pd.DataFrame(rows, columns=["media_id", "media"])
+
+    media = docs.mapInPandas(gen, "media_id long, media binary")
+    return (
+        resize_images(media, out_w=8, out_h=8)
+        .withColumn("size_class", F.col("media_id") % 7)
+        .groupBy("size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.avg("resized_mean"), 4).alias("avg_resized_mean"),
+        )
     )

@@ -1306,3 +1306,232 @@ def llm_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_fingerprint"
         ),
     )
+
+
+@_q(
+    "llm_perplexity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, round(avg(-ln(v.cnt / total.n)), 4) AS nlp
+      FROM toks t JOIN vocab v USING (tok), total GROUP BY t.doc_id),
+    b AS (
+      SELECT d.lang, s.doc_id, s.nlp,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.nlp, s.doc_id) AS tier
+      FROM scored s JOIN documents d USING (doc_id))
+    SELECT lang,
+           CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(avg(nlp), 4) AS avg_nlp,
+           min(doc_id) AS min_doc
+    FROM b GROUP BY 1, 2
+    """,
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning: score each document with
+    the unigram-LM mean negative log-prob (the llm_unigram_logprob signal),
+    then split each LANGUAGE into perplexity terciles — head = most fluent
+    third, tail = the third a curation pipeline drops or down-weights.
+    Scores are rounded BEFORE the tercile window on both engines so the
+    ordering (and therefore the tercile boundaries) is decided on identical
+    values, with doc_id as the total-order tie-break.
+
+    Scale: vocabulary partial-agg + broadcast probability join as in
+    llm_unigram_logprob; the tercile split is one window per language over
+    doc-grain rows. In deployment the per-language windows are the
+    textbook skew case (one language dominates a crawl), so the production
+    form replaces ntile with per-language quantile THRESHOLDS from
+    approx_percentile and a scan-shaped comparison — same buckets, no
+    global sort per language; the exact window is the oracle-replayable
+    form at fixture scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(dround(F.avg(-F.log(F.col("cnt") / F.col("n"))), 4).alias("nlp"))
+    )
+    w = Window.partitionBy("lang").orderBy("nlp", "doc_id")
+    b = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("tier", F.ntile(3).over(w))
+    )
+    bucket = (
+        F.when(F.col("tier") == 1, "head")
+        .when(F.col("tier") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        b.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dround(F.avg("nlp"), 4).alias("avg_nlp"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+@_q(
+    "llm_ngram_novelty",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                    t[i+3] || ' ' || t[i+4])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 5),
+    inv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    u AS (SELECT g, count(*) AS nd FROM inv GROUP BY g)
+    SELECT i.doc_id,
+           count(*) AS n_grams,
+           count(*) FILTER (u.nd = 1) AS n_unique,
+           round(count(*) FILTER (u.nd = 1)::DOUBLE / count(*), 4) AS novelty
+    FROM inv i JOIN u USING (g)
+    GROUP BY 1
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the fraction of a doc's distinct
+    5-grams that occur in NO other document (corpus-unique). The
+    memorization/boilerplate signal: low novelty means the doc is stitched
+    from text the corpus already contains (template spam, mirrored pages);
+    dedup pipelines use it to rank what survived exact+near dedup.
+
+    Scale: the same inverted-index shape as decontamination — distinct
+    grams per doc (explode + codegen'd hash), gram-frequency partial-agg
+    (shuffle is gram-vocabulary-sized), one join back on gram, one doc-
+    grain re-agg. No all-pairs anything: cost is O(total grams), and the
+    gram →count side is exactly the reusable index a corpus service would
+    persist."""
+    docs = with_shingles(_t(spark, sf_dir, "documents"), n=5)
+    inv = docs.select("doc_id", F.explode("shingles").alias("g"))
+    u = inv.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        inv.join(u, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("nd") == 1).alias("n_unique"),
+            dround(
+                F.count_if(F.col("nd") == 1) / F.count(F.lit(1)), 4
+            ).alias("novelty"),
+        )
+    )
+
+
+@_q(
+    "llm_stratified_sample",
+    """
+    WITH b AS (
+      SELECT *, (doc_id * 2654435761 + 40503) % 1000 AS bucket,
+             CASE WHEN lang = 'en' THEN 250 ELSE 800 END AS rate
+      FROM documents)
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (bucket < rate) AS n_kept,
+           sum(n_chars) FILTER (bucket < rate) AS kept_chars,
+           min(CASE WHEN bucket < rate THEN doc_id END) AS min_kept_doc
+    FROM b GROUP BY 1
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) sampling — the corpus
+    REBALANCING step: downsample the over-represented language (en keeps
+    25%) while keeping most of everything else (80%), with membership
+    decided by a seedless integer hash of the stable key so any engine
+    re-derives exactly the same sample (the property that makes the split
+    shippable in a dataset card — same contract as pipe_hash_split, with
+    per-STRATUM rates).
+
+    Scale: a pure scan — the bucket expression is codegen'd integer math,
+    the rate lookup is a CASE over the stratum column, and the aggregate
+    is partial-agg'd per language. Nothing shuffles but the per-language
+    partials. The same predicate (bucket < rate) materializes the sample
+    itself as a pushdown-friendly WHERE clause."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % 1000
+    rate = F.when(F.col("lang") == "en", 250).otherwise(800)
+    kept = bucket < rate
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(kept).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+        F.min(F.when(kept, F.col("doc_id"))).alias("min_kept_doc"),
+    )
+
+
+@_q("llm_semantic_dedup")  # sample-fit centroids — rows-only; pinned in tests/
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    within each cluster every vector whose cosine to a LOWER-id cluster
+    member exceeds the threshold — near-semantic-duplicates that exact and
+    shingle dedup cannot see. Returns per-cluster (n_members, n_pruned,
+    min surviving id) — the dedup report a curation run logs.
+
+    Scale (the reason SemDeDup beats all-pairs at 100 TB): candidate
+    pairs come from an EQUI-join on cluster_id, so pair cost is
+    Σ|cluster|² with E|cluster| = n/k — sizing k ∝ n for a FIXED target
+    cluster (≈256 here, the same one-scan count used by
+    adaptive_band_bits) keeps the candidate mass LINEAR in n, the same
+    contract as the LSH banding in llm_embed_neardup_lsh but with
+    semantically-coherent buckets. Bigger target cluster = higher recall
+    at linearly higher pair cost (measured on the fixture: 0.86 of the
+    exact dup set at cluster≈256 vs 0.29 at ≈64 — the knob SemDeDup
+    §3 trades on). Centroids are fit once on a bounded driver sample and
+    ship in the Arrow UDF closure; assignment is one scan."""
+    from ..operators.similarity import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = max(2, emb.count() // 256)
+    assigned = kmeans_assign(emb, k=k, seed=7).select(
+        "vec_id", "embedding", "cluster_id"
+    )
+    # Within-cluster lower-id pairs, exact cosine re-check — localCheckpoint
+    # cuts the double-scan of the assignment UDF (same pattern as the LSH
+    # signature reuse in operators/dedup.py).
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("ae"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("be"),
+    )
+    from ..operators.similarity import _cosine_sim
+
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("aid") < F.col("bid"))
+        .withColumn("cos", _cosine_sim("ae", "be"))
+        .filter(F.col("cos") >= 0.46)
+    )
+    pruned = pairs.select("cluster_id", F.col("bid").alias("vec_id")).distinct()
+    per_cluster_pruned = pruned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_pruned")
+    )
+    members = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.min("vec_id").alias("min_vec")
+    )
+    return (
+        members.join(per_cluster_pruned, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+            "min_vec",
+        )
+    )

@@ -502,3 +502,41 @@ def pipe_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@_q(
+    "pipe_epoch_shuffle",
+    """
+    WITH s AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             md5(concat_ws(':', 'epoch1', doc_id)) AS k
+      FROM documents)
+    SELECT shard, doc_id,
+           row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+    FROM s
+    """,
+)
+def pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle — the training-data ORDERING step: each
+    epoch's read order is a pseudorandom permutation derived from
+    md5(epoch_seed, doc_id), so the order is (a) uncorrelated with ingest
+    order (the point of shuffling), (b) different per epoch (change the
+    seed string), and (c) reproducible by any engine without shipping RNG
+    state — a training run can be resumed or audited from the key alone.
+
+    Scale: the permutation is SHARDED — position is assigned within each
+    of the 8 hash shards (PARTITION BY shard), never by one global sort:
+    at 100 TB a global row_number is one task, while per-shard ordering is
+    embarrassingly parallel and each shard's output IS the read order for
+    one data-loader worker (matching how training jobs actually consume
+    shards). One hash shuffle on shard, sort within."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.md5(F.concat_ws(":", F.lit("epoch1"), F.col("doc_id"))).alias("k"),
+    )
+    w = W.partitionBy("shard").orderBy("k", "doc_id")
+    return s.select(
+        "shard", "doc_id", F.row_number().over(w).alias("pos")
+    )

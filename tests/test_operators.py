@@ -983,3 +983,88 @@ def test_zorder_key_bijective_on_grid(spark):
     }
     assert len(set(got.values())) == 4096  # bijective
     assert all(z == ref(x, y) for (x, y), z in got.items())
+
+
+def test_resize_images_nearest_neighbor_reference(spark):
+    """resize_images must implement exactly src = dst * src_dim // out_dim
+    over the decoded array: compare against an independent numpy reference
+    for both container formats, including a BMP width (w=9) whose rows are
+    padded (9*3 % 4 != 0) — a codec that keeps padding shifts every
+    sampled pixel."""
+    import numpy as np
+    import pandas as pd
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [(1, 9, 13, encode_bmp), (2, 32, 8, encode_ppm), (3, 8, 8, encode_bmp)]
+    rows, expected = [], {}
+    for mid, w, h, enc in cases:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append({"media_id": mid, "media": enc(arr)})
+        ri = (np.arange(8) * h) // 8
+        ci = (np.arange(8) * w) // 8
+        expected[mid] = float(arr[ri][:, ci].mean())
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r.media_id: r for r in resize_images(df).collect()}
+    assert set(got) == {1, 2, 3}
+    for mid, w, h, _ in cases:
+        assert (got[mid].src_width, got[mid].src_height) == (w, h)
+        assert got[mid].resized_mean == pytest.approx(expected[mid], abs=1e-9)
+
+
+def test_semantic_dedup_prunes_subset_of_exact(spark, sf_small):
+    """SemDeDup containment: every id the semantic pass prunes must be a
+    duplicate under the EXACT all-pairs rule at the same threshold (the
+    equi-join on cluster_id only restricts the candidate set — it can
+    miss, never invent), recall on the fixture's dup structure is the
+    measured ≈0.86 at target cluster ≈256, and membership partitions the
+    table."""
+    from pyspark.sql import functions as F
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        kmeans_assign,
+        _cosine_sim,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
+        llm_semantic_dedup,
+    )
+
+    report = llm_semantic_dedup(spark, sf_small).collect()
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    assert sum(r.n_members for r in report) == n
+    assert sum(r.n_pruned for r in report) > 0
+
+    # Recompute the pruned id set with the same pipeline to check it
+    # against the exact dup set (the report aggregates it away).
+    k = max(2, n // 256)
+    assigned = kmeans_assign(emb, k=k, seed=7).select(
+        "vec_id", "embedding", "cluster_id"
+    ).localCheckpoint(eager=True)
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("aid"), F.col("embedding").alias("ae")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("bid"), F.col("embedding").alias("be")
+    )
+    pruned = {
+        r.bid
+        for r in a.join(b, "cluster_id")
+        .filter(F.col("aid") < F.col("bid"))
+        .withColumn("cos", _cosine_sim("ae", "be"))
+        .filter(F.col("cos") >= 0.46)
+        .select("bid")
+        .distinct()
+        .collect()
+    }
+    exact = {r.bid for r in embedding_neardup_pairs(emb, threshold=0.46).collect()}
+    assert pruned <= exact
+    assert len(pruned) >= len(exact) // 2  # measured 6/7 at cluster ≈ 256
+    assert sum(r.n_pruned for r in report) == len(pruned)
