@@ -1637,7 +1637,15 @@ def obs_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Observation
 
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    # Run the observed pass in a CHILD session: the Observation registers a
+    # QueryExecutionListener that outlives this query, and listener event
+    # delivery lazily re-analyzes later query plans — if one of those scans
+    # a directory that table retention has since deleted (KeyedTable
+    # snapshot trim), the listener throws on the caller's session. The
+    # child session's listener bus filters the caller's events out, so the
+    # side channel can never observe (or break on) anyone else's queries.
+    sess = spark.newSession()
+    li = _t(sess, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
     # Unique name per invocation: observation names are session-scoped,
     # and the driver/parity may run one query several times per session.
     obs = Observation(f"scan_metrics_{_uuid.uuid4().hex[:8]}")
