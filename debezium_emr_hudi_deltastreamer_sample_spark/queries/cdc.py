@@ -12,7 +12,7 @@ analogue (monotone per key), event_type='error' plays op='d'.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table as _t
@@ -524,3 +524,58 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = merge_upsert(snap, changes, keys=["c_custkey"], ordering=["_lsn"])
     return merged.select("c_custkey", "c_name", "c_acctbal", "c_tier")
+
+
+@_q(
+    "cdc_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    chg AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    scd AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM chg)
+    SELECT user_id, event_type, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM scd
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built FROM the change stream — the
+    canonical CDC-to-warehouse materialization the reference's pipeline
+    feeds: per key, (1) suppress no-op changes (an update that does not
+    alter the tracked attribute opens no new version — lag change-detect),
+    then (2) assign each surviving version its validity interval
+    [valid_from, valid_to) via lead, with the open interval flagged
+    ``is_current``. Every historical point-in-time query (the as-of join
+    family) can then be answered with a BETWEEN on one table.
+
+    Scale: both windows and the filter share the user_id partitioning, so
+    Catalyst plans ONE exchange on the key reused across lag, filter, and
+    lead (same exchange-reuse shape as pipe_sessionize); (ts, event_id)
+    gives the windows a total order, making version boundaries
+    deterministic under replay. At 100 TB this is the incremental
+    pattern's batch form — the streaming form folds new changes against
+    only each key's current open row."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -302,3 +302,40 @@ def test_zorder_readback_pushes_2d_filter(spark, qs):
     assert "GreaterThanOrEqual(l_partkey,100)" in p or "l_partkey" in next(
         l for l in p.splitlines() if "PushedFilters" in l
     )
+
+
+def test_scd2_single_user_exchange(spark, qs):
+    """cdc_scd2_history: the lag window, change filter, and lead window
+    all hash on user_id — the plan must carry ONE user_id exchange (a
+    second exchange between the windows would double the dominant cost)."""
+    p = plan(qs["cdc_scd2_history"](spark, SF))
+    assert p.count(") Exchange") == 1
+    assert "hashpartitioning(user_id" in p
+
+
+def test_ngram_novelty_partial_aggregates(spark, qs):
+    """llm_ngram_novelty: the gram-frequency aggregate must be partial
+    (map-side combine before the gram shuffle) and the plan must stay
+    UDF-free — the inverted-index shape that keeps the shuffle
+    vocabulary-sized."""
+    p = plan(qs["llm_ngram_novelty"](spark, SF))
+    assert "partial_count" in p
+    assert not uses_python_row_udf(p)
+
+
+def test_epoch_shuffle_single_shard_exchange(spark, qs):
+    """pipe_epoch_shuffle: position assignment is per-shard, so the plan
+    shuffles once on shard — never a global singleton sort."""
+    p = plan(qs["pipe_epoch_shuffle"](spark, SF))
+    assert p.count(") Exchange") == 1
+    assert "hashpartitioning(shard" in p
+    assert "SinglePartition" not in p
+
+
+def test_stratified_sample_is_pure_scan_agg(spark, qs):
+    """llm_stratified_sample: membership is codegen'd integer math — one
+    scan, one partial-agg'd groupBy(lang), no UDF, no join."""
+    p = plan(qs["llm_stratified_sample"](spark, SF))
+    assert "Join" not in p
+    assert not uses_python_row_udf(p)
+    assert "partial_count" in p
