@@ -684,3 +684,71 @@ def stream_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("amount"), 2).alias("total"),
         F.max("lsn").alias("max_lsn"),
     )
+
+
+from .cdc import ORACLES as _CDC_ORACLES
+
+
+@_q("stream_scd2_fold", _CDC_ORACLES["cdc_scd2_history"])
+def stream_scd2_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD type-2 maintenance — the incremental form of
+    cdc_scd2_history: the events feed replays as three time-ordered
+    micro-batches (maxFilesPerTrigger=1) and scd2_batch_processor folds
+    each into the versioned dimension (close open versions, append new
+    ones) WITHOUT ever re-windowing history; the final table must equal
+    the batch query's all-at-once window computation (same oracle —
+    stream ≡ batch for the dimension build itself).
+
+    The feed serializes ts as unix MICROS (exact integer round-trip;
+    JSON timestamp text would renegotiate precision) and stamps strictly
+    increasing mtimes so the file source's oldest-first ordering is the
+    event-time ordering the monotone-feed replay guard assumes."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..streaming.pipeline import scd2_batch_processor
+    from .cdc import _ts_terciles
+
+    sess = _stream_session(spark)
+    ev = _t(sess, sf_dir, "events")
+    src = _tmp("scd2_src")
+    for i, (lo, hi) in enumerate(_ts_terciles(ev)):
+        staging = _tmp(f"scd2_b{i}")
+        (
+            ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(staging)
+        )
+        dst = os.path.join(src, f"b{i}.json")
+        shutil.move(_glob.glob(f"{staging}/part-*")[0], dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    stream = (
+        sess.readStream.schema(
+            "event_id bigint, ts_us bigint, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .drop("ts_us")
+    )
+    table_path = _tmp("scd2_table")
+    q = start_pipeline(
+        stream,
+        scd2_batch_processor(table_path),
+        checkpoint=_tmp("scd2_ckpt"),
+        available_now=True,
+    )
+    run_until_drained(q)
+    return spark.read.parquet(table_path).select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )

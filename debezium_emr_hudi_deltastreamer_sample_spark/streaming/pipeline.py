@@ -226,3 +226,121 @@ def incremental_read(spark, out_path: str, since_batch: int) -> DataFrame:
     from pyspark.sql import functions as F
 
     return spark.read.parquet(out_path).filter(F.col("ingest_batch") > since_batch)
+
+
+def scd2_batch_processor(
+    table_path: str,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> Callable[[DataFrame, int], None]:
+    """Per-micro-batch SCD type-2 fold — the streaming form of
+    queries/cdc.cdc_scd2_history: maintain a versioned dimension
+    (key, attr, valid_from, valid_to, is_current) incrementally as change
+    batches arrive, instead of re-windowing the whole history.
+
+    Per batch: (1) suppress within-batch no-op changes (lag change-detect
+    over (ts, tiebreak)); (2) drop rows at or before each key's current
+    open version start — the monotone-feed replay guard that makes the
+    fold idempotent under at-least-once delivery (a replayed batch's
+    surviving tail rows all carry the open version's attr and are then
+    suppressed by rule 3); (3) suppress the batch's FIRST surviving change
+    where it equals the current open attr (cross-batch no-op); (4) close
+    the open version at the first new version's start and append the new
+    versions, the last one open.
+
+    Scale: every step hashes on the key — one exchange per batch over
+    batch-plus-open-rows, never the full history re-sorted; the rewrite is
+    the same portable COW as upsert_batch_processor (a real table format's
+    atomic commit replaces the overwrite; with the table partitioned by
+    key-bucket only touched buckets rewrite)."""
+    from pyspark.sql import Window
+
+    cols = [key, attr, "valid_from", "valid_from_id", "valid_to", "is_current"]
+
+    def process(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+        b = df.select(key, ts_col, tiebreak, attr).withColumn(
+            "_prev", F.lag(attr).over(w)
+        )
+        changes = b.filter(
+            F.col("_prev").isNull() | (F.col(attr) != F.col("_prev"))
+        ).drop("_prev")
+        try:
+            hist = spark.read.parquet(table_path)
+        except Exception:
+            hist = None
+        if hist is not None:
+            open_rows = hist.filter("is_current").select(
+                key,
+                F.col(attr).alias("_open_attr"),
+                F.col("valid_from").alias("_open_from"),
+                F.col("valid_from_id").alias("_open_fid"),
+            )
+            changes = (
+                changes.join(open_rows, key, "left")
+                .filter(
+                    F.col("_open_from").isNull()
+                    | (F.col(ts_col) > F.col("_open_from"))
+                    | (
+                        (F.col(ts_col) == F.col("_open_from"))
+                        & (F.col(tiebreak) > F.col("_open_fid"))
+                    )
+                )
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(
+                    ~(
+                        (F.col("_rn") == 1)
+                        & (F.col(attr) == F.col("_open_attr"))
+                    )
+                )
+                .drop("_rn", "_open_attr", "_open_from", "_open_fid")
+            )
+        if not changes.head(1):
+            return
+        new_versions = (
+            changes.select(
+                key,
+                attr,
+                F.col(ts_col).alias("valid_from"),
+                F.col(tiebreak).alias("valid_from_id"),
+            )
+            .withColumn(
+                "valid_to",
+                F.lead("valid_from").over(
+                    Window.partitionBy(key).orderBy("valid_from", "valid_from_id")
+                ),
+            )
+            .withColumn("is_current", F.col("valid_to").isNull())
+        )
+        if hist is not None:
+            firsts = new_versions.groupBy(key).agg(
+                F.min(F.struct("valid_from", "valid_from_id"))["valid_from"].alias(
+                    "_first_from"
+                )
+            )
+            closed = (
+                hist.join(firsts, key, "left")
+                .withColumn(
+                    "valid_to",
+                    F.when(
+                        F.col("is_current") & F.col("_first_from").isNotNull(),
+                        F.col("_first_from"),
+                    ).otherwise(F.col("valid_to")),
+                )
+                .withColumn(
+                    "is_current",
+                    F.col("is_current") & F.col("_first_from").isNull(),
+                )
+                .select(*cols)
+            )
+            out = closed.unionByName(new_versions.select(*cols))
+        else:
+            out = new_versions.select(*cols)
+        # The fold reads the same files the write replaces — materialize
+        # before overwrite (same contract as upsert_batch_processor).
+        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(table_path)
+
+    return process

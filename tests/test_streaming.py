@@ -870,3 +870,54 @@ def test_avrolog_stream_sink_replay_idempotent(spark, tmp_path):
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
     names = sorted(os.listdir(path))
     assert [n.split("-")[1] for n in names] == ["b000000000007", "b000000000008"]
+
+
+def test_scd2_fold_replay_idempotent(spark, tmp_path):
+    """At-least-once delivery: re-applying an already-folded batch must
+    leave the SCD2 table bit-identical — the monotone-feed replay guard
+    (rows at/before the open version start are dropped; the surviving
+    tail is suppressed as a cross-batch no-op)."""
+    import datetime as dt
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+        scd2_batch_processor,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, minutes, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    b1 = spark.createDataFrame(
+        [ev(1, 1, 0, "view"), ev(2, 1, 5, "view"), ev(3, 1, 10, "click"),
+         ev(4, 2, 0, "view")],
+        schema,
+    )
+    # b2 overlaps b1's tail (ids 3,4 replayed) then advances.
+    b2 = spark.createDataFrame(
+        [ev(3, 1, 10, "click"), ev(4, 2, 0, "view"),
+         ev(5, 1, 20, "click"), ev(6, 1, 25, "buy"), ev(7, 2, 30, "click")],
+        schema,
+    )
+    path = str(tmp_path / "scd2")
+    proc = scd2_batch_processor(path)
+    proc(b1, 0)
+    after_b1 = sorted(map(tuple, spark.read.parquet(path).collect()))
+    proc(b1, 0)  # full replay of batch 1 — must be a no-op
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == after_b1
+
+    proc(b2, 1)
+    after_b2 = sorted(map(tuple, spark.read.parquet(path).collect()))
+    proc(b2, 1)  # replay of batch 2 — no-op again
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == after_b2
+
+    # Version stream: user 1 view→click→buy (click at id 3 not re-opened
+    # by the id-5 click within b2 — suppressed as a no-op), user 2
+    # view→click.
+    rows = spark.read.parquet(path).orderBy("user_id", "valid_from").collect()
+    u1 = [(r.event_type, r.is_current) for r in rows if r.user_id == 1]
+    u2 = [(r.event_type, r.is_current) for r in rows if r.user_id == 2]
+    assert u1 == [("view", False), ("click", False), ("buy", True)]
+    assert u2 == [("view", False), ("click", True)]
