@@ -53,10 +53,18 @@ def shingles_col(n: int = 3) -> F.Column:
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Short-doc rows are dropped with ``size(tokens) >= n`` BEFORE the
+    shingle projection — equivalent to the natural ``size(shingles) > 0``
+    (shingle count = tokens−n+1; distinct of non-empty is non-empty), but
+    a filter on the shingle column gets predicate-pushed below the
+    projection with the WHOLE shingle pipeline inlined into the Filter
+    condition (HOF lambdas have no CSE → the O(tokens²) element_at form,
+    re-evaluated per row, once per consumer plan — measured 25× on the
+    novelty query). The token-count predicate inlines only the split."""
     out = df
     if "tokens" not in df.columns:
         out = out.withColumn("tokens", tokens_col(text_col))
-    return out.withColumn("shingles", shingles_col(n)).filter(F.size("shingles") > 0)
+    return out.filter(F.size("tokens") >= n).withColumn("shingles", shingles_col(n))
 
 
 def with_shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -73,6 +81,10 @@ def with_shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> Da
     out = df
     if "tokens" not in df.columns:
         out = out.withColumn("tokens", tokens_col(text_col))
+    # size(tokens) >= n, not size(shingle_hashes) > 0: same rows (see
+    # with_shingles), but the latter predicate-pushes the whole O(tokens²)
+    # shingle pipeline into the Filter condition.
+    out = out.filter(F.size("tokens") >= n)
     out = out.withColumn("__tok_h", F.transform("tokens", lambda t: F.xxhash64(t)))
     th = F.col("__tok_h")
     shingles = F.array_distinct(
@@ -83,11 +95,7 @@ def with_shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> Da
             ),
         )
     )
-    return (
-        out.withColumn("shingle_hashes", shingles)
-        .drop("__tok_h")
-        .filter(F.size("shingle_hashes") > 0)
-    )
+    return out.withColumn("shingle_hashes", shingles).drop("__tok_h")
 
 
 def minhash_signatures_from_tokens(
@@ -250,8 +258,15 @@ def ngram_jaccard_pairs(
     MinHash-LSH candidate filtering; standalone it's quadratic in the
     worst case (all-same-shingle degenerate data).
     """
-    sized = df.select(F.col(id_col), "shingles").withColumn(
-        "n_sh", F.size("shingles")
+    # Materialize the shingle arrays BEFORE explode: the Generate node
+    # infers a size(shingles)>0 constraint, and pushing it below the
+    # shingle projection inlines the whole O(tokens²) HOF pipeline into a
+    # per-row Filter — on BOTH sides of the self-join (measured 25× on
+    # this family; same medicine as the LSH signature checkpoint).
+    sized = (
+        df.select(F.col(id_col), "shingles")
+        .withColumn("n_sh", F.size("shingles"))
+        .localCheckpoint(eager=True)
     )
     inv = sized.select(id_col, "n_sh", F.explode("shingles").alias("sh"))
     a = inv.select(

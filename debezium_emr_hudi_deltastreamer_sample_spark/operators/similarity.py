@@ -133,16 +133,30 @@ def _kmeans_fit_sample(
     # direction land in different cells and recall craters.
     v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
 
+    def dists(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+        # |x|² − 2x·c + |c|² via one BLAS matmul — an (n, k) result with NO
+        # (n, k, dim) broadcast temporary. The naive broadcast form is
+        # fine at nlist=16 but allocates ~n·k·dim·8 bytes per evaluation;
+        # with k ∝ n (SemDeDup's sizing) that went quadratic-ish —
+        # measured 318 s for one fit at 20k×78 vs <1 s in this form.
+        x2 = (x * x).sum(axis=1, keepdims=True)
+        c2 = (centroids * centroids).sum(axis=1)
+        return np.maximum(x2 - 2.0 * (x @ centroids.T) + c2, 0.0)
+
     def one_fit(rng: np.random.Generator) -> tuple[float, np.ndarray]:
-        # k-means++ seeding: spread initial centroids ∝ squared distance.
-        centroids = v[rng.integers(len(v))][None, :]
+        # k-means++ seeding with the min-distance maintained INCREMENTALLY
+        # (only the newest centroid's distances per step — O(n·dim), not
+        # O(n·k·dim)); draw sequence identical to the textbook form.
+        seeds = [v[rng.integers(len(v))]]
+        d2 = ((v - seeds[0]) ** 2).sum(axis=1)
         for _ in range(1, nlist):
-            d2 = ((v[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2).min(axis=1)
             p = d2 / d2.sum() if d2.sum() > 0 else None
-            centroids = np.vstack([centroids, v[rng.choice(len(v), p=p)]])
+            c = v[rng.choice(len(v), p=p)]
+            seeds.append(c)
+            d2 = np.minimum(d2, ((v - c) ** 2).sum(axis=1))
+        centroids = np.stack(seeds)
         for _ in range(max_iter):
-            d2 = ((v[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = dists(v, centroids).argmin(axis=1)
             new = np.stack(
                 [
                     v[assign == c].mean(axis=0) if (assign == c).any() else centroids[c]
@@ -152,7 +166,7 @@ def _kmeans_fit_sample(
             if np.allclose(new, centroids):
                 break
             centroids = new
-        inertia = ((v - centroids[d2.argmin(axis=1)]) ** 2).sum()
+        inertia = dists(v, centroids).min(axis=1).sum()
         return inertia, centroids
 
     # Lloyd's converges to local optima; a few seeded restarts on the

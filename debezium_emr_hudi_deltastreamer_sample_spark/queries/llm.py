@@ -1413,7 +1413,17 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain re-agg. No all-pairs anything: cost is O(total grams), and the
     gram →count side is exactly the reusable index a corpus service would
     persist."""
-    docs = with_shingles(_t(spark, sf_dir, "documents"), n=5)
+    # Materialized (localCheckpoint) before explode: the gram index is
+    # consumed twice (inverted index + probe side), and the Generate
+    # node's inferred size(shingles)>0 constraint would otherwise push
+    # below the shingle projection with the whole O(tokens²) HOF pipeline
+    # inlined into a per-row Filter (measured 25× on this query). In
+    # deployment this materialization IS the persisted gram index.
+    docs = (
+        with_shingles(_t(spark, sf_dir, "documents"), n=5)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
+    )
     inv = docs.select("doc_id", F.explode("shingles").alias("g"))
     u = inv.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
     return (

@@ -752,3 +752,69 @@ def stream_scd2_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table_path).select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
+
+
+@_q(
+    "stream_temporal_join",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    chg AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    scd AS (
+      SELECT user_id, event_type AS version_attr, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM chg)
+    SELECT s.version_attr,
+           count(*) AS n_events,
+           round(sum(e.value), 3) AS total_value
+    FROM events e JOIN scd s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    GROUP BY 1
+    """,
+)
+def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join — the streaming enrichment pattern a
+    versioned dimension exists FOR: each stream event joins the SCD2
+    version that was current AT ITS EVENT TIME (key equality + BETWEEN on
+    the validity interval), never today's version — the lookup that makes
+    backfilled features training-safe (no leakage from future dimension
+    states). Flink calls this a temporal table join; here it is a
+    stream-static join against the cdc_scd2_history build, aggregated per
+    dimension version attribute.
+
+    Scale: the static side is the versioned dimension — orders of
+    magnitude smaller than the fact stream (versions, not events);
+    broadcast when it fits, else an equi-join on the key with the interval
+    as a residual filter (the plan this query produces) — versions per key
+    are few, so the residual fan-out is bounded. The events fixture makes
+    every event match EXACTLY one version (versions partition each key's
+    timeline from its first event), which the oracle's join reproduces."""
+    sess = _stream_session(spark)
+    from .cdc import cdc_scd2_history
+
+    dim = cdc_scd2_history(sess, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("version_attr"),
+        "valid_from",
+        "valid_to",
+    )
+    stream = _events_stream(sess, sf_dir)
+    joined = stream.join(
+        F.broadcast(dim),
+        (stream.user_id == dim.d_user)
+        & (stream.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (stream.ts < dim.valid_to)),
+    )
+    agg = joined.groupBy("version_attr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )
+    return _drain(agg)

@@ -56,6 +56,15 @@ QUERIES = [
     # scan speed) and the 2-D Z-order re-layout (write-side sort cost).
     "llm_bloom_decontaminate",
     "sink_zorder_readback",
+    # Late round-3 family: SemDeDup (cluster equi-join pair mass must stay
+    # linear via k ∝ n), corpus-unique-gram novelty (inverted index), the
+    # CCNet tercile split (vocab broadcast + per-lang window), the decode→
+    # resize lane (fixed-width output rows), and the SCD2 window build.
+    "llm_semantic_dedup",
+    "llm_ngram_novelty",
+    "llm_perplexity_buckets",
+    "mm_resize_stats",
+    "cdc_scd2_history",
 ]
 
 
