@@ -1545,3 +1545,44 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_vec",
         )
     )
+
+
+@_q("llm_ngram_jaccard_lsh")  # LSH candidate generation — rows-only; pinned in tests/
+def llm_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of llm_ngram_jaccard — the pipeline that query's
+    docstring prescribes for 100 TB, composed end-to-end: MinHash-LSH
+    banding proposes candidate pairs (O(n·bucket), never the inverted-index
+    self-join's worst-case O(n²)), then the EXACT shingle-set Jaccard is
+    recomputed on candidates only via array_intersect over the two docs'
+    hashed shingle arrays — no explode, no pair blow-up. Same output
+    schema and threshold as the exact variant; results ⊆ the exact pair
+    set (banding may miss a pair, the exact refine never invents one —
+    containment + recall pinned in tests).
+
+    Scale: the (id, shingle_hashes) index is checkpointed once and reused
+    by the signature build and both refine sides; the candidate join is
+    id-equi (broadcast at dimension sizes); per-pair cost is one
+    array_intersect of two doc-length long arrays."""
+    docs = _t(spark, sf_dir, "documents").withColumn("tokens", tokens_col())
+    hashed = (
+        with_shingle_hashes(docs, n=3)
+        .select("doc_id", "shingle_hashes")
+        .localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures(hashed, "doc_id", num_hashes=32)
+    cands = minhash_lsh_candidates(sigs, "doc_id", num_hashes=32, bands=8)
+    a = hashed.select(
+        F.col("doc_id").alias("id_a"), F.col("shingle_hashes").alias("sh_a")
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("id_b"), F.col("shingle_hashes").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )

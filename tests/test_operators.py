@@ -1068,3 +1068,27 @@ def test_semantic_dedup_prunes_subset_of_exact(spark, sf_small):
     assert pruned <= exact
     assert len(pruned) >= len(exact) // 2  # measured 6/7 at cluster ≈ 256
     assert sum(r.n_pruned for r in report) == len(pruned)
+
+
+def test_ngram_jaccard_lsh_refines_subset_of_exact(spark, sf_small):
+    """The LSH-refined Jaccard twin: every emitted pair must appear in the
+    exact inverted-index result WITH the same Jaccard value (the refine
+    recomputes the true statistic — banding can only shrink the candidate
+    set), and recall on the fixture's near-dup structure stays high."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
+        llm_ngram_jaccard,
+        llm_ngram_jaccard_lsh,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in llm_ngram_jaccard(spark, sf_small).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in llm_ngram_jaccard_lsh(spark, sf_small).collect()
+    }
+    assert set(approx) <= set(exact)
+    for pair, j in approx.items():
+        assert j == pytest.approx(exact[pair], abs=1e-9)
+    assert len(approx) >= max(1, int(0.8 * len(exact)))
