@@ -1931,3 +1931,50 @@ def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("resized_mean"), 4).alias("avg_resized_mean"),
         )
     )
+
+
+@_q(
+    "window_count_distinct",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT user_id, ts, event_id,
+           sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — an aggregate Spark (and
+    ANSI SQL) forbid directly (`count(distinct) OVER (... ROWS ...)` is
+    unsupported), expressed as the standard two-window rewrite: flag each
+    (user, type)'s FIRST occurrence with row_number, then running-sum the
+    flags. Both windows and the ordering share the user_id hash
+    partitioning; the (ts, event_id) tie-break keeps the running value
+    deterministic under replay.
+
+    Scale: two window passes over the same key partitioning — Catalyst
+    plans the user_id exchange once for the outer window; the inner
+    (user_id, event_type) partitioning is a strict refinement, so the
+    only extra cost vs one window is the in-partition sort."""
+    ev = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_seen = F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    return (
+        ev.withColumn("first_seen", first_seen)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+        )
+    )

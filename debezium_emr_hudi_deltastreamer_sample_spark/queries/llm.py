@@ -6,6 +6,7 @@ assertions in tests/ (recall vs exact baselines).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1585,4 +1586,94 @@ def llm_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+_BPE_SEP = "\x00"  # merged-symbol glue: never occurs inside a whitespace token
+
+
+def _bpe_pair_counts(seqs: DataFrame, col: str) -> DataFrame:
+    """Adjacent-pair frequencies over sequence arrays — JVM-side:
+    zip(seq[:-1], seq[1:]) → explode → partial-agg'd count."""
+    pairs = F.arrays_zip(
+        F.slice(F.col(col), 1, F.greatest(F.size(col) - 1, F.lit(0))),
+        F.slice(F.col(col), 2, F.greatest(F.size(col) - 1, F.lit(0))),
+    )
+    return (
+        seqs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q("llm_bpe_apply")  # iterative driver-elected merges — rows-only; reference in tests/
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training's apply loop — the iterative half next to
+    llm_bpe_merge_pairs' counting job: K greedy rounds of (1) corpus-wide
+    adjacent-pair counts (partial-agg'd, shuffle is pair-vocabulary-
+    sized), (2) driver election of the most frequent pair (one 1-row
+    collect — the merge TABLE is the only driver state, exactly what a
+    tokenizer trainer persists), (3) greedy left-to-right non-overlapping
+    pair replacement in every sequence (Arrow pandas UDF — per-sequence
+    sequential semantics with lookahead that no built-in HOF expresses;
+    the merge pair ships in the closure). Election tie-break
+    (count desc, a, b) makes the learned merges deterministic.
+
+    Scale: each round is one scan + one pair-vocab shuffle + one scan;
+    rounds are sequential BY DESIGN (merge r+1's counts depend on merge
+    r's rewrite — the BPE data dependency, not an implementation choice).
+    The rewritten corpus is localCheckpointed per round so round r+1
+    scans materialized sequences instead of replaying r rewrites, the
+    same bounded-lineage contract as the LSH signature reuse. Returns
+    the per-round merge table plus before/after token totals."""
+    from pyspark.sql.functions import pandas_udf
+
+    def merger(a: str, b: str):
+        @pandas_udf("array<string>")
+        def merge(col: pd.Series) -> pd.Series:
+            out = []
+            for seq in col:
+                res, i, n = [], 0, len(seq)
+                while i < n:
+                    if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                        res.append(a + _BPE_SEP + b)
+                        i += 2
+                    else:
+                        res.append(seq[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        return merge
+
+    seqs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col().alias("seq"))
+        .localCheckpoint(eager=True)
+    )
+    before = seqs.agg(F.sum(F.size("seq"))).first()[0]
+    learned = []
+    for rnd in range(5):
+        top = (
+            _bpe_pair_counts(seqs, "seq")
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        learned.append((rnd, a, b, cnt))
+        seqs = seqs.withColumn("seq", merger(a, b)(F.col("seq"))).localCheckpoint(
+            eager=True
+        )
+    after = seqs.agg(F.sum(F.size("seq"))).first()[0]
+    return spark.createDataFrame(
+        [
+            (rnd, a.replace(_BPE_SEP, "+"), b.replace(_BPE_SEP, "+"), cnt, before, after)
+            for rnd, a, b, cnt in learned
+        ],
+        "round int, merge_a string, merge_b string, pair_count bigint, "
+        "tokens_before bigint, tokens_after bigint",
     )

@@ -1092,3 +1092,52 @@ def test_ngram_jaccard_lsh_refines_subset_of_exact(spark, sf_small):
     for pair, j in approx.items():
         assert j == pytest.approx(exact[pair], abs=1e-9)
     assert len(approx) >= max(1, int(0.8 * len(exact)))
+
+
+def test_bpe_apply_matches_python_reference(spark, sf_tiny):
+    """The 5-round distributed BPE loop must learn exactly the merges a
+    sequential pure-python trainer learns on the same corpus (same greedy
+    election, same (count desc, pair) tie-break) and produce the same
+    before/after token totals."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
+        _BPE_SEP,
+        llm_bpe_apply,
+    )
+
+    tbl = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["text"])
+    seqs = [
+        [t for t in re.split(r"\s+", txt) if t] for txt in tbl.column("text").to_pylist()
+    ]
+    before = sum(map(len, seqs))
+    expect = []
+    for _ in range(5):
+        counts = Counter()
+        for s in seqs:
+            counts.update(zip(s, s[1:]))
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((a, b, cnt))
+        merged = a + _BPE_SEP + b
+        out = []
+        for s in seqs:
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            out.append(res)
+        seqs = out
+    after = sum(map(len, seqs))
+
+    rows = llm_bpe_apply(spark, sf_tiny).orderBy("round").collect()
+    got = [(r.merge_a.replace("+", _BPE_SEP), r.merge_b.replace("+", _BPE_SEP), r.pair_count) for r in rows]
+    assert got == expect
+    assert rows[0].tokens_before == before
+    assert rows[0].tokens_after == after
