@@ -421,23 +421,31 @@ def pipe_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on user_id, never a time-cross-product. The final
     aggregate is a single global row (partial-agg'd)."""
     ev = _t(spark, sf_dir, "events")
+    # Both sides derive from the same scan — explicit aliases make the join
+    # key resolution unambiguous (the bare s.user_id == p.user_id form
+    # resolves to one attribute id and leans on Spark's self-join
+    # disambiguation heuristic, which warns and can silently flip to a
+    # trivially-true predicate under refactoring).
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup_ts"))
+        .alias("s")
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .alias("p")
     )
     conv = (
         s.join(
             p,
-            (s.user_id == p.user_id)
+            (F.col("s.user_id") == F.col("p.user_id"))
             & (F.col("p_ts") >= F.col("signup_ts"))
             & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAY")),
             "left",
         )
-        .groupBy(s.user_id, "signup_ts")
+        .groupBy(F.col("s.user_id"), F.col("signup_ts"))
         .agg(F.min("p_ts").alias("first_purchase_ts"))
     )
     return conv.agg(
