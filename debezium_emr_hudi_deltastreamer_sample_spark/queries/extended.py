@@ -1957,11 +1957,15 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning; the (ts, event_id) tie-break keeps the running value
     deterministic under replay.
 
-    Scale: two window passes over the same key partitioning — Catalyst
-    plans the user_id exchange once for the outer window; the inner
-    (user_id, event_type) partitioning is a strict refinement, so the
-    only extra cost vs one window is the in-partition sort."""
-    ev = _t(spark, sf_dir, "events")
+    Scale: the explicit repartition on user_id is what makes this ONE
+    exchange — HashPartitioning(user_id) satisfies the clustering
+    requirement of BOTH windows (a hash on a SUBSET of a window's
+    partition keys co-locates its groups; the reverse is false: left to
+    itself Catalyst hashes the first window on (user_id, event_type),
+    which does NOT satisfy the outer user_id window, inserting a second
+    exchange). Plan-pinned in test_plans; the only cost vs one window is
+    the in-partition sort."""
+    ev = _t(spark, sf_dir, "events").repartition("user_id")
     w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")

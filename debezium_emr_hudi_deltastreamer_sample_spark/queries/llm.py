@@ -1669,11 +1669,12 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
     after = seqs.agg(F.sum(F.size("seq"))).first()[0]
+    # Merged symbols are emitted RAW (with the \x00 glue): any printable
+    # substitute could collide with characters inside real tokens, making
+    # the rendering ambiguous — the consumer of a merge table needs the
+    # exact symbols, not a display form.
     return spark.createDataFrame(
-        [
-            (rnd, a.replace(_BPE_SEP, "+"), b.replace(_BPE_SEP, "+"), cnt, before, after)
-            for rnd, a, b, cnt in learned
-        ],
+        [(rnd, a, b, cnt, before, after) for rnd, a, b, cnt in learned],
         "round int, merge_a string, merge_b string, pair_count bigint, "
         "tokens_before bigint, tokens_after bigint",
     )

@@ -167,7 +167,7 @@ def stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.withWatermark("ts", "1 day")
         .groupBy("event_type", F.window("ts", "2 days", "1 day").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("value"), 3).alias("total"))
         .select("event_type", F.col("w.start").alias("window_start"), "n", "total")
     )
     return _drain(agg)
@@ -414,7 +414,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("value"), 3).alias("total"))
     )
     return _drain(agg)
 
@@ -727,9 +727,11 @@ def stream_scd2_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .json(staging)
         )
-        dst = os.path.join(src, f"b{i}.json")
-        shutil.move(_glob.glob(f"{staging}/part-*")[0], dst)
-        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        parts = _glob.glob(f"{staging}/part-*")
+        if parts:  # a tercile can be empty under skewed event time
+            dst = os.path.join(src, f"b{i}.json")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
         shutil.rmtree(staging, ignore_errors=True)
 
     stream = (
@@ -815,6 +817,6 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = joined.groupBy("version_attr").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 3).alias("total_value"),
+        dround(F.sum("value"), 3).alias("total_value"),
     )
     return _drain(agg)

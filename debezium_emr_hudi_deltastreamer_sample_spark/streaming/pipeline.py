@@ -268,10 +268,20 @@ def scd2_batch_processor(
         changes = b.filter(
             F.col("_prev").isNull() | (F.col(attr) != F.col("_prev"))
         ).drop("_prev")
+        # Only a MISSING/EMPTY table means "first batch". Any other read
+        # failure (transient FS error, corrupt footer, permissions) must
+        # abort the batch so foreachBatch retries it — swallowing it
+        # would fold this batch against nothing and the final overwrite
+        # would replace the whole versioned history with it.
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         try:
             hist = spark.read.parquet(table_path)
-        except Exception:
-            hist = None
+        except AnalysisException as e:
+            if e.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                hist = None
+            else:
+                raise
         if hist is not None:
             open_rows = hist.filter("is_current").select(
                 key,
@@ -290,10 +300,14 @@ def scd2_batch_processor(
                     )
                 )
                 .withColumn("_rn", F.row_number().over(w))
+                # eqNullSafe: a key FIRST seen in this batch has NULL
+                # _open_attr; plain == makes the whole NOT(...) predicate
+                # NULL and the filter would silently drop that key's
+                # first version (three-valued logic).
                 .filter(
                     ~(
                         (F.col("_rn") == 1)
-                        & (F.col(attr) == F.col("_open_attr"))
+                        & F.col(attr).eqNullSafe(F.col("_open_attr"))
                     )
                 )
                 .drop("_rn", "_open_attr", "_open_from", "_open_fid")

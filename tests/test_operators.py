@@ -1137,7 +1137,7 @@ def test_bpe_apply_matches_python_reference(spark, sf_tiny):
     after = sum(map(len, seqs))
 
     rows = llm_bpe_apply(spark, sf_tiny).orderBy("round").collect()
-    got = [(r.merge_a.replace("+", _BPE_SEP), r.merge_b.replace("+", _BPE_SEP), r.pair_count) for r in rows]
+    got = [(r.merge_a, r.merge_b, r.pair_count) for r in rows]
     assert got == expect
     assert rows[0].tokens_before == before
     assert rows[0].tokens_after == after

@@ -339,3 +339,12 @@ def test_stratified_sample_is_pure_scan_agg(spark, qs):
     assert "Join" not in p
     assert not uses_python_row_udf(p)
     assert "partial_count" in p
+
+
+def test_window_count_distinct_single_exchange(spark, qs):
+    """window_count_distinct: the explicit user_id repartition must serve
+    BOTH window passes (hash on a subset of the inner window's keys
+    co-locates its groups) — exactly one exchange, keyed on user_id."""
+    p = plan(qs["window_count_distinct"](spark, SF))
+    assert p.count(") Exchange") == 1
+    assert "hashpartitioning(user_id" in p

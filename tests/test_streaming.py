@@ -921,3 +921,16 @@ def test_scd2_fold_replay_idempotent(spark, tmp_path):
     u2 = [(r.event_type, r.is_current) for r in rows if r.user_id == 2]
     assert u1 == [("view", False), ("click", False), ("buy", True)]
     assert u2 == [("view", False), ("click", True)]
+
+    # A key FIRST seen after batch 1: its NULL open-version attributes
+    # must not trip the cross-batch no-op filter (three-valued logic —
+    # the eqNullSafe regression the review caught); both its versions
+    # survive.
+    b3 = spark.createDataFrame([ev(8, 3, 40, "view"), ev(9, 3, 45, "buy")], schema)
+    proc(b3, 2)
+    u3 = [
+        (r.event_type, r.is_current)
+        for r in spark.read.parquet(path).orderBy("valid_from").collect()
+        if r.user_id == 3
+    ]
+    assert u3 == [("view", False), ("buy", True)]
