@@ -934,3 +934,71 @@ def test_scd2_fold_replay_idempotent(spark, tmp_path):
         if r.user_id == 3
     ]
     assert u3 == [("view", False), ("buy", True)]
+
+
+def test_scd2_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpointed SCD2 maintenance across process restarts: fold batch 1,
+    stop, add batch 2, restart on the SAME checkpoint — batch 1 must not
+    re-fold (offsets) and the final dimension must equal folding both
+    batches in one run."""
+    import datetime as dt
+    import json as _json
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+        scd2_batch_processor,
+        start_pipeline,
+        run_until_drained,
+    )
+
+    src = tmp_path / "scd2_in"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rec(eid, uid, minutes, typ):
+        return {
+            "event_id": eid,
+            "ts_us": int((t0 + dt.timedelta(minutes=minutes)).timestamp() * 1_000_000),
+            "user_id": uid,
+            "event_type": typ,
+        }
+
+    b1 = [rec(1, 1, 0, "view"), rec(2, 1, 10, "click"), rec(3, 2, 5, "view")]
+    b2 = [rec(4, 1, 20, "buy"), rec(5, 2, 25, "view"), rec(6, 3, 30, "click")]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    table = str(tmp_path / "scd2_table")
+    ckpt = str(tmp_path / "scd2_ckpt")
+
+    def run_once():
+        from pyspark.sql import functions as F
+
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts_us bigint, user_id bigint, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .drop("ts_us")
+        )
+        q = start_pipeline(
+            stream, scd2_batch_processor(table), checkpoint=ckpt, available_now=True
+        )
+        run_until_drained(q)
+
+    run_once()
+    assert spark.read.parquet(table).count() == 3  # view, click, view
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b2))
+    run_once()
+    rows = spark.read.parquet(table).collect()
+    versions = sorted(
+        (r.user_id, r.event_type, r.is_current) for r in rows
+    )
+    # u1 view→click→buy; u2 one open view (batch-2 view is a no-op);
+    # u3 first seen in batch 2 with one open click.
+    assert versions == [
+        (1, "buy", True),
+        (1, "click", False),
+        (1, "view", False),
+        (2, "view", True),
+        (3, "click", True),
+    ]
