@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cdc, extended, llm, pipeline, relational, streaming
+from . import analytics, cdc, extended, llm, pipeline, relational, streaming, tpch
 
-_MODULES = (relational, cdc, llm, streaming, extended, pipeline)
+_MODULES = (relational, cdc, llm, streaming, extended, pipeline, tpch, analytics)
 
 # Query names the driver's 50-entry correctness sample already covered in
 # rounds 1-2 (keys of CORRECTNESS_r01/r02.json). Names are stable across

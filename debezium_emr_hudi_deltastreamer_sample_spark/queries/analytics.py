@@ -1,0 +1,289 @@
+"""Advanced-analytics closure queries: exact-distinct bitmap aggregation,
+MATCH_RECOGNIZE-style sequence detection, linear time-series
+interpolation, and URL canonicalization/dedup — capability-closure rows
+next to the reference's landed-table query surface (reference
+README.md:234,273), each with a DuckDB oracle.
+
+Same determinism contract as queries/relational.py: identical aliases in
+both engines, rounded doubles, tz-free integer arithmetic where engines
+could disagree on timestamp→epoch conversions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as _t
+from ..functions import dround
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "agg_bitmap_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS distinct_users,
+           count(DISTINCT CASE WHEN value > 50 THEN user_id END) AS big_spenders
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap partial aggregation (Spark 3.5+
+    `bitmap_*` family) — the scale-safe alternative to a naive
+    COUNT(DISTINCT) when the distinct expansion is the bottleneck.
+
+    Why this shape at 100 TB: COUNT(DISTINCT key) expands every group to
+    its full key set before the final dedup — the shuffle carries one row
+    per (group, key). The bitmap form aggregates each 32 768-key bucket
+    into a fixed ≤4 KB bitmap ON THE MAP SIDE, so the shuffle carries
+    (group, bucket)-many bitmaps instead of raw keys; the final pass sums
+    `bitmap_count`s. Exact (not a sketch — contrast agg_approx_distinct's
+    HLL), and the bitmaps OR-merge associatively, so partial aggregation
+    stays effective. The conditional variant (distinct big spenders)
+    shows the same trick composing with a filter."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm_all"),
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(
+                F.when(F.col("value") > 50, F.col("user_id"))
+            )
+        ).alias("bm_big"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm_all")).alias("distinct_users"),
+        F.sum(F.bitmap_count("bm_big")).alias("big_spenders"),
+    )
+
+
+@_q(
+    "window_pattern_match",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_matches,
+           min(event_id) AS first_match_id
+    FROM seq
+    WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def window_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection (SQL MATCH_RECOGNIZE's simplest
+    shape, which Spark lacks natively): per user, find every occurrence
+    of three CONSECUTIVE events view → click → purchase in time order.
+
+    Scale: one shuffle (the per-user window partition); the pattern is
+    two `lead`s + a filter — row-local once the partition is sorted, no
+    join, no state machine UDF. Longer fixed patterns are more leads;
+    variable-length patterns (A B* C) need the sessionize-then-
+    `applyInPandasWithState` form (see stream_stateful_totals). The
+    (ts, event_id) ORDER keeps the sequence deterministic under ties."""
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    return (
+        ev.withColumn("e1", F.lead("event_type", 1).over(seq))
+        .withColumn("e2", F.lead("event_type", 2).over(seq))
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("e1") == "click")
+            & (F.col("e2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("event_id").alias("first_match_id"),
+        )
+    )
+
+
+@_q(
+    "ts_interpolate",
+    """
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             round(avg(value), 3) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(time_bucket(INTERVAL 1 HOUR, ts)) AS lo,
+                      max(time_bucket(INTERVAL 1 HOUR, ts)) AS hi
+               FROM events),
+    grid AS (
+      SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t, bounds),
+    g AS (
+      SELECT grid.event_type, grid.h, v,
+             CAST(row_number() OVER
+               (PARTITION BY grid.event_type ORDER BY grid.h) AS BIGINT) AS idx
+      FROM grid LEFT JOIN b USING (event_type, h)),
+    ends AS (
+      SELECT event_type, h, v, idx,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wp AS pi,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wf AS ni
+      FROM g
+      WINDOW wp AS (PARTITION BY event_type ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY idx
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (idx - pi) / (ni - pi)
+           END, 3) AS v_interp,
+           v IS NULL AS is_gap
+    FROM ends
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation (the hypertable
+    `interpolate()` sibling of ts_gap_fill's locf): hourly per-type
+    averages on a dense grid, with missing buckets filled by the straight
+    line between the nearest observed neighbors (edges clamp to the
+    nearest observation).
+
+    Scale: identical cost shape to ts_gap_fill — the raw scan collapses
+    to a |types|×|hours| rollup first and everything downstream is
+    grid-sized. Interpolation is two mirrored windows (running last /
+    following first), each sequential only within one type's timeline.
+    The gap fraction uses the dense grid's ROW INDEX, not epoch
+    arithmetic — hour positions are integers in both engines, so the
+    math is tz-proof and hashes identically."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    b = ev.groupBy("event_type", "h").agg(
+        dround(F.avg("value"), 3).alias("v")
+    ).localCheckpoint(eager=False)
+    bounds = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        b.select("event_type")
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    by_h = W.partitionBy("event_type").orderBy("h")
+    wp = by_h.rowsBetween(W.unboundedPreceding, 0)
+    wf = by_h.rowsBetween(0, W.unboundedFollowing)
+    g = grid.join(b, ["event_type", "h"], "left").withColumn(
+        "idx", F.row_number().over(by_h).cast("long")
+    )
+    obs_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("idx") - F.col("pi"))
+            / (F.col("ni") - F.col("pi"))
+        )
+    )
+    return (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pi", F.last(obs_idx, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wf))
+        .withColumn("ni", F.first(obs_idx, ignorenulls=True).over(wf))
+        .select(
+            "event_type",
+            "h",
+            dround(interp, 3).alias("v_interp"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )
+
+
+@_q(
+    "pipe_url_normalize",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://CDN' || (doc_id % 7) || '.Example.COM:443/docs/item'
+             || (doc_id % 40) || '?session=' || doc_id
+             || '&utm_source=feed#frag' AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             'https://' || lower(regexp_extract(url, 'https://([^/:]+)', 1))
+             || regexp_extract(url, ':443(/[^?#]*)', 1) AS canonical_url
+      FROM urls)
+    SELECT canonical_url,
+           count(*) AS n_docs,
+           min(doc_id) AS keeper_doc
+    FROM canon
+    GROUP BY canonical_url
+    HAVING count(*) > 1
+    """,
+)
+def pipe_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + duplicate grouping — the web-crawl dedup
+    pre-pass (strip tracking params and fragments, lowercase the host,
+    drop the default port) that runs BEFORE content dedup in a CommonCrawl
+    -style pipeline. Corpus URLs are synthesized deterministically from
+    doc_id since the fixture has no URL column (mixed-case host, default
+    port, per-visit session + utm params, fragment); both engines build
+    the identical string, and canonicalization must collapse the
+    per-visit noise down to scheme+host+path.
+
+    Scale: `parse_url` is a JVM intrinsic — the whole normalize is one
+    codegen'd projection, no Python, no shuffle until the canonical-url
+    groupBy (which shuffles short canonical strings, not documents). At
+    crawl scale the groupBy key should be `xxhash64(canonical_url)` with
+    the string kept as a payload — same plan shape. The keeper rule
+    (min doc_id) makes the dedup decision deterministic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://CDN"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/docs/item"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?session="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_source=feed#frag"),
+    )
+    with_url = docs.withColumn("url", url)
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.parse_url("url", F.lit("PATH")),
+    )
+    return (
+        with_url.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

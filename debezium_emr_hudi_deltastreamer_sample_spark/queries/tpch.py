@@ -1,0 +1,491 @@
+"""Classic TPC-H-shaped analytics (adapted to the driver's trimmed
+schemas) — the decision-support workloads a user of the reference's landed
+tables (reference README.md:234,273 — "query the Hudi table with Spark
+SQL / Athena") would actually run. Each is the canonical plan-shape
+challenge the optimizer literature names it for:
+
+- Q7  two-sided nation-pair volume: same dimension joined twice under an
+  OR-pair residual — tests join reordering + broadcast of both copies.
+- Q8  market share: conditional aggregation over a 6-table star.
+- Q10 returned-item revenue: selective fact filter before a wide join.
+- Q14 promo effect: two conditional sums in one pass (no self-join).
+- Q15 top supplier: aggregate → scalar-subquery max → equality join.
+- Q18 large orders: HAVING-filtered aggregate semi-joined back to facts.
+- Q19 bracket revenue: disjunctive multi-column predicates (OR of ANDs).
+- Q22 idle customers: anti join + uncorrelated scalar subquery.
+
+The reference repo has no query surface of its own (47 LoC generator,
+README-embedded config); these close SURVEY.md §2.C's "joins of every
+shape / aggregation" row with industry-standard shapes whose 100 TB
+behavior is well understood: every dimension that must broadcast is
+hinted, every fact-side filter is pushdown-checked in tests/test_plans.py.
+
+Determinism: computed columns aliased identically in Spark and DuckDB,
+doubles rounded, every ORDER-free result relies on the driver's
+order-insensitive hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table as _t
+from ..functions import dround
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "tpch_q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+            OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations per ship year. The same `nation` dimension participates twice
+    (supplier side and customer side) with an OR over the pair assignment.
+
+    Scale: both nation copies and supplier broadcast (25 / 100·SF rows);
+    customer⋈orders⋈lineitem is the only real shuffle chain and AQE picks
+    broadcast for customer at small SF. The nation-pair predicate cannot
+    prune the fact scan, but the shipdate range does (PushedFilters); the
+    OR-pair residual is evaluated post-join on already-tiny rows. Group
+    space is 2 nations × 2 years — the final agg is map-side dominated."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = na.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (
+        F.col("cust_nation") == "NATION_9"
+    ) | (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'PROMO'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    PROMO-part revenue sold into ASIA customers, per order year —
+    conditional aggregation over a 7-join star (nation twice again).
+
+    Scale: part is filtered to one p_type BEFORE joining, so the
+    fact⋈part join is the selective one — placing it first shrinks
+    everything downstream (Catalyst reorders; the broadcast hint makes the
+    filtered part side a map-side join, no fact shuffle for it). The
+    share is two conditional sums in ONE aggregate — never two scans or a
+    self-join. Region/nation/supplier all broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nation = na.join(
+        F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    supp_nation = na.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dround(
+                F.sum(F.when(F.col("nation") == "NATION_2", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-10-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 00:00:00'
+    GROUP BY c_custkey, c_name, acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): customers who returned the
+    most revenue in one quarter, top 20.
+
+    Scale: BOTH fact-side filters (returnflag on lineitem, date range on
+    orders) push to their scans before any join — the join input is a
+    quarter of 'R' lines, not the table. The aggregate keys on customer
+    (pre-shuffled by the join), and the top-20 is a global
+    TakeOrderedAndProject — no full sort. Tie-break on c_custkey keeps
+    the limit deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-10-01", "1996-12-31")
+    ).select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey", "c_name", dround(F.col("c_acctbal"), 2).alias("acctbal"),
+            "n_name",
+        )
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "tpch_q14_promo_effect",
+    """
+    SELECT month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               l_extendedprice, l_discount, p_type
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 00:00:00'
+    )
+    GROUP BY month
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), widened to a per-month series: the
+    share of revenue from PROMO-type parts over 1996.
+
+    Scale: one pass — the promo share is two conditional sums in a single
+    aggregate (the naive form is two scans or a self-join). part joins
+    broadcast (it's a dimension); the date filter pushes to the lineitem
+    scan. 12 output groups → the shuffle is map-side partials only."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+    )
+    pa = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            dround(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@_q(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1996-03-31 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue in
+    a quarter — aggregate, scalar-subquery max over the aggregate, then
+    an equality filter and a dimension join.
+
+    Scale: the revenue CTE is ONE fact aggregate keyed by suppkey; the
+    max is over supplier-count rows (tiny) and comes back as a broadcast
+    scalar; the final join touches only max-revenue suppliers. The CTE is
+    localCheckpointed so the two consumers (max + join) don't recompute
+    the fact scan — at 100 TB a re-scan is the difference between one
+    pass and two."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .localCheckpoint(eager=False)
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(su), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, orderdate, totalprice
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with their customers — a HAVING-filtered
+    aggregate used as a semi-join filter on the same fact table.
+
+    Scale: the qualifying-order set is an aggregate of (orderkey, sum) —
+    orders-count sized, HAVING-filtered to a sliver — then LEFT SEMI
+    joined back, so the big fact⋈fact never materializes a wide row. At
+    100 TB the semi side is small enough that AQE converts it to a
+    broadcast semi-join; the final agg reuses the orderkey partitioning
+    from the semi-join shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 180)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, F.col("l_orderkey") == F.col("big_okey"), "left_semi")
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            dround(F.col("o_totalprice"), 2).alias("totalprice"),
+        )
+        .agg(dround(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@_q(
+    "tpch_q19_bracket_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 25 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue matching any of three
+    brand/size/quantity brackets — the canonical disjunction-of-
+    conjunctions predicate that defeats naive pushdown.
+
+    Scale: the part-only conjuncts (brand, size) CAN prune the part side
+    before the join — the union of the three brand terms is applied to
+    part pre-join, shrinking the broadcast; the mixed terms evaluate as
+    the join residual. One aggregate row out; no shuffle beyond the
+    map-side partials."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pa = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#9")
+    ).select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+        | (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+        | (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(25, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "tpch_q22_idle_customers",
+    """
+    WITH rich AS (
+        SELECT * FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+    )
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM rich
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), segment-adapted: customers
+    with above-average positive balances and no RECENT order (none since
+    2000), counted per market segment — uncorrelated scalar subquery +
+    anti join.
+
+    Scale: the average is one scalar (broadcast); the NOT EXISTS is a
+    LEFT ANTI join against just the DISTINCT o_custkey projection of
+    date-filtered orders — the filter pushes to the orders scan and the
+    projection collapses to its key set before shuffling; at real scale
+    AQE broadcasts the filtered customer side. Never a row-per-order
+    probe."""
+    cu = _t(spark, sf_dir, "customer")
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("buyer_key"))
+        .distinct()
+    )
+    return (
+        cu.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(buyers, F.col("c_custkey") == F.col("buyer_key"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -348,3 +348,76 @@ def test_window_count_distinct_single_exchange(spark, qs):
     p = plan(qs["window_count_distinct"](spark, SF))
     assert p.count(") Exchange") == 1
     assert "hashpartitioning(user_id" in p
+
+
+def test_tpch_star_queries_broadcast_all_dims(spark, qs):
+    """tpch_q7/q8: every dimension side (nation ×2, supplier, region,
+    filtered part) broadcasts; the only shuffle joins are fact-sized.
+    A star plan that shuffles a dimension is the canonical 100 TB
+    regression."""
+    for name in ("tpch_q7_nation_volume", "tpch_q8_market_share"):
+        p = plan(qs[name](spark, SF))
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_tpch_q10_pushes_both_fact_filters(spark, qs):
+    """tpch_q10: the returnflag filter reaches the lineitem scan and the
+    date range reaches the orders scan BEFORE any join; the top-20 is a
+    TakeOrdered, not a global sort."""
+    p = plan(qs["tpch_q10_returned_items"](spark, SF))
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q18_semi_join_filter(spark, qs):
+    """tpch_q18: the qualifying-order set applies as a LEFT SEMI join —
+    the fact table is filtered by the HAVING aggregate, never widened by
+    a fact⋈fact row explosion."""
+    p = plan(qs["tpch_q18_large_orders"](spark, SF))
+    assert "LeftSemi" in p
+
+
+def test_tpch_q15_single_fact_scan(spark, qs):
+    """tpch_q15: the revenue CTE feeds both the max subquery and the
+    equality join from ONE localCheckpointed aggregate — the lineitem
+    scan appears once, not twice."""
+    p = plan(qs["tpch_q15_top_supplier"](spark, SF))
+    assert p.count("Scan parquet") + p.count("FileScan parquet") <= 2  # supplier + (≤1) fact
+    assert "BroadcastHashJoin" in p
+
+
+def test_bitmap_distinct_avoids_expand(spark, qs):
+    """agg_bitmap_distinct: the bitmap two-phase form must NOT plan the
+    COUNT(DISTINCT) Expand+double-shuffle — bitmaps partial-aggregate
+    map-side and the shuffle carries (group, bucket) bitmaps only."""
+    p = plan(qs["agg_bitmap_distinct"](spark, SF))
+    assert "Expand" not in p
+    assert "partial_bitmap_construct_agg" in p
+    assert not uses_python_row_udf(p)
+
+
+def test_pattern_match_single_user_exchange(spark, qs):
+    """window_pattern_match: the lead window and the per-user aggregate
+    share the user_id partitioning — exactly one exchange."""
+    p = plan(qs["window_pattern_match"](spark, SF))
+    assert p.count(") Exchange") == 1
+    assert "hashpartitioning(user_id" in p
+
+
+def test_ts_interpolate_single_events_scan(spark, qs):
+    """ts_interpolate: like ts_gap_fill, the raw events table is scanned
+    once (the rollup); grid, bounds and both fill windows run on
+    rollup-sized data."""
+    p = plan(qs["ts_interpolate"](spark, SF))
+    assert p.count("events.parquet") <= 1
+
+
+def test_url_normalize_jvm_only(spark, qs):
+    """pipe_url_normalize: canonicalization is a codegen'd projection —
+    no Python UDF, and the only exchange is the canonical-url groupBy."""
+    p = plan(qs["pipe_url_normalize"](spark, SF))
+    assert not uses_python_row_udf(p)
+    assert "partial_count" in p
