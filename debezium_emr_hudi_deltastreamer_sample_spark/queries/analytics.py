@@ -287,3 +287,81 @@ def pipe_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@_q(
+    "agg_regression",
+    """
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 1) AS intercept,
+           round(regr_avgx(l_extendedprice, l_quantity), 3) AS avg_qty,
+           round(regr_avgy(l_extendedprice, l_quantity), 2) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares via the SQL:2003 `regr_*` aggregate family
+    (Spark 3.5+/DuckDB both implement it): per-group slope/intercept of
+    price on quantity — the closed-form OLS fit as a single-pass
+    aggregate, no ML library and no iteration.
+
+    Scale: regr_* aggregates are co-moment accumulators (n, Σx, Σy, Σxy,
+    Σx², …) — associative, so Spark partial-aggregates them map-side and
+    the shuffle carries one fixed-width state per group, like
+    agg_corr_covar. This is THE pattern for distributed model fitting
+    when the model has a closed form: at 100 TB the fit costs exactly one
+    scan. r² is intentionally omitted from the compare (a ratio of two
+    near-zero co-moments — ULP-unstable across engines); slope/intercept/
+    means are rounded at stable magnitudes."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        dround(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        dround(F.regr_intercept("l_extendedprice", "l_quantity"), 1).alias(
+            "intercept"
+        ),
+        dround(F.regr_avgx("l_extendedprice", "l_quantity"), 3).alias("avg_qty"),
+        dround(F.regr_avgy("l_extendedprice", "l_quantity"), 2).alias("avg_price"),
+    )
+
+
+@_q(
+    "sql_parameterized",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named-parameter binding plus
+    DataFrame template interpolation) — the injection-safe way to run
+    user-supplied constants through spark.sql, closing the SQL-entrypoint
+    row of the API surface next to the DataFrame-built queries.
+
+    Scale: parameters bind as literals BEFORE analysis, so Catalyst
+    constant-folds them and the date/price predicates push down to the
+    parquet scan exactly as hand-inlined literals would — no plan-cache
+    poisoning, no string concatenation. The {orders} template binds the
+    catalog-normalized DataFrame (nanos-timestamp handling intact), not a
+    raw table name."""
+    od = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM {orders}
+        WHERE o_orderdate >= :lo AND o_totalprice > :minp
+        GROUP BY o_orderpriority
+        """,
+        args={"lo": "1999-01-01 00:00:00", "minp": 1000.0},
+        orders=od,
+    )

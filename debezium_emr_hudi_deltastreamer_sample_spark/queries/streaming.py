@@ -820,3 +820,35 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("value"), 3).alias("total_value"),
     )
     return _drain(agg)
+
+
+@_q(
+    "stream_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id FROM events
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via Spark 3.5's
+    ``dropDuplicatesWithinWatermark`` — the API designed for the case
+    plain ``dropDuplicates`` handles badly on unbounded streams: plain
+    dedup keys state by EVENT TIME VALUES (state only expires if the
+    dedup key includes the event-time column); WithinWatermark guarantees
+    one emission per key among duplicates arriving within the watermark
+    delay of each other, and expires each key's state once the watermark
+    passes it — state is bounded by keys-per-watermark-window regardless
+    of the key's shape.
+
+    Over this bounded replay the watermark delay exceeds the fixture's
+    whole event-time span, so every duplicate collapses and the result
+    equals batch DISTINCT — the oracle. Only the key column is projected:
+    WithinWatermark emits the FIRST arrival's payload, and arrival order
+    across file-source partitions is not deterministic, so non-key
+    payload columns are not contract."""
+    spark = _stream_session(spark)
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    return _drain(deduped, output_mode="append").select("user_id")

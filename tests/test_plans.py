@@ -421,3 +421,20 @@ def test_url_normalize_jvm_only(spark, qs):
     p = plan(qs["pipe_url_normalize"](spark, SF))
     assert not uses_python_row_udf(p)
     assert "partial_count" in p
+
+
+def test_regression_partial_aggregates(spark, qs):
+    """agg_regression: regr_* co-moment states must partial-aggregate
+    map-side (associative accumulators), with no Expand and no UDF."""
+    p = plan(qs["agg_regression"](spark, SF))
+    assert "partial_regr" in p
+    assert "Expand" not in p
+    assert not uses_python_row_udf(p)
+
+
+def test_parameterized_sql_pushes_bound_literals(spark, qs):
+    """sql_parameterized: named parameters bind before analysis, so both
+    predicates reach the parquet scan as ordinary pushed filters."""
+    p = plan(qs["sql_parameterized"](spark, SF))
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "GreaterThan(o_totalprice" in p

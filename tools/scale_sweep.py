@@ -65,6 +65,16 @@ QUERIES = [
     "llm_perplexity_buckets",
     "mm_resize_stats",
     "cdc_scd2_history",
+    # TPC-H + analytics family: the fact-heavy star shapes (Q7 double
+    # nation, Q10 dual pushed filters, Q18 semi-join filter), the bitmap
+    # exact-distinct (shuffle carries bitmaps, not keys), the lead-window
+    # pattern matcher, and the URL canonicalization groupBy.
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "agg_bitmap_distinct",
+    "window_pattern_match",
+    "pipe_url_normalize",
 ]
 
 
