@@ -176,22 +176,9 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The gap fraction uses the dense grid's ROW INDEX, not epoch
     arithmetic — hour positions are integers in both engines, so the
     math is tz-proof and hashes identically."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
-    )
-    b = ev.groupBy("event_type", "h").agg(
-        dround(F.avg("value"), 3).alias("v")
-    ).localCheckpoint(eager=False)
-    bounds = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    grid = (
-        b.select("event_type")
-        .distinct()
-        .crossJoin(bounds)
-        .select(
-            "event_type",
-            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
-        )
-    )
+    from .extended import _hourly_type_grid
+
+    b, grid = _hourly_type_grid(spark, sf_dir)
     by_h = W.partitionBy("event_type").orderBy("h")
     wp = by_h.rowsBetween(W.unboundedPreceding, 0)
     wf = by_h.rowsBetween(0, W.unboundedFollowing)

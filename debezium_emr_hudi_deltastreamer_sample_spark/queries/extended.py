@@ -1092,6 +1092,31 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_type_grid(spark: SparkSession, sf_dir: str):
+    """Shared scaffold for ts_gap_fill / analytics.ts_interpolate: the
+    hourly per-type rollup ``b`` (localCheckpointed — it feeds bounds,
+    grid AND the join, one events scan total) and the dense
+    (event_type × hour) ``grid`` spanning the rollup's own min/max hour.
+    Returns (b, grid)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    b = ev.groupBy("event_type", "h").agg(
+        dround(F.avg("value"), 3).alias("v")
+    ).localCheckpoint(eager=False)
+    bounds = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        b.select("event_type")
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    return b, grid
+
+
 @_q(
     "ts_gap_fill",
     """
@@ -1130,22 +1155,7 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     one type's timeline (a year is 8 760 rows — nothing)."""
     from pyspark.sql import Window as W
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
-    )
-    b = ev.groupBy("event_type", "h").agg(
-        dround(F.avg("value"), 3).alias("v")
-    ).localCheckpoint(eager=False)
-    bounds = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    grid = (
-        b.select("event_type")
-        .distinct()
-        .crossJoin(bounds)
-        .select(
-            "event_type",
-            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
-        )
-    )
+    b, grid = _hourly_type_grid(spark, sf_dir)
     fill = W.partitionBy("event_type").orderBy("h").rowsBetween(
         W.unboundedPreceding, 0
     )

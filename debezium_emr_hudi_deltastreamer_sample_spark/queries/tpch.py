@@ -291,15 +291,17 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                 AS rev_exact
         FROM lineitem
         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                              AND TIMESTAMP '1996-03-31 00:00:00'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name,
+           round(CAST(rev_exact AS DOUBLE), 2) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE rev_exact = (SELECT max(rev_exact) FROM revenue)
     """,
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,25 +314,34 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar; the final join touches only max-revenue suppliers. The CTE is
     localCheckpointed so the two consumers (max + join) don't recompute
     the fact scan — at 100 TB a re-scan is the difference between one
-    pass and two."""
+    pass and two.
+
+    Determinism: the winner is selected by EQUALITY on the aggregate, so
+    the aggregate must be exact, not a rounded double — per-row products
+    (bit-identical doubles in both engines) cast to DECIMAL(18,6) and sum
+    without order sensitivity, making the max-equality selection
+    ULP-proof; only the displayed total casts back to double."""
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between("1996-01-01", "1996-03-31")
     )
+    rev_term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
-        )
+        .agg(F.sum(rev_term).alias("rev_exact"))
         .localCheckpoint(eager=False)
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    max_rev = revenue.agg(F.max("rev_exact").alias("m"))
     su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        revenue.join(F.broadcast(max_rev), F.col("rev_exact") == F.col("m"))
         .join(F.broadcast(su), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            dround(F.col("rev_exact").cast("double"), 2).alias("total_revenue"),
+        )
     )
 
 
