@@ -27,6 +27,10 @@ SMOKE = [
     "cdc_merge_upsert",
     "cdc_asof_join",
     "stream_tumbling_counts",
+    # Round-3 families: a TPC-H star shape and the bitmap exact-distinct
+    # (events-table bigint path) must also hold on a default session.
+    "tpch_q10_returned_items",
+    "agg_bitmap_distinct",
 ]
 
 
