@@ -352,3 +352,63 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"lo": "1999-01-01 00:00:00", "minp": 1000.0},
         orders=od,
     )
+
+
+@_q(
+    "udf_pandas_udaf",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+             AS wavg_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas UDF (series→scalar) — the
+    remaining Arrow-UDF lane next to applyInPandas (grouped map),
+    mapInPandas (map iterator) and mapInArrow: a quantity-weighted mean
+    price per return flag, computed by a vectorized numpy kernel.
+
+    Scale: GROUPED_AGG ships each WHOLE group to one python worker as
+    Arrow batches — no partial aggregation, unlike built-in aggregates.
+    That is the honest cost of this lane: right for moderate group counts
+    with heavy per-group math; for a plain weighted mean the built-in
+    `sum(x*w)/sum(w)` (partial-agg'd, JVM-only) is strictly better, and
+    the oracle is exactly that form — this entry pins that the UDAF lane
+    produces the built-in lane's numbers. Group sums use numpy float64
+    over the full group vector, matching the dround tolerance contract
+    the rest of the surface uses."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType is passed explicitly: this module uses postponed
+    # annotations (PEP 563), which turn type hints into strings and break
+    # pandas_udf's signature-based GROUPED_AGG inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wsum(v):
+        return float(v.to_numpy().sum())
+
+    # Spark refuses to mix GROUPED_AGG UDFs with built-in aggregates in
+    # one agg() — the row count is a pandas aggregate too.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def pcount(v):
+        return len(v)
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice") * F.col("l_quantity")).alias("pw"),
+        "l_quantity",
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (wsum(F.col("pw")) / wsum(F.col("l_quantity"))).alias("wavg_raw"),
+            pcount(F.col("l_quantity")).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            dround(F.col("wavg_raw"), 2).alias("wavg_price"),
+            "n",
+        )
+    )
