@@ -579,3 +579,93 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@_q(
+    "cdc_incremental_join_view",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             CASE WHEN c_mktsegment = 'BUILDING'
+                  THEN c_acctbal + 1000 ELSE c_acctbal END AS bal
+      FROM customer)
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+           round(o_totalprice, 2) AS totalprice,
+           round(bal, 2) AS acctbal
+    FROM orders JOIN dim ON o_custkey = c_custkey
+    WHERE o_orderstatus <> 'F'
+    """,
+)
+def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance of a fact⋈dim join
+    (streaming/ivm.py — the denormalized serving table the reference's
+    landed CDC tables exist to feed): orders stream in as three
+    time-ordered insert batches plus a delete batch (every 'F'-status
+    order retracted), customers land once and then receive a segment-wide
+    balance update — five CDC batches total, each refreshing ONLY the
+    affected view keys. The final view must equal the one-shot join of
+    final fact state with final dim state, which is exactly what the
+    oracle computes.
+
+    What each batch exercises: fact inserts (view grows by the batch's
+    keys), fact deletes (view rows retract via the gone-key path), and a
+    dim update whose propagation set — every order of every BUILDING
+    customer — is found with one broadcast semi-join of the stored fact,
+    never a full re-join. Scale: per-batch cost is O(Δ + affected rows);
+    with the fact/view partitioned by an FK bucket the COW rewrite
+    directory-prunes like every KeyedTable."""
+    import tempfile
+
+    from ..streaming.ivm import IncrementalJoinView
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    v = IncrementalJoinView(
+        spark,
+        tempfile.mkdtemp(prefix="spark_graft_ivm_"),
+        fact_keys=["o_orderkey"],
+        fk="o_custkey",
+        dim_key="c_custkey",
+        how="inner",
+    )
+    v.apply_dim_batch(
+        cust.withColumn("op", F.lit("u")).withColumn("_lsn", F.lit(1))
+    )
+    b = orders.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")).first()
+    import datetime as _dt
+
+    lo, hi = b.lo, b.hi + _dt.timedelta(seconds=1)
+    step = (hi - lo) / 3
+    for i in range(3):
+        w_lo = lo + i * step
+        w_hi = lo + (i + 1) * step if i < 2 else hi
+        batch = (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(w_lo))
+                & (F.col("o_orderdate") < F.lit(w_hi))
+            )
+            .withColumn("op", F.lit("u"))
+            .withColumn("_lsn", F.col("o_orderkey"))
+        )
+        v.apply_fact_batch(batch)
+    retract = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .withColumn("op", F.lit("d"))
+        .withColumn("_lsn", F.col("o_orderkey") + F.lit(10_000_000))
+    )
+    v.apply_fact_batch(retract)
+    upd = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+        .withColumn("op", F.lit("u"))
+        .withColumn("_lsn", F.lit(2))
+    )
+    v.apply_dim_batch(upd)
+    return v.read().select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        "c_mktsegment",
+        dround("o_totalprice", 2).alias("totalprice"),
+        dround("c_acctbal", 2).alias("acctbal"),
+    )

@@ -1,0 +1,161 @@
+"""Incremental materialized JOIN-view maintenance: keep a fact⋈dim
+equi-join materialization up to date under keyed CDC batches WITHOUT ever
+re-joining the full tables — the join sibling of streaming.rollup's
+continuous aggregation, and the missing piece between the reference's
+"land CDC into queryable tables" (reference README.md:234, 273) and the
+denormalized views those tables exist to serve.
+
+The delta-join algebra for a keyed view: when a batch Δ lands on either
+side, the only view rows that can change are those whose FACT KEY is
+affected —
+
+- a fact batch affects exactly its own fact keys;
+- a dim batch affects the fact keys whose FK references a changed dim key
+  (one semi-join of the stored fact against the batch's dim keys — the
+  batch side broadcasts).
+
+Affected keys are re-derived from current state (post-merge fact rows ⋈
+current dim) and upserted into the view; affected keys with no surviving
+join row become view deletes. Cost per batch is O(|Δ| + affected rows) —
+independent of table size — and the view write is a KeyedTable COW merge,
+partition-prunable the same way (pass ``partition_by``). At 100 TB this
+is the difference between a nightly full re-join and a seconds-latency
+denormalized serving table.
+
+Restart/replay: every refresh recomputes affected rows FROM CURRENT
+STATE (never from the delta alone), and KeyedTable's merge gives the
+incoming batch priority over the stored snapshot — so a replayed
+refresh re-derives and re-applies the same desired rows, and
+at-least-once foreachBatch delivery is safe as long as fact/dim batches
+replay through their own KeyedTable upserts first (idempotent by the
+same latest-wins argument). The `_ivm_seq` ordering column exists only
+to satisfy the precombine contract; each refresh emits at most one row
+per fact key, so its value never breaks a tie.
+
+Contract: fact and dim column names must be disjoint (star-schema
+prefixes — o_*, c_* — satisfy this); a fact row's FK may change between
+batches (the refresh recomputes from current state, so re-pointing is
+handled); ``how`` is "inner" or "left".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..table import KeyedTable
+
+_SEQ = "_ivm_seq"
+
+
+class IncrementalJoinView:
+    """Materialized ``fact ⋈ dim`` view at ``path``, maintained
+    incrementally from CDC batches applied to either side.
+
+    >>> v = IncrementalJoinView(spark, path, fact_keys=["o_orderkey"],
+    ...                         fk="o_custkey", dim_key="c_custkey")
+    >>> v.apply_dim_batch(customers)          # op/_lsn per KeyedTable
+    >>> v.apply_fact_batch(orders_batch_1)
+    >>> v.read()                              # the denormalized view
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        fact_keys: Sequence[str],
+        fk: str,
+        dim_key: str,
+        how: str = "inner",
+        ordering: Sequence[str] = ("_lsn",),
+        op_col: str | None = "op",
+        partition_by: Sequence[str] = (),
+    ) -> None:
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        self.spark = spark
+        self.fact_keys = list(fact_keys)
+        self.fk = fk
+        self.dim_key = dim_key
+        self.how = how
+        self.fact = KeyedTable(
+            spark, f"{path}_fact", keys=fact_keys, ordering=ordering,
+            op_col=op_col, partition_by=partition_by,
+        )
+        self.dim = KeyedTable(
+            spark, f"{path}_dim", keys=[dim_key], ordering=ordering,
+            op_col=op_col,
+        )
+        self.view = KeyedTable(
+            spark, f"{path}_view", keys=fact_keys, ordering=(_SEQ,),
+            op_col="_op", partition_by=partition_by,
+        )
+
+    # -- apply --------------------------------------------------------------
+
+    def apply_fact_batch(self, changes: DataFrame) -> None:
+        """Land one fact-side CDC batch (same change contract as
+        KeyedTable.upsert: row columns + ordering + op column), then
+        refresh the view rows for exactly the batch's fact keys."""
+        changes = changes.localCheckpoint(eager=True)
+        self.fact.upsert(changes)
+        self._refresh(changes.select(*self.fact_keys).distinct())
+
+    def apply_dim_batch(self, changes: DataFrame) -> None:
+        """Land one dim-side CDC batch, then refresh the view rows of
+        every fact key referencing a changed dim key — found with ONE
+        semi-join of the stored fact against the (broadcast) batch keys;
+        with the fact partitioned by an FK-derived column this prunes at
+        the directory level."""
+        changes = changes.localCheckpoint(eager=True)
+        self.dim.upsert(changes)
+        if not self.fact.exists():
+            return  # no facts yet — nothing to refresh
+        dkeys = changes.select(
+            F.col(self.dim_key).alias("__ivm_dkey")
+        ).distinct()
+        affected = (
+            self.fact.read()
+            .join(F.broadcast(dkeys), F.col(self.fk) == F.col("__ivm_dkey"), "left_semi")
+            .select(*self.fact_keys)
+            .distinct()
+        )
+        self._refresh(affected)
+
+    # -- maintenance core ---------------------------------------------------
+
+    def _refresh(self, affected_keys: DataFrame) -> None:
+        """Recompute the view rows for ``affected_keys`` from current
+        fact/dim state: desired rows upsert; affected keys with no
+        surviving join row (fact deleted, or inner join lost its dim
+        match) become view deletes. Everything is keyed work — no
+        full-table recomputation."""
+        keys = affected_keys.localCheckpoint(eager=True)
+        if keys.isEmpty():
+            return
+        fact_rows = self.fact.read().join(keys, self.fact_keys, "left_semi")
+        dim = self.dim.read()
+        desired = fact_rows.join(
+            dim, F.col(self.fk) == F.col(self.dim_key), self.how
+        ).drop(self.dim_key)
+        desired = desired.localCheckpoint(eager=True)
+        gone = keys.join(
+            desired.select(*self.fact_keys).distinct(), self.fact_keys, "left_anti"
+        )
+        for c, t in desired.dtypes:
+            if c not in self.fact_keys:
+                gone = gone.withColumn(c, F.lit(None).cast(t))
+        batch = (
+            desired.withColumn("_op", F.lit("u"))
+            .unionByName(gone.withColumn("_op", F.lit("d")))
+            .withColumn(_SEQ, F.lit(1))
+        )
+        self.view.upsert(batch)
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """The maintained denormalized view (internal columns stripped)."""
+        return self.view.read()
