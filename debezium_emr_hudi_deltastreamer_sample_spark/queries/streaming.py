@@ -852,3 +852,60 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["user_id"])
     )
     return _drain(deduped, output_mode="append").select("user_id")
+
+
+@_q(
+    "stream_join_view",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 100.0, 2)
+                ELSE c_acctbal END AS c_acctbal,
+           n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey % 100 <> 0
+    """,
+)
+def stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a denormalized JOIN view (streaming/ivm.py
+    driven from foreachBatch — the serving-table endgame of the
+    reference's CDC pipeline): nation lands once as the dim side, then
+    the shared customer change feed (inserts, acctbal updates, deletes)
+    streams through the envelope parser into
+    ``IncrementalJoinView.apply_fact_batch`` — each micro-batch refreshes
+    only its own keys' view rows. The final view must equal the final
+    customer state joined to nation, computed directly by the oracle.
+
+    Scale: identical per-batch cost shape to stream_cdc_upsert (the
+    fact-side KeyedTable merge) plus the keyed view refresh — O(batch)
+    join work against the broadcast dim, never a full re-join."""
+    from ..envelope import parse_envelope
+    from ..streaming.ivm import IncrementalJoinView
+
+    src, row_schema = _customer_change_feed(spark, sf_dir)
+    view = IncrementalJoinView(
+        spark,
+        _tmp("ivm_stream"),
+        fact_keys=["c_custkey"],
+        fk="c_nationkey",
+        dim_key="n_nationkey",
+        how="inner",
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    view.apply_dim_batch(
+        nation.withColumn("op", F.lit("u")).withColumn("_lsn", F.lit(1))
+    )
+
+    def process(df: DataFrame, batch_id: int) -> None:
+        changes = parse_envelope(df, row_schema)
+        if not changes.head(1):
+            return
+        view.apply_fact_batch(changes)
+
+    q = start_pipeline(
+        cast_value_projection(file_envelope_source(spark, src)),
+        process,
+        checkpoint=_tmp("ivm_ckpt"),
+        available_now=True,
+    )
+    run_until_drained(q)
+    return view.read().select("c_custkey", "c_name", "c_acctbal", "n_name")

@@ -221,13 +221,16 @@ class KeyedTable:
         from .operators.merge import latest_by_key
 
         if not self.exists():
-            upserts = changes
+            # Precombine BEFORE dropping deletes: a key whose newest change
+            # in this first batch is a delete must not resurrect through an
+            # older insert that the delete superseded (mixed-op initial
+            # batches are normal when a whole change feed replays in one
+            # micro-batch).
+            latest = latest_by_key(changes, self.keys, self.ordering)
             if self.op_col and self.op_col in changes.columns:
-                upserts = changes.filter(F.col(self.op_col) != "d")
+                latest = latest.filter(F.col(self.op_col) != "d")
             self._write(
-                latest_by_key(upserts, self.keys, self.ordering).select(
-                    *self._row_columns(changes)
-                ),
+                latest.select(*self._row_columns(changes)),
                 "overwrite",
             )
             self._publish_snapshot(self.read())

@@ -542,3 +542,22 @@ def test_ivm_left_join_keeps_unmatched_facts(spark, tmp_path):
         )
     )
     assert view_state(v) == {10: (1, 100, "a"), 12: (9, 300, None)}
+
+
+def test_first_batch_delete_supersedes_earlier_insert(spark, tmp_path):
+    """Regression: when a table's FIRST batch carries insert+delete of the
+    same key (a whole change feed replayed in one micro-batch), the
+    newest change must win BEFORE deletes are dropped — the key must not
+    resurrect through the superseded insert."""
+    t = make_table(spark, tmp_path, partitioned=False)
+    t.upsert(
+        spark.createDataFrame(
+            [
+                (1, "eu", 10, "c", 1),
+                (1, None, None, "d", 2),   # newest change for key 1: delete
+                (2, "us", 20, "c", 1),
+            ],
+            CH_SCHEMA,
+        )
+    )
+    assert state(t) == {2: ("us", 20)}
