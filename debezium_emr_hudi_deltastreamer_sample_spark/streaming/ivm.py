@@ -23,14 +23,15 @@ is the difference between a nightly full re-join and a seconds-latency
 denormalized serving table.
 
 Restart/replay: every refresh recomputes affected rows FROM CURRENT
-STATE (never from the delta alone), and KeyedTable's merge gives the
-incoming batch priority over the stored snapshot — so a replayed
-refresh re-derives and re-applies the same desired rows, and
-at-least-once foreachBatch delivery is safe as long as fact/dim batches
-replay through their own KeyedTable upserts first (idempotent by the
-same latest-wins argument). The `_ivm_seq` ordering column exists only
-to satisfy the precombine contract; each refresh emits at most one row
-per fact key, so its value never breaks a tie.
+STATE (never from the delta alone), so re-delivering the LATEST batch
+is a no-op. That is the whole guarantee: KeyedTable's merge gives any
+incoming batch priority over the stored snapshot, so replaying an
+EARLIER batch regresses the fact table (and therefore the view) —
+at-least-once delivery must be guarded upstream by batch-id dedup,
+exactly as streaming.rollup does with its (run_id, batch_id) commit
+names. The `_ivm_seq` ordering column exists only to satisfy the
+precombine contract; each refresh emits at most one row per fact key,
+so its value never breaks a tie.
 
 Contract: fact and dim column names must be disjoint (star-schema
 prefixes — o_*, c_* — satisfy this); a fact row's FK may change between
@@ -75,6 +76,11 @@ class IncrementalJoinView:
     ) -> None:
         if how not in ("inner", "left"):
             raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        if fk == dim_key:
+            raise ValueError(
+                f"fk and dim_key must have distinct names (both {fk!r}) — "
+                "alias one side; the join keeps the fact's FK column"
+            )
         self.spark = spark
         self.fact_keys = list(fact_keys)
         self.fk = fk
@@ -137,19 +143,31 @@ class IncrementalJoinView:
             return
         fact_rows = self.fact.read().join(keys, self.fact_keys, "left_semi")
         dim = self.dim.read()
+        overlap = (set(fact_rows.columns) & set(dim.columns)) - {self.dim_key}
+        if overlap:
+            raise ValueError(
+                f"fact and dim column names must be disjoint, both carry "
+                f"{sorted(overlap)} — prefix one side before joining"
+            )
         desired = fact_rows.join(
             dim, F.col(self.fk) == F.col(self.dim_key), self.how
         ).drop(self.dim_key)
         desired = desired.localCheckpoint(eager=True)
-        gone = keys.join(
+        gone_keys = keys.join(
             desired.select(*self.fact_keys).distinct(), self.fact_keys, "left_anti"
         )
-        for c, t in desired.dtypes:
-            if c not in self.fact_keys:
-                gone = gone.withColumn(c, F.lit(None).cast(t))
+        # Retractions carry the CURRENT stale view row, not null-filled
+        # keys: with a partitioned view, a delete row whose partition
+        # columns are NULL lands in the wrong partition and the
+        # partition-pruned merge never reaches the stale row — the
+        # retraction would be silently dropped.
+        if self.view.exists():
+            stale = self.view.read().join(gone_keys, self.fact_keys, "left_semi")
+        else:
+            stale = desired.limit(0)
         batch = (
             desired.withColumn("_op", F.lit("u"))
-            .unionByName(gone.withColumn("_op", F.lit("d")))
+            .unionByName(stale.withColumn("_op", F.lit("d")), allowMissingColumns=True)
             .withColumn(_SEQ, F.lit(1))
         )
         self.view.upsert(batch)

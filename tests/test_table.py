@@ -561,3 +561,55 @@ def test_first_batch_delete_supersedes_earlier_insert(spark, tmp_path):
         )
     )
     assert state(t) == {2: ("us", 20)}
+
+
+def test_ivm_partitioned_view_retracts_across_partitions(spark, tmp_path):
+    """Regression (review finding): with a partitioned view, a retraction
+    must carry the stale row's REAL partition value — a null-filled
+    delete row lands in the wrong partition and the partition-pruned
+    merge silently drops the retraction."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.ivm import IncrementalJoinView
+
+    v = IncrementalJoinView(
+        spark, str(tmp_path / "vp"), fact_keys=["fid"], fk="fk",
+        dim_key="did", how="inner", partition_by=["region"],
+    )
+    v.apply_dim_batch(
+        spark.createDataFrame([(1, "a", "u", 1), (2, "b", "u", 1)], DIM_SCHEMA)
+    )
+    # region is a fact column so fact/view partition identically.
+    fact_schema = "fid int, fk int, region string, amount int, op string, _lsn long"
+    v.apply_fact_batch(
+        spark.createDataFrame(
+            [(10, 1, "eu", 100, "u", 1), (11, 2, "us", 200, "u", 1)], fact_schema
+        )
+    )
+    v.apply_fact_batch(
+        spark.createDataFrame(
+            [(11, 2, "us", None, "d", 2)], fact_schema
+        )
+    )
+    assert {r.fid for r in v.read().collect()} == {10}
+
+
+def test_ivm_rejects_colliding_column_names(spark, tmp_path):
+    """The disjoint-columns contract fails fast with a clear error, not an
+    ambiguous-reference AnalysisException deep inside the refresh."""
+    import pytest as _pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.ivm import IncrementalJoinView
+
+    with _pytest.raises(ValueError, match="distinct names"):
+        IncrementalJoinView(
+            spark, str(tmp_path / "vk"), fact_keys=["fid"], fk="k", dim_key="k"
+        )
+    v = IncrementalJoinView(
+        spark, str(tmp_path / "vc"), fact_keys=["fid"], fk="fk", dim_key="did"
+    )
+    v.apply_dim_batch(
+        spark.createDataFrame([(1, "x", "u", 1)], "did int, amount string, op string, _lsn long")
+    )
+    with _pytest.raises(ValueError, match="disjoint"):
+        v.apply_fact_batch(
+            spark.createDataFrame([(10, 1, 5, "u", 1)], "fid int, fk int, amount int, op string, _lsn long")
+        )
