@@ -412,3 +412,59 @@ def udf_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@_q(
+    "udf_grouped_arrow",
+    """
+    SELECT lang,
+           count(*) AS n,
+           max(n_chars) AS max_chars,
+           round(sum(n_chars) * 1.0 / count(*), 3) AS mean_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over RAW ARROW TABLES via Spark 4's
+    ``GroupedData.applyInArrow`` — the zero-pandas sibling of
+    applyInPandas (no Series construction, no index, no dtype coercion;
+    the kernel sees the group's columnar buffers directly), completing
+    the Arrow-UDF matrix: mapInPandas / applyInPandas / mapInArrow /
+    GROUPED_AGG pandas / applyInArrow.
+
+    The kernel emits only EXACT integers (count, int sum, max) — derived
+    doubles are computed by codegen'd expressions afterwards, so no
+    float formed inside Python can diverge from the oracle's arithmetic.
+
+    Scale: one shuffle on the group key; each group streams through the
+    worker as Arrow batches. Same honest caveat as every grouped-map:
+    no partial aggregation — for aggregates this simple the built-in
+    hash aggregate wins; the lane exists for per-group logic Catalyst
+    cannot express."""
+    import pyarrow as pa
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        chars = table.column("n_chars")
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_chars": pa.array([pc.sum(chars).as_py()], pa.int64()),
+                "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+            }
+        )
+
+    grouped = docs.groupBy("lang").applyInArrow(
+        stats, schema="lang string, n long, sum_chars long, max_chars long"
+    )
+    return grouped.select(
+        "lang",
+        "n",
+        "max_chars",
+        dround(F.col("sum_chars") / F.col("n"), 3).alias("mean_chars"),
+    )
