@@ -17,8 +17,11 @@ affected —
 Affected keys are re-derived from current state (post-merge fact rows ⋈
 current dim) and upserted into the view; affected keys with no surviving
 join row become view deletes. Cost per batch is O(|Δ| + affected rows) —
-independent of table size — and the view write is a KeyedTable COW merge,
-partition-prunable the same way (pass ``partition_by``). At 100 TB this
+independent of table size — except that a batch which actually RETRACTS
+rows additionally semi-joins the view to fetch the stale rows' partition
+values (insert/update-only batches, the steady state, skip it). The view
+write is a KeyedTable COW merge, partition-prunable the same way (pass
+``partition_by``). At 100 TB this
 is the difference between a nightly full re-join and a seconds-latency
 denormalized serving table.
 
@@ -101,10 +104,40 @@ class IncrementalJoinView:
 
     # -- apply --------------------------------------------------------------
 
+    def _data_cols(self, table: KeyedTable, df_cols) -> set:
+        """A change batch's DATA columns — what the KeyedTable will
+        actually persist (CDC metadata stripped)."""
+        meta = {table.op_col, "_lsn", "_ts_ms", *table.ordering}
+        return {c for c in df_cols if c not in meta}
+
+    def _check_disjoint(self, fact_cols: set, dim_cols: set) -> None:
+        """The contract check, run BEFORE any table is mutated: a batch
+        that violates it must not poison the stored schema (KeyedTable's
+        schema reconciliation would persist the colliding column and wedge
+        every later clean batch). dim_key is NOT exempted — a fact column
+        named like the dim key makes the join condition ambiguous."""
+        overlap = fact_cols & dim_cols
+        if overlap:
+            raise ValueError(
+                f"fact and dim column names must be disjoint, both carry "
+                f"{sorted(overlap)} — prefix one side before joining"
+            )
+
     def apply_fact_batch(self, changes: DataFrame) -> None:
         """Land one fact-side CDC batch (same change contract as
         KeyedTable.upsert: row columns + ordering + op column), then
-        refresh the view rows for exactly the batch's fact keys."""
+        refresh the view rows for exactly the batch's fact keys.
+
+        Facts may arrive BEFORE any dim batch: with ``how='left'`` the
+        view materializes fact rows immediately (dim columns appear —
+        null-backfilled — once the dim lands, via the KeyedTable merge's
+        schema reconciliation); with ``how='inner'`` the rows stay out of
+        the view until a dim batch brings their match."""
+        if self.dim.exists():
+            self._check_disjoint(
+                self._data_cols(self.fact, changes.columns),
+                set(self.dim.read().columns),
+            )
         changes = changes.localCheckpoint(eager=True)
         self.fact.upsert(changes)
         self._refresh(changes.select(*self.fact_keys).distinct())
@@ -115,6 +148,11 @@ class IncrementalJoinView:
         semi-join of the stored fact against the (broadcast) batch keys;
         with the fact partitioned by an FK-derived column this prunes at
         the directory level."""
+        if self.fact.exists():
+            self._check_disjoint(
+                set(self.fact.read().columns),
+                self._data_cols(self.dim, changes.columns),
+            )
         changes = changes.localCheckpoint(eager=True)
         self.dim.upsert(changes)
         if not self.fact.exists():
@@ -142,29 +180,33 @@ class IncrementalJoinView:
         if keys.isEmpty():
             return
         fact_rows = self.fact.read().join(keys, self.fact_keys, "left_semi")
-        dim = self.dim.read()
-        overlap = (set(fact_rows.columns) & set(dim.columns)) - {self.dim_key}
-        if overlap:
-            raise ValueError(
-                f"fact and dim column names must be disjoint, both carry "
-                f"{sorted(overlap)} — prefix one side before joining"
-            )
-        desired = fact_rows.join(
-            dim, F.col(self.fk) == F.col(self.dim_key), self.how
-        ).drop(self.dim_key)
+        if self.dim.exists():
+            desired = fact_rows.join(
+                self.dim.read(), F.col(self.fk) == F.col(self.dim_key), self.how
+            ).drop(self.dim_key)
+        elif self.how == "left":
+            # Facts before any dim: left rows materialize now with no dim
+            # columns; the dim's later refresh backfills via the merge's
+            # schema reconciliation.
+            desired = fact_rows
+        else:
+            desired = fact_rows.limit(0)
         desired = desired.localCheckpoint(eager=True)
         gone_keys = keys.join(
             desired.select(*self.fact_keys).distinct(), self.fact_keys, "left_anti"
-        )
+        ).localCheckpoint(eager=True)
         # Retractions carry the CURRENT stale view row, not null-filled
         # keys: with a partitioned view, a delete row whose partition
         # columns are NULL lands in the wrong partition and the
         # partition-pruned merge never reaches the stale row — the
-        # retraction would be silently dropped.
-        if self.view.exists():
-            stale = self.view.read().join(gone_keys, self.fact_keys, "left_semi")
-        else:
+        # retraction would be silently dropped. The view semi-join scan is
+        # paid ONLY on batches that actually retract (gone_keys empty is
+        # the steady insert/update case), keeping per-batch cost
+        # O(|Δ| + affected rows) outside retractions.
+        if gone_keys.isEmpty() or not self.view.exists():
             stale = desired.limit(0)
+        else:
+            stale = self.view.read().join(gone_keys, self.fact_keys, "left_semi")
         batch = (
             desired.withColumn("_op", F.lit("u"))
             .unionByName(stale.withColumn("_op", F.lit("d")), allowMissingColumns=True)

@@ -613,3 +613,84 @@ def test_ivm_rejects_colliding_column_names(spark, tmp_path):
         v.apply_fact_batch(
             spark.createDataFrame([(10, 1, 5, "u", 1)], "fid int, fk int, amount int, op string, _lsn long")
         )
+
+
+def test_ivm_collision_check_runs_before_mutation(spark, tmp_path):
+    """A colliding batch must be rejected BEFORE any table mutation —
+    otherwise schema reconciliation persists the colliding column into
+    the fact store and every later CLEAN batch fails too."""
+    import pytest as _pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.ivm import IncrementalJoinView
+
+    v = IncrementalJoinView(
+        spark, str(tmp_path / "vm"), fact_keys=["fid"], fk="fk", dim_key="did"
+    )
+    v.apply_dim_batch(
+        spark.createDataFrame(
+            [(1, "x", "u", 1)], "did int, label string, op string, _lsn long"
+        )
+    )
+    bad = spark.createDataFrame(
+        [(10, 1, "boom", "u", 1)], "fid int, fk int, label string, op string, _lsn long"
+    )
+    with _pytest.raises(ValueError, match="disjoint"):
+        v.apply_fact_batch(bad)
+    # The rejected batch must not have poisoned the fact store: a clean
+    # batch still applies, and the view materializes.
+    v.apply_fact_batch(
+        spark.createDataFrame(
+            [(10, 1, 100, "u", 1)], FACT_SCHEMA
+        )
+    )
+    assert {(r.fid, r.label) for r in v.read().collect()} == {(10, "x")}
+
+
+def test_ivm_fact_column_named_like_dim_key_rejected(spark, tmp_path):
+    """A fact column named exactly like dim_key would make the join
+    condition ambiguous — the pre-mutation check must catch it (dim_key
+    is not exempt from the overlap)."""
+    import pytest as _pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.ivm import IncrementalJoinView
+
+    v = IncrementalJoinView(
+        spark, str(tmp_path / "vd"), fact_keys=["fid"], fk="fk", dim_key="did"
+    )
+    v.apply_dim_batch(
+        spark.createDataFrame([(1, "x", "u", 1)], DIM_SCHEMA)
+    )
+    with _pytest.raises(ValueError, match="disjoint"):
+        v.apply_fact_batch(
+            spark.createDataFrame(
+                [(10, 1, 1, "u", 1)],
+                "fid int, fk int, did int, op string, _lsn long",
+            )
+        )
+
+
+def test_ivm_left_join_facts_before_dim(spark, tmp_path):
+    """how='left': facts may arrive before ANY dim batch — rows
+    materialize immediately without dim columns, and the dim's later
+    arrival backfills the matching rows via the refresh."""
+    v = make_view(spark, tmp_path, how="left")
+    v.apply_fact_batch(
+        spark.createDataFrame(
+            [(10, 1, 100, "u", 1), (12, 9, 300, "u", 1)], FACT_SCHEMA
+        )
+    )
+    assert {r.fid for r in v.read().collect()} == {10, 12}
+    v.apply_dim_batch(spark.createDataFrame([(1, "a", "u", 1)], DIM_SCHEMA))
+    assert view_state(v) == {10: (1, 100, "a"), 12: (9, 300, None)}
+
+
+def test_ivm_inner_join_facts_before_dim(spark, tmp_path):
+    """how='inner': facts before any dim stay OUT of the view until a dim
+    batch brings their match."""
+    v = make_view(spark, tmp_path)
+    v.apply_fact_batch(
+        spark.createDataFrame([(10, 1, 100, "u", 1)], FACT_SCHEMA)
+    )
+    assert not v.view.exists() or v.read().count() == 0
+    v.apply_dim_batch(spark.createDataFrame([(1, "a", "u", 1)], DIM_SCHEMA))
+    assert view_state(v) == {10: (1, 100, "a")}
