@@ -75,6 +75,10 @@ QUERIES = [
     "agg_bitmap_distinct",
     "window_pattern_match",
     "pipe_url_normalize",
+    # Incremental join-view maintenance: five CDC batches against the
+    # orders⋈customer view — per-batch cost must track batch size, not
+    # table size.
+    "cdc_incremental_join_view",
 ]
 
 
