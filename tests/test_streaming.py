@@ -1002,3 +1002,54 @@ def test_scd2_stream_restart_resumes_from_checkpoint(spark, tmp_path):
         (2, "view", True),
         (3, "click", True),
     ]
+
+
+def test_join_view_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """IncrementalJoinView driven from a checkpointed foreachBatch stream
+    across a restart: batch 1 lands, the stream stops, batch 2 appears,
+    the SAME checkpoint resumes — batch 1 must NOT re-deliver (a replayed
+    earlier batch would regress the latest-wins fact merge, so a correct
+    final view here pins checkpoint offset resumption, not just merge
+    semantics) and the view must track the final fact state with dim
+    columns joined in."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.ivm import IncrementalJoinView
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import EMPLOYEES_SCHEMA
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "batch_0.json").write_text("\n".join(json.dumps(r) for r in BATCH1))
+    ckpt = str(tmp_path / "ivm_ckpt")
+    view = IncrementalJoinView(
+        spark, str(tmp_path / "ivm"), fact_keys=["id"],
+        fk="department", dim_key="dept", how="left",
+    )
+    view.apply_dim_batch(
+        spark.createDataFrame(
+            [("IT", "Info Tech", "u", 1)],
+            "dept string, label string, op string, _lsn long",
+        )
+    )
+
+    def process(df, batch_id):
+        changes = parse_envelope(df, EMPLOYEES_SCHEMA)
+        if changes.head(1):
+            view.apply_fact_batch(changes)
+
+    def run_once():
+        q = start_pipeline(
+            cast_value_projection(file_envelope_source(spark, str(src))),
+            process,
+            checkpoint=ckpt,
+            available_now=True,
+        )
+        run_until_drained(q)
+
+    run_once()
+    assert {r.id: (r.full_name, r.label) for r in view.read().collect()} == {
+        1: ("a", "Info Tech"), 2: ("b", "Info Tech"), 3: ("c", "Info Tech"),
+    }
+    (src / "batch_1.json").write_text("\n".join(json.dumps(r) for r in BATCH2))
+    run_once()
+    assert {r.id: (r.full_name, r.label) for r in view.read().collect()} == {
+        1: ("a2", "Info Tech"), 3: ("c", "Info Tech"), 4: ("d", "Info Tech"),
+    }
