@@ -1678,3 +1678,82 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, merge_a string, merge_b string, pair_count bigint, "
         "tokens_before bigint, tokens_after bigint",
     )
+
+
+@_q(
+    "llm_index_maintain",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 4 AND doc_id % 7 <> 0),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+4], ' ') AS ng
+      FROM t, LATERAL (SELECT unnest(range(0, len(toks) - 3)) AS i))
+    SELECT ng, count(*) AS df FROM g GROUP BY ng
+    """,
+)
+def llm_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-index maintenance WITH RETRACTION — the
+    steady-state form of the decontamination/novelty gram index: three
+    add batches land the corpus, then a delete batch retracts documents
+    (takedowns, dedup losers) by feeding their gram sets back with
+    weight −1. Document frequencies are counted-multiset state: adds and
+    retractions are the SAME signed merge, and a gram whose df reaches 0
+    leaves the index. The final index must equal the one built from
+    surviving documents directly — the oracle.
+
+    Scale: per batch, cost is O(batch grams) + an index-sized merge —
+    the index is vocabulary-sized, never corpus-sized, and the merge is
+    a partial-agg'd groupBy on the gram key (same additive-partials
+    argument as streaming.rollup; at 100 TB the overwrite becomes the
+    rollup's rename-commit protocol). Retraction never rescans the
+    corpus: the deleted docs' gram sets are recomputed from just those
+    docs. Gram shape (4-gram over space-split tokens) matches the shared
+    decontamination pipeline so the index is directly consumable by it."""
+    import tempfile
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 4)
+    )
+
+    def gram_sets(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-4),"
+                    " i -> array_join(slice(toks, i+1, 4), ' '))"
+                )
+            ).alias("ng"),
+        ).distinct()
+
+    idx = f"{tempfile.mkdtemp(prefix='spark_graft_gramidx_')}/index"
+    batches = [
+        gram_sets(docs.filter(F.col("doc_id") % 3 == i)).withColumn(
+            "w", F.lit(1)
+        )
+        for i in range(3)
+    ] + [
+        gram_sets(docs.filter(F.col("doc_id") % 7 == 0)).withColumn(
+            "w", F.lit(-1)
+        )
+    ]
+    exists = False
+    for b in batches:
+        delta = b.groupBy("ng").agg(F.sum("w").alias("df"))
+        if exists:
+            merged = (
+                spark.read.parquet(idx)
+                .unionByName(delta)
+                .groupBy("ng")
+                .agg(F.sum("df").alias("df"))
+                .filter(F.col("df") > 0)
+            )
+        else:
+            merged = delta.filter(F.col("df") > 0)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(idx)
+        exists = True
+    return spark.read.parquet(idx)
