@@ -694,3 +694,68 @@ def test_ivm_inner_join_facts_before_dim(spark, tmp_path):
     assert not v.view.exists() or v.read().count() == 0
     v.apply_dim_batch(spark.createDataFrame([(1, "a", "u", 1)], DIM_SCHEMA))
     assert view_state(v) == {10: (1, 100, "a")}
+
+
+def test_ivm_random_batch_sequence_equals_direct_join(spark, tmp_path):
+    """Property: for ANY interleaved sequence of fact/dim CDC batches
+    (inserts, updates, FK re-points, deletes on both sides), the
+    maintained view equals the direct join of the final fact and dim
+    states. Seeded python RNG drives the sequence; the direct join is
+    recomputed from the same KeyedTables the maintainer wrote, so the
+    comparison isolates the VIEW maintenance logic."""
+    import random
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.ivm import IncrementalJoinView
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        for how in ("inner", "left"):
+            v = IncrementalJoinView(
+                spark, str(tmp_path / f"vr{seed}{how}"), fact_keys=["fid"],
+                fk="fk", dim_key="did", how=how,
+            )
+            lsn = 0
+            for _step in range(6):
+                lsn += 1
+                if rng.random() < 0.5:
+                    rows = [
+                        (
+                            rng.randrange(8),          # fid: small space → collisions
+                            rng.randrange(5),          # fk
+                            rng.randrange(1000),       # amount
+                            "d" if rng.random() < 0.25 else "u",
+                            lsn,
+                        )
+                        for _ in range(rng.randrange(1, 5))
+                    ]
+                    v.apply_fact_batch(spark.createDataFrame(rows, FACT_SCHEMA))
+                else:
+                    rows = [
+                        (
+                            rng.randrange(5),          # did
+                            f"n{rng.randrange(100)}",
+                            "d" if rng.random() < 0.2 else "u",
+                            lsn,
+                        )
+                        for _ in range(rng.randrange(1, 4))
+                    ]
+                    v.apply_dim_batch(spark.createDataFrame(rows, DIM_SCHEMA))
+            if not v.fact.exists():
+                continue
+            fact = v.fact.read()
+            if v.dim.exists():
+                direct = fact.join(
+                    v.dim.read(), F.col("fk") == F.col("did"), how
+                ).drop("did")
+            elif how == "left":
+                direct = fact
+            else:
+                direct = fact.limit(0)
+            # Compare every column both sides carry — crucially including
+            # the dim-side 'name' when present, which catches stale view
+            # rows after a dim update.
+            cols = sorted(set(v.read().columns) & set(direct.columns))
+            got = sorted(map(tuple, v.read().select(*cols).collect()))
+            want = sorted(map(tuple, direct.select(*cols).collect()))
+            assert got == want, f"seed={seed} how={how} cols={cols}"
+            assert "fid" in cols and "amount" in cols
