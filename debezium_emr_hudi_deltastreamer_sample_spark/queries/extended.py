@@ -1992,3 +1992,65 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
         )
     )
+
+
+@_q(
+    "source_csv_malformed",
+    """
+    SELECT count(CASE WHEN c_custkey % 13 <> 0 THEN 1 END) AS n_good,
+           count(CASE WHEN c_custkey % 13 = 0 THEN 1 END) AS n_bad,
+           round(sum(CASE WHEN c_custkey % 13 <> 0 THEN c_acctbal END), 2)
+             AS good_bal
+    FROM customer
+    """,
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on the CSV scan path (PERMISSIVE mode +
+    ``columnNameOfCorruptRecord``) — the ingestion-robustness contract a
+    real feed needs: bad rows must neither kill the job (FAILFAST) nor
+    vanish silently (DROPMALFORMED default blindness), but land in a
+    quarantine column with the raw line preserved for replay.
+
+    The fixture corrupts a deterministic subset (custkey % 13 == 0) with
+    a type-unparseable line BEFORE writing, so the oracle knows the
+    good/bad split without depending on any CSV parsing semantics. The
+    quarantine count and the clean-row aggregate must both match.
+
+    Scale: PERMISSIVE parsing is per-row work inside the scan — no extra
+    pass; the corrupt column is projected only when referenced (here) and
+    prunes away otherwise. At 100 TB the quarantine rows would stream to
+    a dead-letter sink off the same scan."""
+    import tempfile
+
+    cust = _t(spark, sf_dir, "customer")
+    line = F.when(
+        F.col("c_custkey") % 13 == 0,
+        F.lit("oops,not,an,int,row"),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_nationkey"),
+            F.col("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="spark_graft_badcsv_")
+    cust.select(line.alias("value")).write.mode("overwrite").text(src)
+    back = (
+        spark.read.schema(
+            "c_custkey int, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(src)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_bad").isNull(), F.lit(1))).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), F.lit(1))).alias("n_bad"),
+        dround(
+            F.sum(F.when(F.col("_bad").isNull(), F.col("c_acctbal"))), 2
+        ).alias("good_bal"),
+    )
