@@ -909,3 +909,97 @@ def stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_until_drained(q)
     return view.read().select("c_custkey", "c_name", "c_acctbal", "n_name")
+
+
+@_q(
+    "stream_deadletter",
+    """
+    WITH final AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_custkey % 50 = 0 THEN c_acctbal
+                  WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 100.0, 2)
+                  ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey % 100 <> 0)
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(bal), 2) AS total_bal,
+           (SELECT count(*) FROM customer WHERE c_custkey % 50 = 0)
+             AS dlq_rows
+    FROM final
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing on the CDC ingest path: envelopes that fail to
+    parse are APPENDED RAW to a quarantine sink in the same foreachBatch
+    that upserts the parseable rows — never job-killing, never silently
+    dropped (parse_envelope alone would discard them; the dead letter
+    preserves the original bytes + offset for replay after a fix).
+
+    The fixture corrupts a deterministic envelope subset (the UPDATE
+    event of every custkey % 50 == 0) before streaming, so the oracle
+    knows both effects exactly: those keys keep their INSERT state (the
+    update reached the dead letter, not the table), and the dead-letter
+    row count equals the corrupted-envelope count. Deletes still apply.
+
+    Scale: the split is one extra filter on the already-parsed batch —
+    no second parse; the dead-letter append is O(bad rows)."""
+    from ..envelope import envelope_schema
+
+    src, row_schema = _customer_change_feed(spark, sf_dir)
+    # Corrupt the update envelopes (offset = custkey + 10M) of every
+    # custkey % 50 == 0 — unparseable JSON, same record shape.
+    feed = spark.read.json(src)
+    corrupted = feed.withColumn(
+        "value",
+        F.when(
+            (F.col("offset") >= 10_000_000)
+            & (F.col("offset") < 20_000_000)
+            & ((F.col("offset") - 10_000_000) % 50 == 0),
+            F.lit("NOT-JSON{{{"),
+        ).otherwise(F.col("value")),
+    )
+    src2 = _tmp("dlq_src")
+    corrupted.write.mode("overwrite").json(src2)
+
+    table_path = _tmp("dlq_table")
+    dlq_path = _tmp("dlq_sink")
+    env_schema = envelope_schema(row_schema)
+    upsert = upsert_batch_processor(
+        table_path, keys=["c_custkey"], row_schema=row_schema
+    )
+
+    def process(df: DataFrame, batch_id: int) -> None:
+        df = df.localCheckpoint(eager=True)
+        bad = df.filter(
+            F.from_json(F.col("value").cast("string"), env_schema)[
+                "payload"
+            ]["op"].isNull()
+        )
+        # cast_value_projection already stripped the batch to the value
+        # column — the raw bytes are the replayable record.
+        bad.select(
+            F.col("value").cast("string").alias("raw")
+        ).write.mode("append").parquet(dlq_path)
+        upsert(df, batch_id)
+
+    q = start_pipeline(
+        cast_value_projection(file_envelope_source(spark, src2)),
+        process,
+        checkpoint=_tmp("dlq_ckpt"),
+        available_now=True,
+    )
+    run_until_drained(q)
+    dlq_n = spark.read.parquet(dlq_path).agg(
+        F.count(F.lit(1)).alias("dlq_rows")
+    )
+    return (
+        spark.read.parquet(table_path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .crossJoin(F.broadcast(dlq_n))
+        .select("c_mktsegment", "n", "total_bal", "dlq_rows")
+    )
