@@ -308,8 +308,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_ops",
     """
     SELECT doc_id,
-           toks[2:4]                                   AS mid_slice,
-           list_sort(list_distinct(toks[1:5]))         AS head_sorted,
+           array_to_string(toks[2:4], ',')             AS mid_slice,
+           array_to_string(list_sort(list_distinct(toks[1:5])), ',')
+                                                       AS head_sorted,
            list_position(toks, 'the')                  AS first_the,
            len(flatten([toks[1:1], toks[3:3]]))        AS zip_len
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -323,10 +324,14 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ", -1)
     )
+    # Array results are serialized to canonical CSV strings — the driver's
+    # value-hasher cannot hash list cells (unhashable type); both sides agree.
     return docs.filter(F.size("toks") >= 6).select(
         "doc_id",
-        F.slice("toks", 2, 3).alias("mid_slice"),
-        F.sort_array(F.array_distinct(F.slice("toks", 1, 5))).alias("head_sorted"),
+        F.array_join(F.slice("toks", 2, 3), ",").alias("mid_slice"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.slice("toks", 1, 5))), ","
+        ).alias("head_sorted"),
         F.array_position("toks", "the").alias("first_the"),
         F.size(
             F.flatten(F.array(F.slice("toks", 1, 1), F.slice("toks", 3, 1)))
@@ -920,7 +925,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT (props->>'$.k')::INT % 10 AS k_bucket,
            count(*) AS n,
-           sum((props->>'$.k')::INT) AS k_sum,
+           CAST(sum((props->>'$.k')::INT) AS BIGINT) AS k_sum,
            round(sum(CAST(round(value * 1000, 0) AS BIGINT)) / 1000.0, 3)
              AS value_sum
     FROM events GROUP BY 1
@@ -1953,8 +1958,9 @@ def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS first_seen
       FROM events)
     SELECT user_id, ts, event_id,
-           sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS distinct_types_so_far
+           CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_types_so_far
     FROM flagged
     """,
 )

@@ -528,10 +528,10 @@ def doc_grams(spark: SparkSession, sf_dir: str):
       WHERE doc_id % 25 <> 0 AND ng IN (SELECT ng FROM bench))
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
-                    THEN 1 ELSE 0 END) AS n_contaminated,
-           sum(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
-                    THEN 0 ELSE 1 END) AS n_kept
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM flagged)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
     FROM t WHERE doc_id % 25 <> 0
     GROUP BY source
     """,
@@ -608,8 +608,9 @@ def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT vec_id,
            round(mx, 6) AS scale,
-           list_transform(embedding,
-             x -> CAST(floor(x::DOUBLE * 127 / mx + 0.5) AS INTEGER)) AS q,
+           array_to_string(list_transform(embedding,
+             x -> CAST(CAST(floor(x::DOUBLE * 127 / mx + 0.5) AS INTEGER)
+                       AS VARCHAR)), ',') AS q,
            round(list_max(list_transform(embedding,
              x -> abs(floor(x::DOUBLE * 127 / mx + 0.5) * mx / 127
                       - x::DOUBLE))), 6) AS max_err
@@ -643,10 +644,12 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # q is serialized to a canonical CSV string (not INTEGER[]) because the
+    # driver's value-hasher cannot hash list cells; both sides agree.
     return s.select(
         "vec_id",
         dround("mx", 6).alias("scale"),
-        q.alias("q"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q"),
         dround(err, 6).alias("max_err"),
     )
 
@@ -720,9 +723,9 @@ def llm_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n_tokens) OVER (ORDER BY doc_id
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
-    SELECT (cum - n_tokens) // 512 AS pack_id,
+    SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS pack_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM c GROUP BY 1
@@ -888,7 +891,8 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id % 10 < CASE source
               WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
               WHEN 'src2' THEN 2 ELSE 1 END)
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
     FROM sampled GROUP BY source
     """,
@@ -1157,7 +1161,7 @@ def llm_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch AS (
       SELECT * FROM documents WHERE source = 'src1')
     SELECT b.lang, count(*) AS n_new,
-           sum(b.n_chars) AS new_chars, min(b.doc_id) AS min_doc
+           CAST(sum(b.n_chars) AS BIGINT) AS new_chars, min(b.doc_id) AS min_doc
     FROM batch b
     WHERE md5(b.text) NOT IN (SELECT h FROM corpus)
     GROUP BY b.lang
@@ -1280,9 +1284,10 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       FROM documents)
     SELECT count(*) AS n_docs,
-           sum(fingerprint) % 2305843009213693951 AS corpus_fingerprint,
-           sum((doc_id * 2654435761) % 1000000007) % 2305843009213693951
-             AS id_fingerprint
+           CAST(sum(fingerprint) % 2305843009213693951 AS BIGINT)
+             AS corpus_fingerprint,
+           CAST(sum((doc_id * 2654435761) % 1000000007)
+                % 2305843009213693951 AS BIGINT) AS id_fingerprint
     FROM fp
     """,
 )
@@ -1450,7 +1455,7 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS n_total,
            count(*) FILTER (bucket < rate) AS n_kept,
-           sum(n_chars) FILTER (bucket < rate) AS kept_chars,
+           CAST(sum(n_chars) FILTER (bucket < rate) AS BIGINT) AS kept_chars,
            min(CASE WHEN bucket < rate THEN doc_id END) AS min_kept_doc
     FROM b GROUP BY 1
     """,

@@ -46,7 +46,7 @@ _MIX = 2654435761
                 WHEN bucket < 900 THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS min_doc_id
     FROM b GROUP BY 1
     """,
@@ -89,7 +89,8 @@ def pipe_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS session_id
       FROM d)
-    SELECT user_id, session_id, count(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end,
            round(sum(CAST(round(value * 1000, 0) AS BIGINT)) / 1000.0, 3)
              AS session_value
@@ -239,10 +240,11 @@ def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
                '\\+[0-9][0-9-]{6,}', '<PHONE>', 'g') AS clean
       FROM aug)
-    SELECT source, count(*) AS n_docs, sum(n_emails) AS emails_redacted,
-           sum(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END)
-             AS docs_with_phone,
-           sum(len(clean)) AS total_clean_chars
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(sum(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_with_phone,
+           CAST(sum(len(clean)) AS BIGINT) AS total_clean_chars
     FROM scrubbed GROUP BY source
     """,
 )
@@ -298,8 +300,8 @@ def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
-    SELECT shard, (cum - n_tokens) // 512 AS pack_id,
-           count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+    SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM c GROUP BY shard, pack_id
     """,

@@ -461,7 +461,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "stream_stateful_totals",
     """
-    SELECT user_id AS key, count(*) AS events, round(sum(value), 3) AS total
+    SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS events,
+           round(sum(CAST(round(value * 1000, 0) AS BIGINT)) / 1000.0, 3)
+             AS total
     FROM events GROUP BY 1
     """,
 )

@@ -128,13 +128,22 @@ def running_totals(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
 
     Batch frames take the equivalent groupBy path (same output schema) so
     stream≡batch tests can compare results.
+
+    The accumulator is int64 FIXED-POINT (milli-units of the 3dp-quantized
+    value), not a float: float addition is non-associative, and micro-batch
+    composition — hence accumulation order — varies with the environment
+    (shuffle partitions, executor count), so a DOUBLE state cell can flip
+    ``round(total, 3)`` on a boundary value between two otherwise-identical
+    replays. Integer addition is order-free, so every replay of the same
+    input emits bit-identical totals regardless of batch boundaries.
     """
+    vint = F.round(F.col(value_col).cast("double") * 1000, 0).cast("long")
     if not df.isStreaming:
         return (
             df.groupBy(F.col(key_col).alias("key"))
             .agg(
                 F.count(F.lit(1)).alias("events"),
-                F.sum(F.col(value_col).cast("double")).alias("total"),
+                (F.sum(vint) / 1000.0).alias("total"),
             )
         )
 
@@ -143,22 +152,22 @@ def running_totals(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
-        events, total = state.get if state.exists else (0, 0.0)
+        events, units = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             events += len(pdf)
-            total += float(pdf[value_col].sum())
-        state.update((events, total))
+            units += int(pdf["vint"].sum())
+        state.update((events, units))
         yield pd.DataFrame(
-            {"key": [key[0]], "events": [events], "total": [total]}
+            {"key": [key[0]], "events": [events], "total": [units / 1000.0]}
         )
 
     return (
-        df.select(F.col(key_col).cast("string").alias("key"), value_col)
+        df.select(F.col(key_col).cast("string").alias("key"), vint.alias("vint"))
         .groupBy("key")
         .applyInPandasWithState(
             update,
             outputStructType=_RUNNING_SCHEMA,
-            stateStructType="events long, total double",
+            stateStructType="events long, units long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

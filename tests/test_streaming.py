@@ -241,6 +241,60 @@ def test_running_totals_stateful_equals_batch(spark, tmp_path):
     assert got_final == want_final
 
 
+def test_running_totals_deterministic_across_partitioning(spark, tmp_path):
+    """The state kernel accumulates int64 fixed-point, so replaying the same
+    input under DIFFERENT micro-batch compositions and shuffle-partition
+    counts must emit bit-identical totals (a DOUBLE accumulator can flip
+    round(total, 3) on a boundary value when addition order changes)."""
+    import random
+
+    rng = random.Random(7)
+    src = tmp_path / "det_in"
+    src.mkdir()
+    # 4 files -> with maxFilesPerTrigger=1 the replay runs 4 micro-batches;
+    # values are 3dp-quantized with many .0005-style boundary neighbours.
+    for f in range(4):
+        rows = [
+            {
+                "user": f"u{rng.randrange(3)}",
+                "ts": f"2024-01-01T00:{f:02d}:{i % 60:02d}",
+                "v": round(rng.randrange(1, 2000) / 1000 + 0.0005, 4),
+            }
+            for i in range(50)
+        ]
+        (src / f"f{f}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+    schema = "user string, ts timestamp, v double"
+    finals = []
+    for shuffle_n in ("3", "8"):
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", shuffle_n)
+        stream = (
+            sess.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        name = f"det_totals_{shuffle_n}"
+        q = (
+            running_totals(stream, "user", "v")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_until_drained(q)
+        emitted = sess.table(name).collect()
+        final = {}
+        for r in emitted:
+            if r.key not in final or r.events > final[r.key][0]:
+                final[r.key] = (r.events, r.total)
+        finals.append(final)
+    assert finals[0] == finals[1]  # exact float equality, not approx
+
+
 def test_streaming_dedup_requires_watermark(spark):
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", "1").load()

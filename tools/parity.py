@@ -99,6 +99,7 @@ def main(names=None):
             continue
         try:
             orel = con.sql(oracles[name])
+            otypes = [str(t) for t in orel.types]
             orows = orel.fetchall()
             ocols = [d[0] for d in orel.description]
         except Exception as ex:
@@ -106,6 +107,25 @@ def main(names=None):
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
             continue
         problems = []
+        # The driver's value-hash is TYPE-sensitive and crashes on list
+        # cells: DuckDB widening sum(BIGINT)->HUGEINT (int128) or returning
+        # LIST/STRUCT columns makes an exact-value match hash-fail or error.
+        # Flag those oracle types here so the class of bug can't recur —
+        # fix is CAST(sum(..) AS BIGINT) / array_to_string on BOTH sides.
+        driver_hostile = [
+            (c, t)
+            for c, t in zip(ocols, otypes)
+            if "HUGEINT" in t or t.endswith("[]") or "STRUCT" in t or "MAP" in t
+        ]
+        if driver_hostile:
+            problems.append(f"driver-hostile oracle types: {driver_hostile}")
+        s_hostile = [
+            (c, t)
+            for c, t in zip(scols, [f.dataType.simpleString() for f in sdf.schema])
+            if t.startswith(("array", "struct", "map"))
+        ]
+        if s_hostile:
+            problems.append(f"driver-hostile spark types: {s_hostile}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
