@@ -716,6 +716,68 @@ def llm_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_pack_sequences",
     """
     WITH t AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, split, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT split, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY split, pack_id
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches, DEFAULT = shard-local: docs
+    are first assigned to pipe_hash_split's deterministic train/val/test
+    shards (a training run never packs across split boundaries anyway),
+    then packed first-fit-in-order by a running token count WITHIN each
+    shard — the window partitions by split, so packing parallelizes
+    instead of serializing on one global sort. At 100 TB the same shape
+    holds with thousands of hash shards (pipe_pack_sharded grades that
+    form); llm_pack_global keeps the single-window variant as the
+    oracle companion documenting the cliff this avoids."""
+    from pyspark.sql import Window as W
+
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split"), F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "pack_id", ((F.col("cum") - F.col("n_tokens")) / 512).cast("long")
+        )
+        .groupBy("split", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@_q(
+    "llm_pack_global",
+    """
+    WITH t AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
       FROM documents),
     c AS (
@@ -731,15 +793,12 @@ def llm_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c GROUP BY 1
     """,
 )
-def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for training batches: assign docs (in stable
-    doc_id order) to ~512-token packs by bucketing the running token
-    count — the streaming-friendly first-fit-in-order packer (no
-    bin-packing search, deterministic, one window pass). The global
-    running sum is the scale caveat: a single ORDER BY window means one
-    task at 100 TB, so the production form partitions first (e.g. per
-    shard from pipe_hash_split) and packs within shards; the fixture
-    grades the packing arithmetic itself."""
+def llm_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-companion packer over GLOBAL doc_id order: one running-sum
+    window with no partition key. Kept to grade the packing arithmetic
+    against a totally-ordered reference; a single ORDER BY window is one
+    task at 100 TB, which is exactly the cliff the registered default
+    (llm_pack_sequences, shard-local) and pipe_pack_sharded avoid."""
     from pyspark.sql import Window as W
 
     docs = _t(spark, sf_dir, "documents").select(

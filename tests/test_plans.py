@@ -166,11 +166,21 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, qs):
     assert "LeftSemi" in p
 
 
-def test_pack_sequences_single_global_window_acknowledged(spark, qs):
-    """llm_pack_sequences intentionally uses ONE global running-sum window
-    (documented: production packs within hash shards). Pin the plan so a
-    future change that silently adds more shuffles is caught."""
+def test_pack_sequences_default_has_no_global_window(spark, qs):
+    """The registered packer must pack WITHIN split shards: one Window,
+    and its windowspecdefinition carries the split partition key — a
+    partition-less (global ORDER BY) window would serialize packing onto
+    one task at 100 TB. The global form lives on as llm_pack_global."""
     p = plan(qs["llm_pack_sequences"](spark, SF))
+    assert p.count(") Window") == 1
+    spec = next(l for l in p.splitlines() if "windowspecdefinition" in l)
+    assert "windowspecdefinition(split" in spec
+
+
+def test_pack_global_companion_single_window(spark, qs):
+    """The oracle companion keeps exactly one (global) window — pin it so
+    a change that silently adds shuffles is caught."""
+    p = plan(qs["llm_pack_global"](spark, SF))
     assert p.count(") Window") == 1
 
 
