@@ -375,10 +375,52 @@ class DeltaLogTable:
         self.compact_target_files = compact_target_files
 
     def _base(self) -> str:
+        # Legacy (pre-MVCC) single-dir base layout; still readable.
         return f"{self.path}/base"
+
+    def _base_commits_dir(self) -> str:
+        return f"{self.path}/base__commits"
 
     def _delta(self) -> str:
         return f"{self.path}/delta"
+
+    def _base_versions(self) -> list[tuple[int, int, str]]:
+        """Published base versions as (seq, compacted_through_batch, uri),
+        seq-ascending. One directory listing, no data files opened."""
+        import re as _re
+
+        fs, hpath = self._fs()
+        d = hpath(self._base_commits_dir())
+        try:
+            if not fs.exists(d):
+                return []
+            listed = fs.listStatus(d)
+        except Exception:
+            return []
+        out = []
+        for st in listed:
+            m = _re.match(r"^v(\d{12})_t(\d{12})$", st.getPath().getName())
+            if m:
+                out.append(
+                    (int(m.group(1)), int(m.group(2)) - 1, str(st.getPath()))
+                )
+        out.sort()
+        return out
+
+    def _latest_base(self) -> tuple[int, int, str] | None:
+        """Newest base version, falling back to the legacy ``base/`` dir
+        (treated as version -1 compacted through every batch id below the
+        smallest live delta — i.e. deltas on disk all apply)."""
+        versions = self._base_versions()
+        if versions:
+            return versions[-1]
+        fs, hpath = self._fs()
+        try:
+            if fs.exists(hpath(self._base())):
+                return (-1, -1, self._base())
+        except Exception:
+            pass
+        return None
 
     def _read_dir(self, p: str) -> DataFrame | None:
         try:
@@ -416,11 +458,14 @@ class DeltaLogTable:
         changes.write.mode("overwrite").parquet(
             f"{self._delta()}/ingest_batch={batch_id}"
         )
-        if (
-            self.auto_compact_deltas
-            and len(self.delta_batches()) >= self.auto_compact_deltas
-        ):
-            self.compact()
+        if self.auto_compact_deltas:
+            ver = self._latest_base()
+            through = ver[1] if ver else -1
+            # Count only UNFOLDED dirs: retirement is deferred one cycle,
+            # so already-compacted dirs may linger and must not re-trigger.
+            pending = [b for b in self.delta_batches() if b > through]
+            if len(pending) >= self.auto_compact_deltas:
+                self.compact()
 
     def read(self, optimized: bool = False) -> DataFrame:
         """Merge-on-read snapshot: base patched with the delta log.
@@ -435,7 +480,9 @@ class DeltaLogTable:
         the price of staleness bounded by compaction cadence (deltas
         landed since the last ``compact()`` are not visible). The
         dashboard/reporting lane next to the exact snapshot lane."""
-        base = self._read_dir(self._base())
+        ver = self._latest_base()
+        base = self._read_dir(ver[2]) if ver else None
+        through = ver[1] if ver else -1
         if optimized:
             if base is None:
                 raise FileNotFoundError(
@@ -444,6 +491,13 @@ class DeltaLogTable:
                 )
             return base
         deltas = self._read_dir(self._delta())
+        if deltas is not None and through >= 0:
+            # A version records the batch id it compacted THROUGH; delta
+            # dirs at or below it are already folded into this base (they
+            # are retired after publish, but a reader can land between the
+            # rename and the retire — or a replayed batch can recreate a
+            # retired dir — and must not re-apply them).
+            deltas = deltas.filter(F.col("ingest_batch") > through)
         if deltas is None:
             if base is None:
                 raise FileNotFoundError(f"empty MOR table at {self.path}")
@@ -482,15 +536,73 @@ class DeltaLogTable:
         return deltas.filter(F.col("ingest_batch") > since_batch)
 
     def compact(self) -> None:
-        """Fold the delta log into the base snapshot (Hudi compaction):
-        one merge, then the deltas are retired. Readers before/after see
-        the identical state — pinned by tests. ``compact_target_files``
-        bounds the rewritten base's file count (small-file control: a
-        merge at the session's shuffle fan-out would leave one sliver file
-        per partition)."""
+        """Fold the delta log into a NEW base version (Hudi compaction as
+        MVCC): merge base ∪ deltas, stage the snapshot, publish it with
+        one atomic rename whose name records (seq, compacted-through batch
+        id), then retire only the delta dirs AT OR BELOW that id.
+
+        Concurrency contract this buys (pinned by tests):
+        - a batch appended while the merge runs has id > through, is never
+          retired by this compaction, and stays visible via the delta
+          filter in ``read`` — no lost deltas (the previous in-place
+          overwrite deleted the WHOLE delta dir, racing appends away);
+        - an in-flight reader planned against the previous version keeps
+          scanning immutable files: the two newest base versions are
+          retained, and delta retirement is DEFERRED one cycle — this
+          compaction retires only dirs the PREVIOUS version had already
+          folded (our own window stays on disk, invisible to new readers
+          via the partition filter, until the next compaction) — Hudi's
+          cleaner-retains-commits contract;
+        - two racing compactions CAS on the version name — the loser
+          discards its stage and nothing is retired twice.
+
+        ``compact_target_files`` bounds the new version's file count
+        (small-file control: a merge at the session's shuffle fan-out
+        would leave one sliver file per partition)."""
+        import uuid as _uuid
+
+        from .fsutil import rename_commit
+
+        fs, hpath = self._fs()
+        batches = self.delta_batches()
+        if not batches:
+            return
+        through = max(batches)
+        versions = self._base_versions()
+        if versions and through <= versions[-1][1]:
+            return  # every live delta dir is already folded — nothing to do
+        seq = versions[-1][0] + 1 if versions else 0
+        # read() applies exactly the deltas newer than the current base
+        # version; materialize before publishing so the snapshot cannot
+        # observe a dir this compaction is about to retire.
         merged = self.read().localCheckpoint(eager=True)
         if self.compact_target_files:
             merged = merged.coalesce(self.compact_target_files)
-        merged.write.mode("overwrite").parquet(self._base())
-        fs, hpath = self._fs()
-        fs.delete(hpath(self._delta()), True)
+        stage = f"{self.path}/__stage/{_uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(stage)
+        fs.mkdirs(hpath(self._base_commits_dir()))
+        target = f"{self._base_commits_dir()}/v{seq:012d}_t{through + 1:012d}"
+        if not rename_commit(fs, hpath, stage, target):
+            # Lost the race to a concurrent compaction; its snapshot folds
+            # the same (or more) deltas. Drop ours and do not retire.
+            fs.delete(hpath(stage), True)
+            return
+        prev_through = versions[-1][1] if versions else -1
+        for b in batches:
+            if b > prev_through:
+                continue  # deferred: retired by the NEXT compaction
+            try:
+                fs.delete(hpath(f"{self._delta()}/ingest_batch={b}"), True)
+            except Exception:
+                pass
+        # Retention: keep the two newest versions (in-flight readers of the
+        # previous one finish on immutable files) + drop the legacy dir.
+        for _, _, uri in versions[:-1]:
+            try:
+                fs.delete(hpath(uri), True)
+            except Exception:
+                pass
+        try:
+            fs.delete(hpath(self._base()), True)
+        except Exception:
+            pass

@@ -619,6 +619,42 @@ def test_rollup_new_run_not_skipped(spark, tmp_path):
     assert roll.last_applied_batch("ckpt-b") == 0
 
 
+def test_rollup_two_interleaved_runs_no_double_count(spark, tmp_path):
+    """Two concurrent stream runs (distinct checkpoints) fold into ONE
+    rollup with keep_commits=2 — the retention hazard: trimming run A's
+    newest commit while run B commits would erase A's applied-batch
+    high-water-mark, letting A's at-least-once replay double-count its
+    last batch. Interleave commits from both runs, then replay EVERY
+    batch of both runs; all replays must be skipped."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "r3"), "ts", "1 minute", ["k"], "v",
+        keep_commits=2,
+    )
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    # Interleaved first application: 4 distinct (run, batch) pairs.
+    roll.apply_batch(df, 0, run_id="ckpt-a")
+    roll.apply_batch(df, 0, run_id="ckpt-b")
+    roll.apply_batch(df, 1, run_id="ckpt-a")
+    roll.apply_batch(df, 1, run_id="ckpt-b")
+    # At-least-once replays of every batch, in shuffled order — retention
+    # must have preserved each run's high-water-mark so all are no-ops.
+    for run, b in (("ckpt-a", 0), ("ckpt-b", 1), ("ckpt-a", 1), ("ckpt-b", 0)):
+        roll.apply_batch(df, b, run_id=run)
+    [r] = roll.read().collect()
+    assert (r.n, r.total) == (4, 8.0)
+    assert roll.last_applied_batch("ckpt-a") == 1
+    assert roll.last_applied_batch("ckpt-b") == 1
+
+
 def test_append_replayed_batch_not_duplicated(spark, tmp_path):
     """Replaying a micro-batch through the append sink must overwrite its
     own ingest_batch directory, not append a second copy."""

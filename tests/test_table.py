@@ -275,12 +275,13 @@ def test_mor_table_merge_on_read_and_compaction(spark, tmp_path):
 
 
 def test_mor_auto_compaction_and_incremental_read(spark, tmp_path):
-    """Inline compaction (auto_compact_deltas) must fire when the delta log
-    reaches the threshold, retire the delta dirs, bound the rewritten base
-    to compact_target_files, and preserve state; read_incremental must
-    return exactly the post-checkpoint batches via directory-level pruning
-    (its plan carries an ingest_batch PartitionFilter, so pre-checkpoint
-    dirs are never listed)."""
+    """Inline compaction (auto_compact_deltas) must fire when the UNFOLDED
+    delta count reaches the threshold, publish a new base version bounded
+    to compact_target_files, and preserve state. Retirement is deferred
+    one compaction cycle (folded dirs linger for in-flight readers), so
+    the just-folded dirs remain listed but invisible to read();
+    read_incremental returns post-checkpoint batches via directory-level
+    pruning (ingest_batch PartitionFilter)."""
     from debezium_emr_hudi_deltastreamer_sample_spark.plans import formatted_plan
     from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
 
@@ -297,28 +298,133 @@ def test_mor_auto_compaction_and_incremental_read(spark, tmp_path):
     )
     t.append_changes(mk([(1, "a", "c", 1)]), 0)
     assert t.delta_batches() == [0]
-    # Second batch reaches the threshold -> inline compaction retires both.
+    # Second batch reaches the threshold -> inline compaction folds both;
+    # the dirs stay on disk (deferred retirement) but are already in base.
     t.append_changes(mk([(2, "x", "c", 2)]), 1)
-    assert t.delta_batches() == []
+    assert t.delta_batches() == [0, 1]
     state = t.read()
     assert {(r.id, r.v) for r in state.select("id", "v").collect()} == {
         (1, "a"),
         (2, "x"),
     }
     # Small-file control: the folded base is exactly the target file count.
-    assert len(state.inputFiles()) == 1
+    assert len(t.read(optimized=True).inputFiles()) == 1
 
-    # Fresh deltas after compaction serve the incremental surface.
+    # Fresh deltas after compaction serve the incremental surface; the
+    # second compaction (pending batches 2,3) retires the first window.
     t.append_changes(mk([(1, "b", "u", 3)]), 2)
     t.append_changes(mk([(3, "m", "c", 4)]), 3)  # threshold -> compacts again
+    assert t.delta_batches() == [2, 3]
     t.append_changes(mk([(4, "q", "c", 5)]), 4)
     inc = t.read_incremental(since_batch=2)
-    # Only batches > 2 that are still uncompacted (batch 3 was folded; the
-    # window is bounded by compaction cadence, batch 4 remains).
-    assert {r.id for r in inc.collect()} == {4}
+    # Batches > 2 still on disk: 3 (folded, retained one cycle) and 4.
+    assert {r.id for r in inc.collect()} == {3, 4}
     p = formatted_plan(inc)
     pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
     assert "ingest_batch" in pf
+
+
+def test_mor_compaction_concurrent_append_and_reader(spark, tmp_path):
+    """Compaction vs concurrency (the lost-delta hazard): a batch that
+    lands AFTER compaction snapshots its delta listing must survive the
+    retirement pass and stay visible; a reader planned BEFORE compaction
+    must still collect from immutable files afterwards; a replay that
+    recreates a retired (already-folded) dir must not double-apply."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id int, v string, op string, _lsn long"
+    )
+
+    class RacingTable(DeltaLogTable):
+        """Injects an append between compact()'s delta listing and its
+        merge/retire — the tightest version of the race."""
+
+        racing = None
+
+        def delta_batches(self):
+            out = super().delta_batches()
+            if self.racing is not None:
+                row, bid = self.racing
+                self.racing = None
+                DeltaLogTable.append_changes(self, mk([row]), bid)
+            return out
+
+    t = RacingTable(spark, str(tmp_path / "mor_race"), keys=["id"])
+    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    t.append_changes(mk([(2, "x", "c", 2)]), 1)
+
+    # Reader planned against the pre-compaction layout.
+    early_reader = t.read().select("id", "v")
+
+    t.racing = ((3, "late", "c", 3), 2)  # lands mid-compaction
+    t.compact()
+    # The racing batch has id > compacted-through and must be visible.
+    assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == {
+        (1, "a"),
+        (2, "x"),
+        (3, "late"),
+    }
+    # The early reader's files were never deleted (versioned base + no
+    # immediate retirement of its delta window).
+    assert {(r.id, r.v) for r in early_reader.collect()} == {
+        (1, "a"),
+        (2, "x"),
+    }
+
+    # Second compaction folds the racer and retires the first window.
+    t.compact()
+    assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == {
+        (1, "a"),
+        (2, "x"),
+        (3, "late"),
+    }
+    # At-least-once replay recreates a retired, already-folded dir: the
+    # read filter (ingest_batch > through) must keep it invisible.
+    DeltaLogTable.append_changes(t, mk([(1, "a", "c", 1)]), 0)
+    assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == {
+        (1, "a"),
+        (2, "x"),
+        (3, "late"),
+    }
+
+
+def test_mor_racing_compactions_cas_single_winner(spark, tmp_path):
+    """Two compactions racing for the same version name: exactly one
+    publishes; the loser discards its stage and retires nothing. State is
+    unchanged either way."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id int, v string, op string, _lsn long"
+    )
+
+    class DoubleCompact(DeltaLogTable):
+        """Runs a full competing compact() between the victim's delta
+        listing and its publish, so the victim's rename must CAS-fail."""
+
+        arm = False
+
+        def delta_batches(self):
+            out = super().delta_batches()
+            if self.arm:
+                self.arm = False
+                DeltaLogTable.compact(self)  # the winner
+            return out
+
+    t = DoubleCompact(spark, str(tmp_path / "mor_cas"), keys=["id"])
+    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    t.arm = True
+    t.compact()  # the loser: its inner winner already took v0
+    assert [v[0] for v in t._base_versions()] == [0]  # exactly one version
+    assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == {
+        (1, "a")
+    }
+    # No stage garbage left behind.
+    import os
+
+    stage_root = tmp_path / "mor_cas" / "__stage"
+    assert not stage_root.exists() or os.listdir(stage_root) == []
 
 
 def test_rename_commit_detects_posix_move_into(spark, tmp_path):
