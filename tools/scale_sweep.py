@@ -79,18 +79,40 @@ QUERIES = [
     # orders⋈customer view — per-batch cost must track batch size, not
     # table size.
     "cdc_incremental_join_view",
+    # Round 4: the iterative-graph defaults on their LSH edge source —
+    # PageRank (batched lazy rounds, pre-partitioned vertex key) and
+    # triangle enumeration (oriented edges, two vertex joins), plus the
+    # shard-local packer that replaced the global-window default.
+    "llm_pagerank",
+    "llm_graph_triangles",
+    "llm_pack_sequences",
 ]
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
     from debezium_emr_hudi_deltastreamer_sample_spark.queries import all_queries
     from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
+
+    argv = argv if argv is not None else sys.argv[1:]
+    sf1_only = "--sf1" in argv
+
+    if sf1_only and not os.path.exists(os.path.join(SF1_DIR, "_DONE")):
+        print(
+            f"--sf1 requires the synthesized fixture at {SF1_DIR}; "
+            "run `python tools/make_sf1.py` first (idempotent, ~2 min)",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
 
     spark = get_spark(app_name="scale_sweep")
     qs = all_queries()
     spark.range(1).count()
 
-    points = [(sf, f"/root/testdata/{sf}") for sf in SFS]
+    if sf1_only:
+        # Targeted fourth-decade run: just the sf0.1 -> sf1 growth factors.
+        points = [("sf0.1", "/root/testdata/sf0.1")]
+    else:
+        points = [(sf, f"/root/testdata/{sf}") for sf in SFS]
     if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
         points.append(("sf1", SF1_DIR))
 
@@ -105,9 +127,10 @@ def main() -> None:
                 sec = time.perf_counter() - t0
                 best = sec if best is None else min(best, sec)
             out[name][sf] = round(best, 3)
-        out[name]["growth_01_to_1"] = round(
-            out[name]["sf0.1"] / max(out[name]["sf0.01"], 1e-9), 2
-        )
+        if "sf0.01" in out[name]:
+            out[name]["growth_01_to_1"] = round(
+                out[name]["sf0.1"] / max(out[name]["sf0.01"], 1e-9), 2
+            )
         if "sf1" in out[name]:
             out[name]["growth_1_to_10"] = round(
                 out[name]["sf1"] / max(out[name]["sf0.1"], 1e-9), 2
