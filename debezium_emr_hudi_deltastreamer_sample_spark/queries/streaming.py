@@ -458,6 +458,142 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(joined, output_mode="append")
 
 
+def _events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_events_stream`` plus two far-future SENTINEL rows (impossible
+    user ids −1/−2, ts = max+30 days, one per join side).
+
+    Outer stream-stream joins emit their null-padded rows only when the
+    WATERMARK passes a row's join bound — under a bounded availableNow
+    replay the watermark stops at (max event time − delay), which would
+    hold every tail row's unmatched output in state forever and make the
+    result diverge from the batch oracle. The sentinels push the watermark
+    ~30 days past the real data so the final no-data micro-batch
+    (spark.sql.streaming.noDataMicroBatches.enabled) flushes ALL real
+    unmatched rows; callers filter ``user_id >= 0`` to drop the sentinels
+    themselves. On an unbounded production stream no sentinel is needed —
+    new data advances the watermark continuously."""
+    import datetime
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ensure_read_confs(spark)
+    src = f"{sf_dir}/events.parquet"
+    d = _tmp("flush_src")
+    shutil.copy(src, f"{d}/events.parquet")
+    t = pq.read_table(src, columns=["ts"])
+    flush_ts = pc.max(t["ts"]).as_py() + datetime.timedelta(days=30)
+    full = pq.read_table(src).schema
+    cols = {
+        "event_id": [-1, -2],
+        "ts": [flush_ts, flush_ts],
+        "user_id": [-1, -2],
+        "event_type": ["click", "purchase"],
+        "value": [0.0, 0.0],
+        "props": [None, None],
+    }
+    sentinel = pa.table(
+        {f.name: pa.array(cols[f.name], type=f.type) for f in full},
+        schema=full,
+    )
+    pq.write_table(sentinel, f"{d}/zz_flush.parquet")
+
+    batch_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(batch_schema).parquet(f"{d}/*.parquet")
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+@_q(
+    "stream_stream_left_join",
+    """
+    SELECT a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks — the state semantics
+    the inner join doesn't exercise: an unmatched left row must be HELD in
+    the state store until the watermark proves no matching right row can
+    still arrive, then emitted null-padded exactly once. Both sides
+    watermarked (state eviction), interval condition bounds retention to
+    join-window + delay. The bounded replay needs the sentinel flush
+    (``_events_stream_with_flush``) so tail unmatched rows emit; the
+    oracle is the plain batch left interval join."""
+    spark = _stream_session(spark)
+    clicks = (
+        _events_stream_with_flush(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream_with_flush(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "click_ts", "purchase_ts")
+    return _drain(joined, output_mode="append").filter(F.col("user_id") >= 0)
+
+
+@_q(
+    "stream_stream_full_join",
+    """
+    SELECT a.user_id, a.ts AS click_ts,
+           b.user_id AS p_user, b.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — both sides' unmatched rows are
+    state-held until the watermark closes their join window, then emitted
+    null-padded exactly once (left- AND right-side eviction, the complete
+    outer-join state machine). Same sentinel-flush mechanics as the left
+    join; sentinels are dropped by the coalesced-key filter."""
+    spark = _stream_session(spark)
+    clicks = (
+        _events_stream_with_flush(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream_with_flush(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select("user_id", "click_ts", "p_user", "purchase_ts")
+    return _drain(joined, output_mode="append").filter(
+        F.coalesce(F.col("user_id"), F.col("p_user")) >= 0
+    )
+
+
 @_q(
     "stream_stateful_totals",
     """
