@@ -1545,6 +1545,64 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "llm_weighted_sample",
+    """
+    WITH w AS (
+      SELECT lang, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n_chars) OVER (PARTITION BY lang) AS total
+      FROM documents)
+    SELECT lang, doc_id, n_chars
+    FROM w
+    WHERE total >= 20 * n_chars
+      AND (cum - n_chars) // greatest(total // 20, 1)
+          < cum // greatest(total // 20, 1)
+    """,
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling per stratum — the MIXTURE-construction
+    step a token-budgeted training run needs: pick ~20 docs per language
+    with probability proportional to SIZE (n_chars), so the sample's
+    char mass mirrors the stratum's. Deterministic and engine-portable by
+    construction: walk the per-language cumulative char count in stable
+    doc_id order and keep each row whose cumulative interval crosses a
+    stride boundary (stride = total // 20) — ALL integer arithmetic, no
+    RNG, no transcendental functions whose last-ulp could differ between
+    engines (the reason this is systematic-by-cumsum rather than the
+    u^(1/w) A-Res reservoir, whose pow/ln ordering is float-fragile
+    cross-engine). Oversized docs (weight ≥ stride) are excluded by the
+    total >= 20*n_chars guard rather than sampled multiple times.
+
+    Scale: one hash exchange on lang serves both windows (cumsum + total),
+    then a pure filter; at 100 TB the stratum count is small so the
+    per-lang window is the same shape as llm_stratified_sample's
+    aggregate — skewed strata would take the pipe_hash_split shard trick
+    inside each lang, same as the packer."""
+    docs = _t(spark, sf_dir, "documents").repartition("lang")
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("lang")
+    w = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(cum_w).alias("cum"),
+        F.sum("n_chars").over(tot_w).alias("total"),
+    )
+    stride = F.greatest(F.floor(F.col("total") / 20), F.lit(1))
+    crossed = F.floor((F.col("cum") - F.col("n_chars")) / stride) < F.floor(
+        F.col("cum") / stride
+    )
+    return w.filter(
+        (F.col("total") >= 20 * F.col("n_chars")) & crossed
+    ).select("lang", "doc_id", "n_chars")
+
+
 @_q("llm_semantic_dedup")  # sample-fit centroids — rows-only; pinned in tests/
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
