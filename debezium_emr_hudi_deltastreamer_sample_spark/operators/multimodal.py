@@ -5,12 +5,15 @@ exactly how a 100 TB multimodal corpus rides in parquet. The Spark-side
 plumbing (schema, batching, partition-sized Arrow transfer via mapInPandas)
 is real and tested. Codec coverage is tiered:
 
-- UNCOMPRESSED formats decode for real IN THIS CONTAINER: pure-numpy
-  PPM (P6) and BMP (24-bit BI_RGB) encoders/decoders below — no imaging
-  library needed, exercised end-to-end by strict decode tests.
-- COMPRESSED formats (png/jpeg/...) go through a real imaging library when
-  one is importable (PIL probe — none ships here, so that branch is live
-  code but cold) and otherwise raise NotImplementedError.
+- Formats that decode for real IN THIS CONTAINER: pure-numpy PPM (P6) and
+  BMP (24-bit BI_RGB), plus a stdlib-only (zlib+struct) PNG codec — 8-bit
+  gray/RGB/RGBA, all five scanline filters on decode — no imaging library
+  needed, exercised end-to-end by strict decode tests and the
+  mm_decode_codec oracle.
+- OTHER compressed formats (jpeg/webp/palette-PNG/...) go through a real
+  imaging library when one is importable (PIL probe — none ships here, so
+  that branch is live code but cold) and otherwise raise
+  NotImplementedError.
 - The non-strict path produces a deterministic fake decode (dimensions
   parsed from the synthetic header) so downstream plumbing stays testable
   with zero codec dependencies at all.
@@ -152,17 +155,129 @@ def decode_bmp(b: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 array → PNG: (h, w) grayscale, (h, w, 3) RGB or (h, w, 4)
+    RGBA; 8-bit, non-interlaced, filter 0 per scanline, one zlib IDAT.
+    Stdlib-only (zlib + struct) — a real compressed-image writer with no
+    imaging-library dependency."""
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    color = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG → uint8 array ((h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA).
+    Full filter support (None/Sub/Up/Average/Paeth, the part encoders
+    actually vary on); 8-bit non-interlaced gray/RGB/RGBA only — palette,
+    16-bit and Adam7 interlace raise ValueError (→ imaging-library
+    fallback). CRCs are validated so corrupt blobs fail loudly instead of
+    decoding garbage."""
+    import zlib
+
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, hdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = hdr
+    ch = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or ch is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced gray/RGB/RGBA PNG supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up (uint8 addition wraps mod 256, as specified)
+            cur = line + prev
+        elif f == 1:  # Sub — sequential left-neighbor recurrence
+            cur = line
+            for i in range(ch, stride):
+                cur[i] += cur[i - ch]
+        elif f == 3:  # Average
+            cur = line
+            for i in range(stride):
+                left = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
 def _decode_uncompressed(b: bytes) -> np.ndarray | None:
-    """Magic-sniff the two container-native formats; None = not one of them
-    OR a variant the native codecs don't cover (e.g. 32-bit / RLE BMP,
-    16-bit PPM) — the caller falls through to the imaging-library branch,
-    which may well decode what the minimal codec cannot. Only the no-
-    library case surfaces an error, and it surfaces there."""
+    """Magic-sniff the formats the pure-Python codecs cover (PPM, BMP and
+    — despite the function's historical name — zlib-compressed PNG); None
+    = not one of them OR a variant the native codecs don't handle (e.g.
+    32-bit / RLE BMP, 16-bit PPM, palette/interlaced PNG) — the caller
+    falls through to the imaging-library branch, which may well decode
+    what the minimal codec cannot. Only the no-library case surfaces an
+    error, and it surfaces there."""
     try:
         if b[:2] == b"P6":
             return decode_ppm(b)
         if b[:2] == b"BM":
             return decode_bmp(b)
+        if b[: len(_PNG_SIG)] == _PNG_SIG:
+            return decode_png(b)
     except ValueError:
         return None
     return None
@@ -182,7 +297,7 @@ def _imaging():
 
 def decode_image_batch(pdf: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
     """Per-Arrow-batch decode. ``strict=True`` decodes REAL image bytes:
-    uncompressed PPM/BMP via the pure-numpy codecs above (in-container),
+    PPM/BMP/PNG via the pure-Python codecs above (in-container),
     anything else via an imaging library if importable (PIL probe), else
     NotImplementedError. Non-strict is the deterministic fake-header
     decode that keeps plumbing testable with zero codec dependencies.
@@ -201,8 +316,8 @@ def decode_image_batch(pdf: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
                     image_mod = _imaging()
                 if image_mod is None:
                     raise NotImplementedError(
-                        "compressed-image decoding requires an imaging "
-                        "library not present in this container; PPM/BMP "
+                        "this image format requires an imaging library "
+                        "not present in this container; PPM/BMP/PNG "
                         "decode natively, other formats need PIL"
                     )
                 import io
@@ -245,7 +360,7 @@ def decode_images(
     """Distributed decode: mapInPandas over (id, media) — Arrow batches in,
     decoded feature rows out. The projection before mapInPandas matters:
     only the blob + id cross the JVM↔Python boundary. ``strict=True``
-    decodes real bytes (PPM/BMP natively; other formats via PIL probe)."""
+    decodes real bytes (PPM/BMP/PNG natively; others via PIL probe)."""
     src = df.select(F.col(id_col).alias("media_id"), "media")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -269,7 +384,7 @@ def resize_images(
     df: DataFrame, id_col: str = "media_id", out_w: int = 8, out_h: int = 8
 ) -> DataFrame:
     """Distributed thumbnail/normalize stage: strict-decode each blob
-    (PPM/BMP native codecs) and nearest-neighbor-resize to a fixed
+    (PPM/BMP/PNG native codecs) and nearest-neighbor-resize to a fixed
     ``(out_h, out_w)`` grid — the preprocessing step every vision-training
     pipeline runs before feature extraction. The index map is pure integer
     floor (``src = dst * src_dim // out_dim``), so the resampled pixels
@@ -291,7 +406,7 @@ def resize_images(
                 arr = _decode_uncompressed(bytes(blob))
                 if arr is None:
                     raise ValueError(
-                        f"media_id={mid}: not a decodable PPM/BMP container"
+                        f"media_id={mid}: not a decodable PPM/BMP/PNG container"
                     )
                 h, w = arr.shape[:2]
                 ri = (np.arange(out_h) * h) // out_h

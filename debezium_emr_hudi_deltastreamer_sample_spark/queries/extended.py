@@ -230,19 +230,20 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_decode_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end, no imaging library: encode each doc's
-    synthetic image as an actual uncompressed container format — PPM (P6)
-    for even ids, 24-bit BMP for odd ids — with every pixel set to
-    doc_id % 256, then strictly decode via the pure-numpy codecs
-    (operators/multimodal.decode_ppm/decode_bmp) through the same
-    mapInPandas plumbing as any corpus decode. The oracle recomputes the
-    dimensions AND the per-image mean byte from the generating formulas,
-    so a codec that mis-parses a header, drops row padding, or swaps
-    BGR/RGB channel math fails the hash, not just a unit test."""
+    synthetic image as an actual container format — PPM (P6) for
+    doc_id%3==0, 24-bit BMP for %3==1, zlib-compressed PNG for %3==2 —
+    with every pixel set to doc_id % 256, then strictly decode via the
+    pure-Python codecs (operators/multimodal.decode_ppm/bmp/png) through
+    the same mapInPandas plumbing as any corpus decode. The oracle
+    recomputes the dimensions AND the per-image mean byte from the
+    generating formulas, so a codec that mis-parses a header, drops row
+    padding, swaps BGR/RGB channel math, or corrupts the PNG inflate
+    fails the hash, not just a unit test."""
     from collections.abc import Iterator
 
     import numpy as np
 
-    from ..operators.multimodal import encode_bmp, encode_ppm
+    from ..operators.multimodal import encode_bmp, encode_png, encode_ppm
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
@@ -251,11 +252,12 @@ def mm_decode_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codecs = (encode_ppm, encode_bmp, encode_png)
         for pdf in batches:
             rows = []
             for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
                 arr = np.full((int(h), int(w), 3), int(mid) % 256, dtype=np.uint8)
-                blob = encode_ppm(arr) if int(mid) % 2 == 0 else encode_bmp(arr)
+                blob = codecs[int(mid) % 3](arr)
                 rows.append({"media_id": int(mid), "media": blob})
             yield pd.DataFrame(rows, columns=["media_id", "media"])
 

@@ -729,6 +729,91 @@ def test_ppm_bmp_codec_roundtrip():
     assert (decode_ppm(blob) == arr).all()
 
 
+def test_png_codec_roundtrip_and_filters():
+    """Stdlib-only PNG codec: encode→decode identity for gray/RGB/RGBA at
+    odd sizes; decode handles every scanline filter (Sub/Up/Average/Paeth
+    — the part third-party encoders actually vary on); corrupt CRCs and
+    unsupported variants fail loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(3, 5), (3, 5, 3), (2, 7, 4), (1, 1, 3), (9, 2, 3)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (decode_png(encode_png(arr)) == arr).all(), shape
+
+    # Hand-build a PNG whose five scanlines use filters 0..4 and check the
+    # decoder reconstructs the original pixels (filter spec: byte-wise mod
+    # 256 against left / up / average / Paeth predictors).
+    h, w, ch = 5, 4, 3
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        line = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        out = np.empty(stride, np.int32)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (a + up) // 2
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+            out[i] = (line[i] - pred) % 256
+        raw += bytes([f]) + out.astype(np.uint8).tobytes()
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(blob) == arr).all()
+
+    # Corrupt CRC must fail loudly, not decode garbage.
+    good = encode_png(arr)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # 16-bit depth refused (falls back to the imaging-library branch).
+    blob16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (h * (2 * stride + 1))))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="non-interlaced"):
+        decode_png(blob16)
+
+
 def test_strict_decode_batch_dispatches_by_magic():
     """decode_image_batch(strict=True) must route PPM and BMP blobs to the
     native codecs and report exact dimensions and RGB mean."""
