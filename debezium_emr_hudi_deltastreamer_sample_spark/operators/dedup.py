@@ -167,25 +167,17 @@ def minhash_signatures(df: DataFrame, id_col: str, num_hashes: int = 32) -> Data
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    num_hashes: int = 32,
-    bands: int = 8,
+def _banded_signatures(
+    df: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """LSH banding: split the signature into `bands` rows-per-band groups,
-    bucket by the band hash, self-join buckets → candidate pairs with their
-    estimated Jaccard (signature agreement rate).
-
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
-    """
+    """(id, minhash) → (id, minhash, band, bucket): one row per band with
+    the band's bucket hash. Materialized with localCheckpoint — the
+    signature DAG (num_hashes × shingle hashes per doc) is expensive and
+    every join below reads it at least twice; checkpoint blocks are freed
+    by the ContextCleaner when the result is dropped (persist() would park
+    them in the session cache manager and leak across repeated calls)."""
     rows_per_band = num_hashes // bands
-    # Persist the banded signatures: the signature DAG (num_hashes × shingle
-    # hashes per doc) is expensive, and the self-join would otherwise
-    # recompute it for BOTH sides — at sf0.1 that turned a ~2 s op into
-    # ~110 s. Signatures are tiny relative to text (num_hashes longs/doc),
-    # so caching them is also the right call at 100 TB.
-    banded = (
+    return (
         df.select(
             F.col(id_col),
             F.col("minhash"),
@@ -207,13 +199,68 @@ def minhash_lsh_candidates(
             ).alias("bb"),
         )
         .select(id_col, "minhash", "bb.band", "bb.bucket")
-        # localCheckpoint, not persist(): the self-join below reads this
-        # twice, but persist() registers the blocks in the session cache
-        # manager where they leak across repeated calls — checkpoint blocks
-        # are freed by the ContextCleaner once the returned candidates
-        # DataFrame is dropped, so callers own no cache lifecycle.
         .localCheckpoint(eager=True)
     )
+
+
+def _sig_agreement(num_hashes: int) -> F.Column:
+    """Estimated Jaccard between mh_a / mh_b signature columns."""
+    return F.round(
+        F.aggregate(
+            F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_hashes),
+        4,
+    )
+
+
+def minhash_lsh_candidates_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Cross-set LSH: candidate near-dup pairs between a (small) LEFT set
+    and a (large) RIGHT set that share a band bucket — the INGESTION-GATE
+    shape: probe an incoming batch against the corpus signature index
+    without ever joining batch×corpus. Returns distinct
+    (id_a from left, id_b from right, est_jaccard).
+
+    Scale: both sides explode to `bands` rows each and equi-join on
+    (band, bucket) — cost is bucket-intersection sized. At 100 TB the
+    right side's banded signatures are the persisted corpus index (stored
+    once, ~bands longs per doc); each ingest batch rebuilds only its own
+    signatures."""
+    a = _banded_signatures(left, id_col, num_hashes, bands).select(
+        "band", "bucket", F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")
+    )
+    b = _banded_signatures(right, id_col, num_hashes, bands).select(
+        "band", "bucket", F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .withColumn("est_jaccard", _sig_agreement(num_hashes))
+        .select("id_a", "id_b", "est_jaccard")
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` rows-per-band groups,
+    bucket by the band hash, self-join buckets → candidate pairs with their
+    estimated Jaccard (signature agreement rate).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
+    """
+    banded = _banded_signatures(df, id_col, num_hashes, bands)
 
     a = banded.select(
         F.col("band"),
@@ -229,19 +276,10 @@ def minhash_lsh_candidates(
     )
     # Estimate BEFORE distinct so the dedup shuffles (long, long, double)
     # rows, not two 32-element arrays per pair.
-    est = F.round(
-        F.aggregate(
-            F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / F.lit(num_hashes),
-        4,
-    )
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", _sig_agreement(num_hashes))
         .select("id_a", "id_b", "est_jaccard")
         .distinct()
     )

@@ -1116,39 +1116,13 @@ def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "llm_graph_triangles",
-    """
-    WITH edges AS (
-      SELECT a.vec_id AS ida, b.vec_id AS idb
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35)
-    SELECT e1.ida AS id_a, e1.idb AS id_b, e3.idb AS id_c
-    FROM edges e1
-    JOIN edges e2 ON e1.idb = e2.ida
-    JOIN edges e3 ON e1.ida = e3.ida AND e2.idb = e3.idb
-    """,
-)
-def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle enumeration over the similarity graph — the third graph
-    operator next to connected components and PageRank, and the standard
-    cohesion probe (a near-dup cluster shows up as a dense triangle
-    nest; a chain of pairwise-coincidental matches has none). Edges are
-    oriented low→high id, so every triangle is emitted exactly once as
-    (a<b<c) via two hash joins on vertex keys.
-
-    Scale: edge construction is the documented split — all-pairs cosine
-    here (oracle-replayable at fixture size), LSH candidates at 100 TB
-    (operators/similarity.embedding_neardup_pairs approx=True). The
-    triangle join itself shuffles the EDGE list on vertex id twice;
-    with edges pre-partitioned by vertex key (the PageRank layout) the
-    first join is co-located, and skewed hub vertices are the AQE
-    skew-join case."""
-    from ..operators.similarity import embedding_neardup_pairs
-
-    edges = embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, approx=False
-    ).select(F.col("aid").alias("ida"), F.col("bid").alias("idb"))
+def _triangles_from_edges(edges: DataFrame) -> DataFrame:
+    """Oriented-edge triangle enumeration: edges are low→high id, so every
+    triangle is emitted exactly once as (a<b<c) via two hash joins on
+    vertex keys. The joins shuffle the EDGE list on vertex id twice; with
+    edges pre-partitioned by vertex key (the PageRank layout) the first
+    join is co-located, and skewed hub vertices are the AQE skew-join
+    case."""
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -1165,6 +1139,59 @@ def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e3.idb").alias("id_c"),
         )
     )
+
+
+@_q("llm_graph_triangles")  # LSH edge source — rows-only; containment pinned
+def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the LSH-candidate similarity graph — the
+    100 TB default (same edge-source split as llm_pagerank /
+    llm_dedup_clusters: banded LSH candidates + exact cosine re-check on
+    candidates only, O(n · bucket) edges, never all-pairs). The round-4
+    sf1 sweep is what forced this split: the exact edge source grew 43×
+    on 10× data (500k² cosines); the LSH default stays near-linear.
+    Triangle containment vs the exact edge set is pinned in
+    tests/test_operators.py; the SQL-replayable exact variant lives on as
+    llm_graph_triangles_exact."""
+    from ..operators.similarity import embedding_neardup_pairs
+
+    # multiprobe=True: the 0.35 threshold sits in the MID-similarity band
+    # where plain banding loses recall (edge recall measured 0.39 plain →
+    # 0.87 multiprobe at sf0.01); triangles need all three edges, so edge
+    # recall compounds cubically and the probe is worth its candidate
+    # inflation here (unlike the high-threshold dedup paths).
+    edges = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        approx=True,
+        multiprobe=True,
+    ).select(F.col("aid").alias("ida"), F.col("bid").alias("idb"))
+    return _triangles_from_edges(edges)
+
+
+@_q(
+    "llm_graph_triangles_exact",
+    """
+    WITH edges AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35)
+    SELECT e1.ida AS id_a, e1.idb AS id_b, e3.idb AS id_c
+    FROM edges e1
+    JOIN edges e2 ON e1.idb = e2.ida
+    JOIN edges e3 ON e1.ida = e3.ida AND e2.idb = e3.idb
+    """,
+)
+def llm_graph_triangles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-companion triangles over the EXACT all-pairs cosine edge
+    set — SQL-replayable at fixture size, O(n²) by contract (excluded
+    from the sf1 sweep like the other exact companions, FIXTURES.md §4).
+    The default llm_graph_triangles uses LSH candidate edges."""
+    from ..operators.similarity import embedding_neardup_pairs
+
+    edges = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, approx=False
+    ).select(F.col("aid").alias("ida"), F.col("bid").alias("idb"))
+    return _triangles_from_edges(edges)
 
 
 @_q(

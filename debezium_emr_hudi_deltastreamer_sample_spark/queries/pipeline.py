@@ -550,3 +550,50 @@ def pipe_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "shard", "doc_id", F.row_number().over(w).alias("pos")
     )
+
+
+@_q("pipe_ingest_neardup_gate")  # MinHash LSH — rows-only; recall pinned in tests/
+def pipe_ingest_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ADMISSION CONTROL for incremental ingest — the steady-state
+    sibling of pipe_incremental_dedup (which gates on exact digests): an
+    incoming batch (source='src1') is probed against the existing corpus's
+    MinHash signature index via cross-set LSH banding; a batch doc whose
+    best candidate signature agreement is ≥ 0.5 is rejected as a near-dup
+    of the corpus. Reports per-language admission counts plus the worst
+    offender's estimated Jaccard.
+
+    Scale: the corpus side of minhash_lsh_candidates_between is the
+    persisted signature index (bands longs per doc, built once, maintained
+    per ingest like llm_index_maintain's gram index); each batch rebuilds
+    only its OWN signatures and the join is bucket-intersection sized —
+    never batch×corpus. No oracle: MinHash isn't SQL-expressible; the
+    recall/containment contract vs exact batch×corpus Jaccard is pinned in
+    tests/test_operators.py."""
+    from ..operators.dedup import (
+        minhash_lsh_candidates_between,
+        minhash_signatures_from_tokens,
+    )
+    from ..operators.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents").withColumn("tokens", tokens_col())
+    batch = docs.filter(F.col("source") == "src1")
+    corpus = docs.filter(F.col("source") != "src1")
+    cands = minhash_lsh_candidates_between(
+        minhash_signatures_from_tokens(batch, "doc_id"),
+        minhash_signatures_from_tokens(corpus, "doc_id"),
+        "doc_id",
+    )
+    worst = cands.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.max("est_jaccard").alias("best_match")
+    )
+    gated = batch.join(worst, "doc_id", "left_outer").withColumn(
+        "rejected", F.coalesce(F.col("best_match"), F.lit(0.0)) >= 0.5
+    )
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count_if(F.col("rejected")).alias("n_rejected"),
+        F.count_if(~F.col("rejected")).alias("n_admitted"),
+        dround(F.max(F.when(F.col("rejected"), F.col("best_match"))), 4).alias(
+            "worst_est_jaccard"
+        ),
+    )

@@ -92,6 +92,49 @@ def test_minhash_estimates_jaccard(spark):
     assert (1, 3) not in pairs  # unrelated docs never share a band
 
 
+def test_lsh_between_ingest_gate_recall(spark):
+    """Cross-set LSH (minhash_lsh_candidates_between) as an ingest gate:
+    every batch doc that is a TRUE high-Jaccard near-dup of some corpus
+    doc must be flagged (recall at j≥0.8), and genuinely fresh docs with
+    disjoint vocabulary must never be."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.dedup import (
+        minhash_lsh_candidates_between,
+        minhash_signatures_from_tokens,
+    )
+
+    corpus_rows = []
+    for i in range(30):
+        toks = [f"c{i}t{j}" for j in range(40)]
+        corpus_rows.append((i, toks))
+    near_rows = []  # batch docs: corpus doc with one token replaced (j≈0.93)
+    for i in range(15):
+        toks = [f"c{i}t{j}" for j in range(40)]
+        toks[20] = "EDITED"
+        near_rows.append((1000 + i, toks))
+    fresh_rows = [  # disjoint vocabulary → zero shingle overlap
+        (2000 + i, [f"f{i}t{j}" for j in range(40)]) for i in range(15)
+    ]
+    schema = "doc_id long, tokens array<string>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(near_rows + fresh_rows, schema)
+    cands = minhash_lsh_candidates_between(
+        minhash_signatures_from_tokens(batch, "doc_id"),
+        minhash_signatures_from_tokens(corpus, "doc_id"),
+        "doc_id",
+    )
+    best = {
+        r.doc_id: r.best
+        for r in cands.groupBy(F.col("id_a").alias("doc_id"))
+        .agg(F.max("est_jaccard").alias("best"))
+        .collect()
+    }
+    flagged = {d for d, b in best.items() if b >= 0.5}
+    assert {1000 + i for i in range(15)} <= flagged  # full recall on near-dups
+    assert not any(d >= 2000 for d in flagged)  # fresh docs admitted
+    # Candidate volume stays bucket-bounded: no batch×corpus explosion.
+    assert cands.count() <= len(near_rows) * 3
+
+
 def test_ngram_jaccard_exact(spark):
     df = with_shingles(spark.createDataFrame(DOCS, "doc_id int, text string"))
     pairs = {
@@ -383,6 +426,70 @@ def test_connected_components_known_graph(spark):
         r.id: r.component for r in connected_components(verts, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_triangles_lsh_contained_in_exact(spark, sf_tiny):
+    """The LSH-edge triangle default emits a SUBSET of the exact-edge
+    triangles (candidates are exact-cosine re-checked, so LSH edges ⊆
+    exact edges). The fixture's 0.35-threshold triangles are marginal-
+    similarity triples — the WORST case for banding — so coverage there
+    is best-effort (≥1/3 measured); the regime triangles are actually
+    used for (near-dup cluster cohesion, high cosine) is pinned at ~full
+    recall by test_triangles_lsh_full_recall_on_high_sim_clusters."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
+        llm_graph_triangles,
+        llm_graph_triangles_exact,
+    )
+
+    lsh = {
+        (r.id_a, r.id_b, r.id_c)
+        for r in llm_graph_triangles(spark, sf_tiny).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.id_c)
+        for r in llm_graph_triangles_exact(spark, sf_tiny).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) * 3 >= len(exact)
+
+
+def test_triangles_lsh_full_recall_on_high_sim_clusters(spark):
+    """High-similarity regime (the one cohesion analysis runs in): planted
+    4-member near-identical clusters must yield ALL their triangles
+    through the LSH edge path."""
+    import numpy as np
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
+        _triangles_from_edges,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for c in range(10):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for _ in range(4):  # near-identical members (cos ≈ 0.999)
+            v = base + rng.normal(scale=0.01, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(60):  # unrelated noise vectors
+        v = rng.normal(size=64)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    edges = embedding_neardup_pairs(
+        emb, threshold=0.9, approx=True, multiprobe=True
+    ).select(F.col("aid").alias("ida"), F.col("bid").alias("idb"))
+    tris = {
+        (r.id_a, r.id_b, r.id_c)
+        for r in _triangles_from_edges(edges).collect()
+    }
+    # 10 clusters × C(4,3) = 40 planted triangles, all recovered.
+    assert len(tris) == 40
 
 
 def test_dedup_clusters_approx_refines_exact(spark, sf_tiny):
