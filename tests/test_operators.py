@@ -764,7 +764,8 @@ def test_embed_quantize_error_bound(spark, sf_tiny):
     rows = llm_embed_quantize(spark, sf_tiny).collect()
     assert rows
     for r in rows:
-        assert all(-127 <= q <= 127 for q in r.q)
+        # q is serialized as a canonical CSV string (driver-hasher contract).
+        assert all(-127 <= int(q) <= 127 for q in r.q.split(","))
         assert r.max_err <= r.scale / 254 + 1e-6
 
 
