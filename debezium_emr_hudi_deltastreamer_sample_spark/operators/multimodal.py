@@ -6,14 +6,16 @@ plumbing (schema, batching, partition-sized Arrow transfer via mapInPandas)
 is real and tested. Codec coverage is tiered:
 
 - Formats that decode for real IN THIS CONTAINER: pure-numpy PPM (P6) and
-  BMP (24-bit BI_RGB), plus a stdlib-only (zlib+struct) PNG codec — 8-bit
-  gray/RGB/RGBA, all five scanline filters on decode — no imaging library
-  needed, exercised end-to-end by strict decode tests and the
-  mm_decode_codec oracle.
-- OTHER compressed formats (jpeg/webp/palette-PNG/...) go through a real
-  imaging library when one is importable (PIL probe — none ships here, so
-  that branch is live code but cold) and otherwise raise
-  NotImplementedError.
+  BMP (24-bit BI_RGB); a stdlib-only (zlib+struct) PNG codec — 8-bit
+  gray/RGB/RGBA, all five scanline filters on decode; and a pure-numpy
+  baseline JPEG codec (operators/jpeg.py — DCT via matrix algebra,
+  standard Annex K tables, 4:4:4/4:2:0, restart markers). No imaging
+  library needed; exercised end-to-end by strict decode tests, a
+  hand-crafted-bytes analytic test, and the mm_decode_codec oracle.
+- REMAINING compressed variants (progressive JPEG, webp, palette-PNG, ...)
+  go through a real imaging library when one is importable (PIL probe —
+  none ships here, so that branch is live code but cold) and otherwise
+  raise NotImplementedError.
 - The non-strict path produces a deterministic fake decode (dimensions
   parsed from the synthetic header) so downstream plumbing stays testable
   with zero codec dependencies at all.
@@ -265,12 +267,13 @@ def decode_png(b: bytes) -> np.ndarray:
 
 def _decode_uncompressed(b: bytes) -> np.ndarray | None:
     """Magic-sniff the formats the pure-Python codecs cover (PPM, BMP and
-    — despite the function's historical name — zlib-compressed PNG); None
-    = not one of them OR a variant the native codecs don't handle (e.g.
-    32-bit / RLE BMP, 16-bit PPM, palette/interlaced PNG) — the caller
-    falls through to the imaging-library branch, which may well decode
-    what the minimal codec cannot. Only the no-library case surfaces an
-    error, and it surfaces there."""
+    — despite the function's historical name — zlib-compressed PNG and
+    baseline JPEG); None = not one of them OR a variant the native codecs
+    don't handle (e.g. 32-bit / RLE BMP, 16-bit PPM, palette/interlaced
+    PNG, progressive JPEG) — the caller falls through to the
+    imaging-library branch, which may well decode what the minimal codec
+    cannot. Only the no-library case surfaces an error, and it surfaces
+    there."""
     try:
         if b[:2] == b"P6":
             return decode_ppm(b)
@@ -278,6 +281,10 @@ def _decode_uncompressed(b: bytes) -> np.ndarray | None:
             return decode_bmp(b)
         if b[: len(_PNG_SIG)] == _PNG_SIG:
             return decode_png(b)
+        if b[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg  # noqa: PLC0415
+
+            return decode_jpeg(b)
     except ValueError:
         return None
     return None
@@ -317,8 +324,8 @@ def decode_image_batch(pdf: pd.DataFrame, strict: bool = False) -> pd.DataFrame:
                 if image_mod is None:
                     raise NotImplementedError(
                         "this image format requires an imaging library "
-                        "not present in this container; PPM/BMP/PNG "
-                        "decode natively, other formats need PIL"
+                        "not present in this container; PPM/BMP/PNG and "
+                        "baseline JPEG decode natively, others need PIL"
                     )
                 import io
 

@@ -231,18 +231,21 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_decode_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end, no imaging library: encode each doc's
     synthetic image as an actual container format — PPM (P6) for
-    doc_id%3==0, 24-bit BMP for %3==1, zlib-compressed PNG for %3==2 —
-    with every pixel set to doc_id % 256, then strictly decode via the
-    pure-Python codecs (operators/multimodal.decode_ppm/bmp/png) through
-    the same mapInPandas plumbing as any corpus decode. The oracle
-    recomputes the dimensions AND the per-image mean byte from the
-    generating formulas, so a codec that mis-parses a header, drops row
-    padding, swaps BGR/RGB channel math, or corrupts the PNG inflate
-    fails the hash, not just a unit test."""
+    doc_id%4==0, 24-bit BMP for %4==1, zlib-compressed PNG for %4==2,
+    baseline JPEG for %4==3 — with every pixel set to doc_id % 256, then
+    strictly decode via the pure-Python codecs (operators/multimodal +
+    operators/jpeg) through the same mapInPandas plumbing as any corpus
+    decode. A solid-color image survives JPEG quantization EXACTLY
+    (DC-only blocks), so the oracle can recompute the dimensions AND the
+    per-image mean byte from the generating formulas even for the lossy
+    format — a codec that mis-parses a header, drops row padding, swaps
+    BGR/RGB channel math, corrupts the PNG inflate, or misaligns the
+    JPEG zigzag/quant tables fails the hash, not just a unit test."""
     from collections.abc import Iterator
 
     import numpy as np
 
+    from ..operators.jpeg import encode_jpeg
     from ..operators.multimodal import encode_bmp, encode_png, encode_ppm
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -252,12 +255,12 @@ def mm_decode_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codecs = (encode_ppm, encode_bmp, encode_png)
+        codecs = (encode_ppm, encode_bmp, encode_png, encode_jpeg)
         for pdf in batches:
             rows = []
             for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
                 arr = np.full((int(h), int(w), 3), int(mid) % 256, dtype=np.uint8)
-                blob = codecs[int(mid) % 3](arr)
+                blob = codecs[int(mid) % 4](arr)
                 rows.append({"media_id": int(mid), "media": blob})
             yield pd.DataFrame(rows, columns=["media_id", "media"])
 

@@ -922,6 +922,106 @@ def test_png_codec_roundtrip_and_filters():
         decode_png(blob16)
 
 
+def test_jpeg_codec_quality_and_variants():
+    """Pure-numpy baseline JPEG: solid colors decode EXACTLY (DC-only
+    blocks round within the quantization bound), smooth content error
+    shrinks with quality, 4:2:0 subsampling and restart markers roundtrip,
+    grayscale and odd sizes work, and progressive refuses cleanly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # Solid color: exact for every gray level (oracle-grade property).
+    for v in (0, 7, 128, 200, 255):
+        a = np.full((10, 13, 3), v, np.uint8)
+        assert (decode_jpeg(encode_jpeg(a)) == a).all(), v
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [np.sin(xx / 7) * 60 + 120, np.cos(yy / 9) * 50 + 110, xx * 3 + yy],
+        -1,
+    ).clip(0, 255).astype(np.uint8)
+    err90 = np.abs(
+        decode_jpeg(encode_jpeg(img, quality=90)).astype(int) - img.astype(int)
+    ).mean()
+    err50 = np.abs(
+        decode_jpeg(encode_jpeg(img, quality=50)).astype(int) - img.astype(int)
+    ).mean()
+    assert err90 < err50  # rate-distortion monotone
+    assert err90 < 2.0
+
+    # Grayscale + odd size.
+    g = (xx * 5 % 256).astype(np.uint8)[:23, :39]
+    assert np.abs(
+        decode_jpeg(encode_jpeg(g, quality=90)).astype(int) - g.astype(int)
+    ).mean() < 3.0
+
+    # 4:2:0 subsampling decodes at full size with bounded chroma blur.
+    d420 = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+    assert d420.shape == img.shape
+    assert np.abs(d420.astype(int) - img.astype(int)).mean() < 4.0
+
+    # Restart markers are bit-transparent: identical output to plain.
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    for ri in (1, 3):
+        assert (
+            decode_jpeg(encode_jpeg(img, quality=90, restart_interval=ri))
+            == plain
+        ).all()
+
+    # Progressive (SOF2) refuses into the imaging-library fallback.
+    b = bytearray(encode_jpeg(img))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_decoder_against_handcrafted_bytes():
+    """Decode a JPEG whose bytes are built BY HAND from the spec (not by
+    our encoder), with an analytically known result — guards against
+    mirror-image bugs where encoder and decoder share the same mistake
+    (e.g. a transposed zigzag would roundtrip cleanly but fail here).
+
+    Construction: 8×8 grayscale, quant table all 16s, standard Annex K
+    DC/AC luminance Huffman tables. Scan = DC diff 4 (category 3, code
+    '100', bits '100') then EOB (code '1010'): coefficient 4·16 = 64,
+    spatial value 64/8 + 128 = 136 on every pixel."""
+    import struct
+
+    import numpy as np
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    b = bytearray(b"\xff\xd8")
+    b += seg(0xFFDB, bytes([0]) + bytes([16] * 64))
+    b += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    b += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    b += seg(0xFFC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    b += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # bits: 100 100 1010 + 6 pad ones -> 1001 0010 1011 1111
+    b += bytes([0b10010010, 0b10111111])
+    b += b"\xff\xd9"
+    out = decode_jpeg(bytes(b))
+    assert out.shape == (8, 8)
+    assert (out == 136).all()
+
+
 def test_strict_decode_batch_dispatches_by_magic():
     """decode_image_batch(strict=True) must route PPM and BMP blobs to the
     native codecs and report exact dimensions and RGB mean."""
