@@ -285,6 +285,28 @@ def test_triangles_no_cartesian_product(spark, qs):
     assert p.count("HashJoin") + p.count("SortMergeJoin") >= 2
 
 
+def test_weighted_sample_one_exchange_two_windows(spark, qs):
+    """llm_weighted_sample: the cumsum window and the per-stratum total
+    window must SHARE one hashpartitioning(lang) exchange — a second
+    exchange would double the only shuffle this query needs — and the
+    scan reads exactly the three projected columns."""
+    p = plan(qs["llm_weighted_sample"](spark, SF))
+    assert p.count(") Exchange") == 1
+    assert p.count(") Window") == 2
+    rs = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" not in rs and "source" not in rs  # column pruning
+
+
+def test_ingest_gate_no_batch_times_corpus_join(spark, qs):
+    """pipe_ingest_neardup_gate: the batch must meet the corpus ONLY via
+    the (band, bucket) equi-join on the signature index — a nested-loop
+    or cartesian join of batch×corpus text is the plan that dies at
+    100 TB."""
+    p = plan(qs["pipe_ingest_neardup_gate"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_gap_fill_single_events_scan(spark, qs):
     """ts_gap_fill derives bounds and the type list from the hourly
     rollup (checkpointed once), so the events parquet is scanned exactly

@@ -389,6 +389,30 @@ def test_mor_compaction_concurrent_append_and_reader(spark, tmp_path):
     }
 
 
+def test_mor_compaction_crash_before_publish_invisible(spark, tmp_path):
+    """A compaction that dies after staging but BEFORE the rename leaves
+    only __stage garbage: reads are unaffected, and a later compaction
+    publishes normally (the stage dir is never listed as a version)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id int, v string, op string, _lsn long"
+    )
+    t = DeltaLogTable(spark, str(tmp_path / "mor_crash"), keys=["id"])
+    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    before = {(r.id, r.v) for r in t.read().select("id", "v").collect()}
+
+    # Simulate the crash: materialize the snapshot into __stage and stop.
+    stage = tmp_path / "mor_crash" / "__stage" / "deadbeef"
+    t.read().write.mode("overwrite").parquet(str(stage))
+
+    assert t._base_versions() == []  # stage is not a version
+    assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == before
+    t.compact()  # recovers: publishes v0 normally
+    assert [v[0] for v in t._base_versions()] == [0]
+    assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == before
+
+
 def test_mor_racing_compactions_cas_single_winner(spark, tmp_path):
     """Two compactions racing for the same version name: exactly one
     publishes; the loser discards its stage and retires nothing. State is

@@ -86,6 +86,9 @@ QUERIES = [
     "llm_pagerank",
     "llm_graph_triangles",
     "llm_pack_sequences",
+    # Cross-set LSH ingest gate: batch signatures vs corpus index, join
+    # bounded by bucket intersections — must track batch size at scale.
+    "pipe_ingest_neardup_gate",
 ]
 
 
