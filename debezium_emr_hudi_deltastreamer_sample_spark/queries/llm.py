@@ -1630,6 +1630,49 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "doc_id", "n_chars")
 
 
+@_q(
+    "llm_language_id",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> list_contains(['der','die','und','das'], x))) AS h_de,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que'], x))) AS h_es,
+        len(list_filter(toks, x -> list_contains(['le','la','et','les'], x))) AS h_fr,
+        len(list_filter(toks, x -> list_contains(['de','shi','le','bu'], x))) AS h_zh
+      FROM t)
+    SELECT lang,
+           CASE WHEN h_de >= 2 THEN 'de' WHEN h_es >= 2 THEN 'es'
+                WHEN h_fr >= 2 THEN 'fr' WHEN h_zh >= 2 THEN 'zh'
+                ELSE 'en' END AS detected,
+           count(*) AS n, min(doc_id) AS min_doc
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def llm_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification end-to-end — the routing/filter stage of a
+    multilingual corpus pipeline, as a labeled-vs-detected contingency
+    table (per (true lang, detected lang) doc counts). The detector is
+    operators/text.language_id_col: a deterministic marker-token vote
+    (≥2 hits, fixed language priority, 'en' fallback) — at real scale
+    the marker lists become char-trigram frequency profiles but the
+    DataFrame shape (per-row vote over the token array, pure JVM HOFs,
+    no shuffle until the final contingency groupBy) is identical.
+
+    Scale: one scan, per-row array filters in codegen, a 4-language-wide
+    groupBy — the cheapest possible shape; the oracle replays the same
+    vote in DuckDB so priority-order drift between engines is caught."""
+    from ..operators.text import language_id_col
+
+    docs = _t(spark, sf_dir, "documents").withColumn("tokens", tokens_col())
+    return (
+        docs.withColumn("detected", language_id_col())
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+    )
+
+
 @_q("llm_semantic_dedup")  # sample-fit centroids — rows-only; pinned in tests/
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
