@@ -467,6 +467,27 @@ class DeltaLogTable:
             if len(pending) >= self.auto_compact_deltas:
                 self.compact()
 
+    def base_versions(self) -> list[int]:
+        """Published compaction version seqs, oldest first (retention
+        keeps the two newest — the MOR time-travel window)."""
+        return [seq for seq, _, _ in self._base_versions()]
+
+    def read_version(self, seq: int) -> DataFrame:
+        """Time travel on the MOR axis (the COW sibling is
+        ``KeyedTable.read(as_of=...)``): serve a specific PUBLISHED
+        compaction version's base as-of its compacted-through batch — no
+        later deltas applied, so the result is exactly the table state the
+        moment that compaction folded. Retention bounds the window to the
+        two newest versions (an in-flight-reader guarantee doubling as
+        history), mirroring Hudi's cleaner-retained commits."""
+        for s, _, uri in self._base_versions():
+            if s == seq:
+                return self._read_dir(uri)
+        raise FileNotFoundError(
+            f"no base version {seq} at {self.path} "
+            f"(have {self.base_versions()}; retention keeps the 2 newest)"
+        )
+
     def read(self, optimized: bool = False) -> DataFrame:
         """Merge-on-read snapshot: base patched with the delta log.
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable, hudi_available
@@ -386,6 +387,38 @@ def test_mor_compaction_concurrent_append_and_reader(spark, tmp_path):
         (1, "a"),
         (2, "x"),
         (3, "late"),
+    }
+
+
+def test_mor_time_travel_across_versions(spark, tmp_path):
+    """MOR time travel: each published compaction version serves the table
+    state as-of its compacted-through batch; the retention window is the
+    two newest versions."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id int, v string, op string, _lsn long"
+    )
+    t = DeltaLogTable(spark, str(tmp_path / "mor_tt"), keys=["id"])
+    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    t.compact()  # v0: {1: a}
+    t.append_changes(mk([(1, "b", "u", 2), (2, "x", "c", 3)]), 1)
+    t.compact()  # v1: {1: b, 2: x}
+    assert t.base_versions() == [0, 1]
+    assert {(r.id, r.v) for r in t.read_version(0).select("id", "v").collect()} == {
+        (1, "a")
+    }
+    assert {(r.id, r.v) for r in t.read_version(1).select("id", "v").collect()} == {
+        (1, "b"),
+        (2, "x"),
+    }
+    t.append_changes(mk([(2, None, "d", 4)]), 2)
+    t.compact()  # v2: {1: b}; retention drops v0
+    assert t.base_versions() == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        t.read_version(0)
+    assert {(r.id, r.v) for r in t.read_version(2).select("id", "v").collect()} == {
+        (1, "b")
     }
 
 
