@@ -425,6 +425,51 @@ def cdc_mor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cdc_mor_time_travel",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00') WHERE rn = 1
+    """,
+)
+def cdc_mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the MERGE_ON_READ axis (COW sibling:
+    cdc_time_travel): two change batches each followed by a compaction
+    publish an MVCC base version apiece; ``read_version`` on the FIRST
+    version returns the table exactly as of the first compaction — the
+    latest-row-per-key state over the pre-Jan-21 events, which the oracle
+    computes directly. The second batch's changes must be invisible,
+    pinning that compaction versions are immutable snapshots (retention
+    keeps the two newest, so both are still servable)."""
+    import tempfile
+
+    from ..table import DeltaLogTable
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("_ts_ms", F.unix_micros("ts"))
+        .withColumn("_lsn", F.col("event_id"))
+    )
+    t = DeltaLogTable(
+        spark,
+        tempfile.mkdtemp(prefix="spark_graft_mor_tt_"),
+        keys=["user_id"],
+        ordering=["_ts_ms", "_lsn"],
+        op_col=None,
+    )
+    cut = F.lit("2024-01-21").cast("timestamp")
+    t.append_changes(ev.filter(F.col("ts") < cut), 0)
+    t.compact()
+    t.append_changes(ev.filter(F.col("ts") >= cut), 1)
+    t.compact()
+    first = t.base_versions()[0]
+    return t.read_version(first).select("user_id", "event_id", "event_type")
+
+
+@_q(
     "cdc_avro_roundtrip",
     """
     SELECT event_id,
