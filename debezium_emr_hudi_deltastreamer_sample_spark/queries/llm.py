@@ -159,6 +159,54 @@ def llm_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "llm_heavy_hitters",
+    """
+    SELECT tok, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+)
+def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 vocabulary via the two-pass HEAVY-HITTERS shape — the
+    bounded-shuffle alternative llm_word_freq's full groupBy needs at
+    open vocabularies. Pass 1 (mapInPandas, no shuffle): each Arrow batch
+    keeps only tokens with local count > batch_n/K — by pigeonhole, any
+    token with GLOBAL count > n/K exceeds that ratio in at least one
+    batch, so the candidate union provably contains every global heavy
+    hitter (the Misra-Gries guarantee, vectorized as value_counts). Pass
+    2: exact counts for candidates only, via a broadcast semi-join —
+    EXACT results, so the oracle is the plain top-k.
+
+    Scale: at 100 TB with URL/hash-polluted vocabularies, a full groupBy
+    shuffles billions of distinct keys; here the shuffle carries only
+    ~K·partitions candidates. K=400 here; production sizes K so the
+    k-th-heaviest frequency stays above n/K (the completeness
+    condition — if it breaks, candidates widen, never silently drop)."""
+    from collections.abc import Iterator
+
+    K = 400
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col()).alias("tok"))
+
+    def candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            keep = vc[vc > len(pdf) / K]
+            yield pd.DataFrame({"tok": keep.index.astype(str)})
+
+    cands = toks.mapInPandas(candidates, "tok string").distinct()
+    return (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+@_q(
     "llm_fingerprint",
     """
     SELECT doc_id,
