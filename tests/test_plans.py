@@ -307,6 +307,16 @@ def test_ingest_gate_no_batch_times_corpus_join(spark, qs):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_heavy_hitters_candidates_broadcast_semi(spark, qs):
+    """llm_heavy_hitters: the exact-refine pass must reach the token
+    stream as a BROADCAST semi-join of the small candidate set — a
+    shuffled join (or a full-vocabulary aggregate before the filter)
+    forfeits the bounded-shuffle point of the two-pass shape."""
+    p = plan(qs["llm_heavy_hitters"](spark, SF))
+    assert "BroadcastExchange" in p
+    assert "LeftSemi" in p
+
+
 def test_gap_fill_single_events_scan(spark, qs):
     """ts_gap_fill derives bounds and the type list from the hourly
     rollup (checkpointed once), so the events parquet is scanned exactly
