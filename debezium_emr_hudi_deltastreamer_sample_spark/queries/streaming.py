@@ -361,6 +361,51 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_window_topk",
+    """
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM counts)
+    SELECT window_start, event_type, n, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous per-window leaderboard — the live-dashboard shape: a
+    streaming tumbling-window count feeds a top-3-per-window ranking.
+    Ranking is not a streaming-supported operation (no rank() over an
+    unbounded stream), so the composition is the standard one: the
+    WINDOWED AGG runs in the stream (complete mode — the memory sink then
+    holds exactly the final aggregate), and the rank is a batch window
+    function over that bounded, window-count-sized result — at 100 TB the
+    serving store (or the rollup table) plays the memory sink's role and
+    the rank runs at query time over bucket-count-sized data, never the
+    event stream. Deterministic tie-break (n DESC, event_type) keeps the
+    oracle exact."""
+    from pyspark.sql import Window as W
+
+    spark = _stream_session(spark)
+    agg = tumbling_counts(
+        _events_stream(spark, sf_dir), "ts", "1 day", keys=["event_type"],
+        watermark="1 day",
+    )
+    counts = _drain(agg).select("event_type", "window_start", "n")
+    rnk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        counts.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n", "rnk")
+    )
+
+
+@_q(
     "stream_rollup_two_level",
     """
     SELECT event_type,
