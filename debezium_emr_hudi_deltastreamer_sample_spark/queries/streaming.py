@@ -517,37 +517,54 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmatched rows; callers filter ``user_id >= 0`` to drop the sentinels
     themselves. On an unbounded production stream no sentinel is needed —
     new data advances the watermark continuously."""
-    import datetime
+    import glob
+    import os.path
     import shutil
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     ensure_read_confs(spark)
     src = f"{sf_dir}/events.parquet"
     d = _tmp("flush_src")
-    shutil.copy(src, f"{d}/events.parquet")
-    t = pq.read_table(src, columns=["ts"])
-    flush_ts = pc.max(t["ts"]).as_py() + datetime.timedelta(days=30)
-    full = pq.read_table(src).schema
-    cols = {
-        "event_id": [-1, -2],
-        "ts": [flush_ts, flush_ts],
-        "user_id": [-1, -2],
-        "event_type": ["click", "purchase"],
-        "value": [0.0, 0.0],
-        "props": [None, None],
-    }
-    sentinel = pa.table(
-        {f.name: pa.array(cols[f.name], type=f.type) for f in full},
-        schema=full,
-    )
-    pq.write_table(sentinel, f"{d}/zz_flush.parquet")
+    if os.path.isdir(src):
+        # Spark-style directory fixture (the synthesized sf1 decade) —
+        # stage every part file.
+        for i, f in enumerate(sorted(glob.glob(f"{src}/*.parquet"))):
+            shutil.copy(f, f"{d}/events_{i:04d}.parquet")
+    else:
+        shutil.copy(src, f"{d}/events.parquet")
 
-    batch_schema = spark.read.parquet(src).schema
+    # Build the sentinel rows WITH SPARK (not pyarrow): fixtures differ in
+    # the ts physical type (driver files are TIMESTAMP(NANOS); the Spark-
+    # synthesized sf1 decade is INT96), and a hand-written parquet file
+    # whose physical type disagrees with the declared read schema fails
+    # the scan — Spark's own writer always round-trips with its reader.
+    batch = spark.read.parquet(src)
+    batch_schema = batch.schema
+    ts_type = dict(batch.dtypes)["ts"]
+    flush_expr = {
+        # max(ts) + 30 days in the column's own type.
+        "bigint": (F.max("ts") + F.lit(30 * 86400 * 1_000_000_000)),
+    }.get(ts_type, F.max("ts") + F.expr("INTERVAL 30 DAYS"))
+    flush_val = batch.agg(flush_expr.alias("f")).first()[0]
+    sentinel = spark.range(2).select(
+        (F.when(F.col("id") == 0, -1).otherwise(-2))
+        .cast(batch_schema["event_id"].dataType)
+        .alias("event_id"),
+        F.lit(flush_val).cast(batch_schema["ts"].dataType).alias("ts"),
+        (F.when(F.col("id") == 0, -1).otherwise(-2))
+        .cast(batch_schema["user_id"].dataType)
+        .alias("user_id"),
+        F.when(F.col("id") == 0, "click").otherwise("purchase").alias(
+            "event_type"
+        ),
+        F.lit(0.0).cast(batch_schema["value"].dataType).alias("value"),
+        F.lit(None).cast(batch_schema["props"].dataType).alias("props"),
+    )
+    stage = _tmp("flush_sent")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+    [sf] = glob.glob(f"{stage}/part-*.parquet")
+    shutil.copy(sf, f"{d}/zz_flush.parquet")
+
     stream = spark.readStream.schema(batch_schema).parquet(f"{d}/*.parquet")
-    ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
