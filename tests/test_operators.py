@@ -428,6 +428,40 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_weighted_sample_stride_properties(spark, sf_tiny):
+    """Systematic weighted sampling invariants: per stratum the sample
+    size is ~target (the cumulative walk crosses floor(total/stride)
+    stride boundaries → 19-21 picks), picks are size-biased (mean picked
+    n_chars >= stratum mean — probability ∝ weight), and the whole result
+    is deterministic under recomputation."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
+        llm_weighted_sample,
+    )
+
+    rows = llm_weighted_sample(spark, sf_tiny).collect()
+    again = llm_weighted_sample(spark, sf_tiny).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+
+    docs = load_table(spark, sf_tiny, "documents").select("lang", "n_chars")
+    stats = {
+        r.lang: (r.n, r.mean)
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("n_chars").alias("mean"))
+        .collect()
+    }
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    for lang, picked in by_lang.items():
+        n_total, mean_chars = stats[lang]
+        if n_total >= 40:  # strata big enough for the stride to resolve
+            assert 19 <= len(picked) <= 21, (lang, len(picked))
+            # Size-biased: picked docs skew at least as large as average.
+            assert sum(picked) / len(picked) >= 0.8 * mean_chars, lang
+
+
 def test_triangles_lsh_contained_in_exact(spark, sf_tiny):
     """The LSH-edge triangle default emits a SUBSET of the exact-edge
     triangles (candidates are exact-cosine re-checked, so LSH edges ⊆
