@@ -41,14 +41,35 @@ def canon(rows, colnames):
     return out
 
 
+#: Oracle-companion queries whose DuckDB side is O(n²) all-pairs — excluded
+#: from the synthesized-sf1 parity by contract (FIXTURES.md §4); each has a
+#: scale-safe default sibling that IS checked.
+SF1_EXCLUDED = frozenset({
+    "llm_ngram_jaccard", "llm_dedup_clusters_exact", "llm_pagerank_exact",
+    "llm_embed_neardup", "llm_graph_triangles_exact",
+})
+
+
 def main(names=None):
     import time
 
     import __spark_entry__ as e
 
+    global SF_DIR
     show_time = bool(names) and "--time" in names
     if show_time:
         names = [n for n in names if n != "--time"] or None
+    sf1 = bool(names) and "--sf1" in names
+    if sf1:
+        names = [n for n in names if n != "--sf1"] or None
+        SF_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+        if not os.path.exists(os.path.join(SF_DIR, "_DONE")):
+            print(
+                f"--sf1 requires the synthesized fixture at {SF_DIR}; run "
+                "`python tools/make_sf1.py` first (idempotent)",
+                file=sys.stderr,
+            )
+            return 2
 
     if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
         # Replicate the driver's environment: a default SparkSession with none
@@ -79,6 +100,8 @@ def main(names=None):
 
     qs, oracles = e.queries(), e.oracle_sql()
     todo = names or list(qs)
+    if sf1:
+        todo = [n for n in todo if n not in SF1_EXCLUDED]
     failures = []
     timings = {}
     for name in todo:
