@@ -714,3 +714,57 @@ def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("o_totalprice", 2).alias("totalprice"),
         dround("c_acctbal", 2).alias("acctbal"),
     )
+
+
+@_q(
+    "cdc_catalog_sync",
+    """
+    WITH snap AS (
+      SELECT user_id, event_id, event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) rn
+            FROM events)
+      WHERE rn = 1)
+    SELECT event_type, count(*) AS n_users,
+           min(user_id) AS min_user, max(event_id) AS max_event
+    FROM snap GROUP BY event_type
+    """,
+)
+def cdc_catalog_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog sync graded end-to-end (reference B12, the hive_sync /
+    Glue-registration intent of README.md:298-304): the upserted
+    KeyedTable is REGISTERED under a name and then consumed purely
+    through ``spark.sql`` over that name — the path a BI tool or another
+    team's job takes. The oracle computes the same per-type summary from
+    the raw events, so a registration that serves a stale or partial
+    snapshot fails the hash. Locally ``register`` is a temp view; on a
+    cluster the same call site is ``saveAsTable`` against the
+    metastore."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..table import KeyedTable
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("_ts_ms", F.unix_micros("ts"))
+        .withColumn("_lsn", F.col("event_id"))
+    )
+    t = KeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="spark_graft_cat_"),
+        keys=["user_id"],
+        ordering=["_ts_ms", "_lsn"],
+        op_col=None,
+    )
+    t.upsert(ev)
+    name = f"synced_{_uuid.uuid4().hex[:8]}"
+    t.register(name)
+    return spark.sql(
+        f"""
+        SELECT event_type, count(*) AS n_users,
+               min(user_id) AS min_user, max(event_id) AS max_event
+        FROM {name} GROUP BY event_type
+        """
+    )
