@@ -1009,6 +1009,18 @@ def test_jpeg_codec_quality_and_variants():
             == plain
         ).all()
 
+    # Extreme-magnitude coefficients at q100: 0/255 block edges maximize
+    # the DC differential (cat 11) and a basis-aligned checkerboard
+    # maximizes AC magnitude (cat 10) — the Huffman category boundaries
+    # the spec guarantees 8-bit baseline stays within.
+    blocks = np.zeros((16, 16), np.uint8)
+    blocks[8:, :] = 255
+    blocks[:, 8:] ^= 255
+    checker = ((np.indices((16, 16)).sum(axis=0) % 2) * 255).astype(np.uint8)
+    for extreme in (blocks, checker):
+        out = decode_jpeg(encode_jpeg(extreme, quality=100))
+        assert np.abs(out.astype(int) - extreme.astype(int)).max() <= 1
+
     # Progressive (SOF2) refuses into the imaging-library fallback.
     b = bytearray(encode_jpeg(img))
     i = b.find(b"\xff\xc0")
