@@ -295,6 +295,61 @@ def test_running_totals_deterministic_across_partitioning(spark, tmp_path):
     assert finals[0] == finals[1]  # exact float equality, not approx
 
 
+def test_outer_join_flush_source_handles_directory_fixture(spark, tmp_path):
+    """The sentinel-flush source must work when events.parquet is a
+    Spark-written DIRECTORY of part files (the synthesized sf1 layout,
+    INT96 timestamps) — caught at sf1 in round 4: the helper assumed a
+    single pyarrow-compatible file. Result must equal the batch LEFT
+    interval join."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.streaming import (
+        stream_stream_left_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(4):
+        for i in range(6):
+            rows.append((eid, base + datetime.timedelta(minutes=10 * i + u), u,
+                         "click" if i % 2 == 0 else "purchase", 1.0, None))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = tmp_path / "sfdir"
+    # Directory fixture: multi-part Spark write (INT96 timestamps).
+    ev.repartition(3).write.parquet(str(sf_dir / "events.parquet"))
+
+    got = {
+        (r.user_id, r.click_ts, r.purchase_ts)
+        for r in stream_stream_left_join(spark, str(sf_dir)).collect()
+    }
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    want = {
+        (r.user_id, r.click_ts, r.purchase_ts)
+        for r in clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_outer",
+        ).select("user_id", "click_ts", "purchase_ts").collect()
+    }
+    assert got == want and got  # non-empty, exact
+
+
 def test_streaming_dedup_requires_watermark(spark):
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", "1").load()
