@@ -168,16 +168,19 @@ def minhash_signatures(df: DataFrame, id_col: str, num_hashes: int = 32) -> Data
 
 
 def _banded_signatures(
-    df: DataFrame, id_col: str, num_hashes: int, bands: int
+    df: DataFrame, id_col: str, num_hashes: int, bands: int,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id, minhash) → (id, minhash, band, bucket): one row per band with
-    the band's bucket hash. Materialized with localCheckpoint — the
-    signature DAG (num_hashes × shingle hashes per doc) is expensive and
-    every join below reads it at least twice; checkpoint blocks are freed
-    by the ContextCleaner when the result is dropped (persist() would park
-    them in the session cache manager and leak across repeated calls)."""
+    the band's bucket hash. ``materialize=True`` localCheckpoints the
+    result — right when a SELF-join reads it twice (the signature DAG,
+    num_hashes × shingle hashes per doc, is expensive; checkpoint blocks
+    are freed by the ContextCleaner when the result is dropped, where
+    persist() would park them in the session cache manager and leak
+    across repeated calls). Cross-set callers that consume each side ONCE
+    pass False and skip the extra materialization pass."""
     rows_per_band = num_hashes // bands
-    return (
+    out = (
         df.select(
             F.col(id_col),
             F.col("minhash"),
@@ -199,8 +202,8 @@ def _banded_signatures(
             ).alias("bb"),
         )
         .select(id_col, "minhash", "bb.band", "bb.bucket")
-        .localCheckpoint(eager=True)
     )
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def _sig_agreement(num_hashes: int) -> F.Column:
@@ -234,10 +237,14 @@ def minhash_lsh_candidates_between(
     right side's banded signatures are the persisted corpus index (stored
     once, ~bands longs per doc); each ingest batch rebuilds only its own
     signatures."""
-    a = _banded_signatures(left, id_col, num_hashes, bands).select(
+    a = _banded_signatures(
+        left, id_col, num_hashes, bands, materialize=False
+    ).select(
         "band", "bucket", F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")
     )
-    b = _banded_signatures(right, id_col, num_hashes, bands).select(
+    b = _banded_signatures(
+        right, id_col, num_hashes, bands, materialize=False
+    ).select(
         "band", "bucket", F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")
     )
     return (

@@ -273,7 +273,17 @@ def _decode_uncompressed(b: bytes) -> np.ndarray | None:
     PNG, progressive JPEG) — the caller falls through to the
     imaging-library branch, which may well decode what the minimal codec
     cannot. Only the no-library case surfaces an error, and it surfaces
-    there."""
+    there.
+
+    The except list covers everything corrupt/TRUNCATED bytes can raise
+    out of the codecs (struct.error on short headers, zlib.error on a cut
+    inflate stream, IndexError/KeyError from the JPEG bit reader and
+    Huffman tables, numpy's buffer-size ValueError) — one bad blob in a
+    100 TB corpus must fall through, never abort the mapInPandas
+    partition."""
+    import struct as _struct
+    import zlib as _zlib
+
     try:
         if b[:2] == b"P6":
             return decode_ppm(b)
@@ -285,7 +295,14 @@ def _decode_uncompressed(b: bytes) -> np.ndarray | None:
             from .jpeg import decode_jpeg  # noqa: PLC0415
 
             return decode_jpeg(b)
-    except ValueError:
+    except (
+        ValueError,
+        IndexError,
+        KeyError,
+        OverflowError,
+        _struct.error,
+        _zlib.error,
+    ):
         return None
     return None
 

@@ -527,14 +527,19 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_read_confs(spark)
     src = f"{sf_dir}/events.parquet"
+    # Stage into a directory that LOOKS like an sf_dir with an
+    # events.parquet directory inside, then delegate to _events_stream —
+    # one copy of the schema/ts-conversion rules, not two.
     d = _tmp("flush_src")
+    staged = f"{d}/events.parquet"
+    os.makedirs(staged)
     if os.path.isdir(src):
         # Spark-style directory fixture (the synthesized sf1 decade) —
         # stage every part file.
         for i, f in enumerate(sorted(glob.glob(f"{src}/*.parquet"))):
-            shutil.copy(f, f"{d}/events_{i:04d}.parquet")
+            shutil.copy(f, f"{staged}/events_{i:04d}.parquet")
     else:
-        shutil.copy(src, f"{d}/events.parquet")
+        shutil.copy(src, f"{staged}/events_0000.parquet")
 
     # Build the sentinel rows WITH SPARK (not pyarrow): fixtures differ in
     # the ts physical type (driver files are TIMESTAMP(NANOS); the Spark-
@@ -566,14 +571,9 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _tmp("flush_sent")
     sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
     [sf] = glob.glob(f"{stage}/part-*.parquet")
-    shutil.copy(sf, f"{d}/zz_flush.parquet")
+    shutil.copy(sf, f"{staged}/zz_flush.parquet")
 
-    stream = spark.readStream.schema(batch_schema).parquet(f"{d}/*.parquet")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return _events_stream(spark, d)
 
 
 @_q(

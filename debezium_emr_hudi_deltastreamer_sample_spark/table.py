@@ -482,13 +482,21 @@ class DeltaLogTable:
         history), mirroring Hudi's cleaner-retained commits."""
         for s, _, uri in self._base_versions():
             if s == seq:
-                return self._read_dir(uri)
+                df = self._read_dir(uri)
+                if df is None:
+                    # Listed but unreadable: a concurrent compaction's
+                    # retention pass deleted the dir between the listing
+                    # and this read — surface the window error, not None.
+                    break
+                return df
         raise FileNotFoundError(
             f"no base version {seq} at {self.path} "
             f"(have {self.base_versions()}; retention keeps the 2 newest)"
         )
 
-    def read(self, optimized: bool = False) -> DataFrame:
+    def read(
+        self, optimized: bool = False, _upper_batch: int | None = None
+    ) -> DataFrame:
         """Merge-on-read snapshot: base patched with the delta log.
 
         Delta precedence is (ingest_batch, *ordering) — equivalent to
@@ -519,6 +527,13 @@ class DeltaLogTable:
             # rename and the retire — or a replayed batch can recreate a
             # retired dir — and must not re-apply them).
             deltas = deltas.filter(F.col("ingest_batch") > through)
+        if deltas is not None and _upper_batch is not None:
+            # compact() pins its snapshot to the delta listing it is about
+            # to record as compacted-through: a batch that lands DURING
+            # the merge must stay out of the published version, or
+            # read_version would serve history containing a batch the
+            # version name disclaims.
+            deltas = deltas.filter(F.col("ingest_batch") <= _upper_batch)
         if deltas is None:
             if base is None:
                 raise FileNotFoundError(f"empty MOR table at {self.path}")
@@ -594,9 +609,13 @@ class DeltaLogTable:
             return  # every live delta dir is already folded — nothing to do
         seq = versions[-1][0] + 1 if versions else 0
         # read() applies exactly the deltas newer than the current base
-        # version; materialize before publishing so the snapshot cannot
-        # observe a dir this compaction is about to retire.
-        merged = self.read().localCheckpoint(eager=True)
+        # version, UPPER-BOUNDED at the listing this compaction records as
+        # compacted-through — a batch appended while the merge runs stays
+        # OUT of the published snapshot (it remains a live delta), keeping
+        # read_version's "no later deltas" contract exact under the race.
+        # Materialize before publishing so the snapshot cannot observe a
+        # dir this compaction is about to retire.
+        merged = self.read(_upper_batch=through).localCheckpoint(eager=True)
         if self.compact_target_files:
             merged = merged.coalesce(self.compact_target_files)
         stage = f"{self.path}/__stage/{_uuid.uuid4().hex}"

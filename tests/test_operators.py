@@ -1068,6 +1068,33 @@ def test_jpeg_decoder_against_handcrafted_bytes():
     assert (out == 136).all()
 
 
+def test_decode_sniffer_survives_truncated_blobs():
+    """One corrupt blob in a corpus must fall through the sniffer (→
+    imaging-library branch / clean error), never abort the partition:
+    truncated PNG raises struct.error, cut zlib stream raises zlib.error,
+    truncated JPEG raises IndexError from the bit reader — all must map
+    to None."""
+    import numpy as np
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import (
+        _decode_uncompressed,
+        encode_png,
+    )
+
+    img = np.full((8, 8, 3), 42, np.uint8)
+    png, jpg = encode_png(img), encode_jpeg(img)
+    assert _decode_uncompressed(png[:20]) is None  # short chunk header
+    assert _decode_uncompressed(png[:-30]) is None  # cut zlib/IEND
+    assert _decode_uncompressed(jpg[: len(jpg) // 2]) is None  # cut scan
+    assert _decode_uncompressed(b"\xff\xd8\xff\xd9") is None  # empty JPEG
+    # Valid blobs still decode.
+    assert _decode_uncompressed(png).shape == (8, 8, 3)
+    assert _decode_uncompressed(jpg).shape == (8, 8, 3)
+
+
 def test_strict_decode_batch_dispatches_by_magic():
     """decode_image_batch(strict=True) must route PPM and BMP blobs to the
     native codecs and report exact dimensions and RGB mean."""
