@@ -36,3 +36,16 @@ def rename_commit(fs, hpath, stage: str, target: str) -> bool:
         fs.delete(hpath(nested), True)
         return False
     return True
+
+
+def hadoop_fs(spark, path: str):
+    """Resolve (FileSystem, Path-class) for ``path`` — the one shared
+    getter behind every rename-commit call site (KeyedTable snapshots,
+    DeltaLogTable versions, rollup commits). Resolving PER PATH matters on
+    mixed deployments: the scheme (file://, hdfs://, s3a://) picks the
+    FileSystem implementation, so a table on object storage and a
+    checkpoint on HDFS get their own clients."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath

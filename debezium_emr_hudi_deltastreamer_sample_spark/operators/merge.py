@@ -29,11 +29,34 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def cdc_meta_columns(
+    op_col: str | None, ordering: Sequence[str]
+) -> set[str]:
+    """The CDC metadata column set a change batch carries but a TABLE must
+    not promote to data columns — the single definition shared by
+    KeyedTable._row_columns, DeltaLogTable.read and streaming.ivm (which
+    previously each hand-copied it and could drift)."""
+    return {op_col, "_lsn", "_ts_ms", *ordering} - {None}
+
+
+def _reject_reserved(df: DataFrame, what: str) -> None:
+    """Internal working columns must not collide with data columns — a
+    silent clobber-and-drop destroys user data; fail loudly instead."""
+    bad = {"__rn", "__pri"} & set(df.columns)
+    if bad:
+        raise ValueError(
+            f"{what} carries reserved internal column(s) {sorted(bad)}; "
+            "rename them before merging"
+        )
+
+
 def latest_by_key(
     df: DataFrame,
     keys: Sequence[str],
     ordering: Sequence[str],
     desc: bool = True,
+    *,
+    _internal: bool = False,
 ) -> DataFrame:
     """Keep the newest row per key (precombine, reference B5/B6).
 
@@ -41,6 +64,8 @@ def latest_by_key(
     one shuffle, no join. ``ordering`` should end with a unique column
     (e.g. LSN) so the pick is deterministic.
     """
+    if not _internal:
+        _reject_reserved(df, "latest_by_key input")
     order_cols = [F.col(c).desc() if desc else F.col(c).asc() for c in ordering]
     w = W.partitionBy(*keys).orderBy(*order_cols)
     return (
@@ -85,6 +110,8 @@ def merge_upsert(
       4. anti-join deletes.
     """
     keys = list(keys)
+    _reject_reserved(table, "merge_upsert snapshot")
+    _reject_reserved(changes, "merge_upsert change batch")
     row_cols = [c for c in table.columns]
     latest = latest_by_key(changes, keys, ordering)
 
@@ -103,5 +130,5 @@ def merge_upsert(
         "__pri", F.lit(1)
     )
     unioned = base.unionByName(ups, allowMissingColumns=True)
-    merged = latest_by_key(unioned, keys, ["__pri"]).drop("__pri")
+    merged = latest_by_key(unioned, keys, ["__pri"], _internal=True).drop("__pri")
     return apply_deletes(merged, deletes, keys)

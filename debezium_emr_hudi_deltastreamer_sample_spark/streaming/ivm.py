@@ -100,14 +100,30 @@ class IncrementalJoinView:
         self.view = KeyedTable(
             spark, f"{path}_view", keys=fact_keys, ordering=(_SEQ,),
             op_col="_op", partition_by=partition_by,
+            # A partitioned view can GAIN dim columns through schema
+            # reconciliation while only affected partitions rewrite —
+            # schema merging keeps the late-added columns visible across
+            # the whole view (see KeyedTable.merge_schema).
+            merge_schema=bool(partition_by),
         )
 
     # -- apply --------------------------------------------------------------
 
     def _data_cols(self, table: KeyedTable, df_cols) -> set:
         """A change batch's DATA columns — what the KeyedTable will
-        actually persist (CDC metadata stripped)."""
-        meta = {table.op_col, "_lsn", "_ts_ms", *table.ordering}
+        actually persist (CDC metadata stripped). RESERVED view-machinery
+        names are rejected outright: a fact/dim data column named _op /
+        _ivm_seq / __ivm_dkey would be silently clobbered by _refresh's
+        withColumn or stripped as view metadata — fail loudly instead."""
+        from ..operators.merge import cdc_meta_columns
+
+        reserved = {"_op", _SEQ, "__ivm_dkey"} & set(df_cols)
+        if reserved:
+            raise ValueError(
+                f"batch carries reserved IVM column(s) {sorted(reserved)}; "
+                "rename them before joining into the view"
+            )
+        meta = cdc_meta_columns(table.op_col, table.ordering)
         return {c for c in df_cols if c not in meta}
 
     def _check_disjoint(self, fact_cols: set, dim_cols: set) -> None:

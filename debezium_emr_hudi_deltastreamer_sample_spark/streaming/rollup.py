@@ -48,7 +48,13 @@ _COMMIT_RE = re.compile(r"^c(\d{12})_b(\d{12})_(.+)$")
 
 class IncrementalRollup:
     """Additive (count/sum/min/max) rollup of an event stream at a fixed time
-    bucket, persisted as versioned parquet commits under ``path``__commits."""
+    bucket, persisted as versioned parquet commits under ``path``__commits.
+
+    ``keep_commits`` is also the CONCURRENT-READER window: a reader (or a
+    racing committer's merge) planned against the current tip keeps its
+    files for keep_commits-1 further commits before retention may delete
+    them — run with the default (2) or higher whenever readers or multiple
+    writers overlap; keep_commits=1 is single-writer-then-read only."""
 
     def __init__(
         self,
@@ -74,7 +80,10 @@ class IncrementalRollup:
                 F.window(self.ts_col, self.bucket).alias("w"), *self.keys
             )
             .agg(
-                F.count(F.lit(1)).alias("n"),
+                # count(value), not count(*): total/vmin/vmax ignore NULL
+                # values, so n must too or the derived mean diverges from
+                # avg(value) on null-bearing groups.
+                F.count(F.col(self.value_col)).alias("n"),
                 F.sum(F.col(self.value_col).cast("double")).alias("total"),
                 F.min(F.col(self.value_col).cast("double")).alias("vmin"),
                 F.max(F.col(self.value_col).cast("double")).alias("vmax"),
@@ -92,10 +101,9 @@ class IncrementalRollup:
     # -- commit log ---------------------------------------------------------
 
     def _hadoop(self):
-        jvm = self.spark._jvm
-        conf = self.spark._jsc.hadoopConfiguration()
-        hpath = jvm.org.apache.hadoop.fs.Path
-        return hpath(self.path).getFileSystem(conf), hpath
+        from ..fsutil import hadoop_fs
+
+        return hadoop_fs(self.spark, self.path)
 
     def _commits_dir(self) -> str:
         return f"{self.path}__commits"
@@ -119,7 +127,18 @@ class IncrementalRollup:
 
     @staticmethod
     def _safe_run(run_id: str) -> str:
-        return re.sub(r"[^A-Za-z0-9.-]", "-", run_id) or "default"
+        """Filesystem-safe run token. Sanitization alone can COLLIDE two
+        distinct run ids ('/ckpt/a_1' and '/ckpt/a-1' both map to
+        '-ckpt-a-1'), which would merge their batch-id dedup scopes and
+        silently skip the second run's batches — so any id the regex had
+        to touch gets a crc32 of the ORIGINAL appended. Untouched ids
+        keep their historical token (no migration)."""
+        import zlib
+
+        safe = re.sub(r"[^A-Za-z0-9.-]", "-", run_id) or "default"
+        if safe != run_id:
+            safe += f"-{zlib.crc32(run_id.encode()):08x}"
+        return safe
 
     def last_applied_batch(self, run_id: str = "default") -> int:
         run = self._safe_run(run_id)
@@ -157,7 +176,12 @@ class IncrementalRollup:
             seq = commits[-1][0] + 1 if commits else 0
             token = f"c{seq:012d}_b{batch_id:012d}_{run}"
             stage = f"{self.path}__stage/{uuid.uuid4().hex}"
-            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(stage)
+            # The staged write executes the merge plan exactly once (the
+            # plan reads the PREVIOUS commit, the stage is fresh — no
+            # read-under-overwrite), so no checkpoint materialization is
+            # needed; retention keeps the read commit alive through the
+            # write (keep_commits >= 2 and the per-run newest exemption).
+            merged.write.mode("overwrite").parquet(stage)
 
             fs.mkdirs(hpath(self._commits_dir()))
             committed = rename_commit(
@@ -229,7 +253,10 @@ class IncrementalRollup:
         100 TB: one fine rollup feeds every coarser resolution. Requires
         ``coarser_bucket`` to be a multiple of the fine bucket (window()
         aligns both to the epoch, so fine buckets nest exactly)."""
-        fine = self.spark.read.parquet(self._commits()[-1][3])
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"no rollup commits at {self._commits_dir()}")
+        fine = self.spark.read.parquet(commits[-1][3])
         coarse = (
             fine.groupBy(
                 F.window("bucket_start", coarser_bucket).alias("w"), *self.keys

@@ -29,7 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.merge import merge_upsert
+from .operators.merge import cdc_meta_columns, merge_upsert
 
 
 def save_bucketed(
@@ -82,6 +82,7 @@ class KeyedTable:
         partition_by: Sequence[str] = (),
         op_col: str | None = "op",
         keep_history: int = 0,
+        merge_schema: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -89,6 +90,15 @@ class KeyedTable:
         self.ordering = list(ordering)
         self.partition_by = list(partition_by)
         self.op_col = op_col
+        #: Read with parquet schema MERGING. Required when a PARTITIONED
+        #: table can gain columns through schema reconciliation: the
+        #: dynamic-overwrite upsert rewrites only affected partitions, so
+        #: untouched partitions keep old-schema files — without merging,
+        #: the read infers the schema from ONE arbitrary footer and the
+        #: new columns nondeterministically vanish. Costs a footer read
+        #: per file; production tables with schema-in-commit-log formats
+        #: (Hudi/Delta/Iceberg) don't need it.
+        self.merge_schema = merge_schema
         #: Hudi-timeline analogue (opt-in): with ``keep_history`` > 0 every
         #: init/upsert ALSO publishes an immutable full-snapshot commit
         #: under ``{path}__snapshots`` (one extra write per batch — the COW
@@ -109,11 +119,14 @@ class KeyedTable:
         """Current snapshot, or — with ``keep_history`` and ``as_of=n`` —
         the table exactly as of commit ``n`` (0 = init, then one commit
         per upsert), Hudi time-travel style."""
+        reader = self.spark.read
+        if self.merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if as_of is None:
-            return self.spark.read.parquet(self.path)
+            return reader.parquet(self.path)
         for seq, uri in self.snapshots():
             if seq == as_of:
-                return self.spark.read.parquet(uri)
+                return reader.parquet(uri)
         raise FileNotFoundError(
             f"no snapshot commit {as_of} at {self.path}__snapshots "
             f"(have {[s for s, _ in self.snapshots()]}; retention keeps "
@@ -122,9 +135,9 @@ class KeyedTable:
 
     def snapshots(self) -> list[tuple[int, str]]:
         """Available (commit_seq, uri) snapshots, oldest first."""
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        from .fsutil import hadoop_fs
+
+        fs, hpath = hadoop_fs(self.spark, self.path)
         d = hpath(f"{self.path}__snapshots")
         if not fs.exists(d):
             return []
@@ -145,11 +158,9 @@ class KeyedTable:
             return
         import uuid as _uuid
 
-        from .fsutil import rename_commit
+        from .fsutil import hadoop_fs, rename_commit
 
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs, hpath = hadoop_fs(self.spark, self.path)
         stage = f"{self.path}__stage/{_uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(stage)
         fs.mkdirs(hpath(f"{self.path}__snapshots"))
@@ -201,7 +212,9 @@ class KeyedTable:
 
     def _row_columns(self, changes: DataFrame) -> list[str]:
         """Data columns = change columns minus CDC metadata (op/ordering)."""
-        meta = {self.op_col, "_lsn", "_ts_ms", *self.ordering}
+        from .operators.merge import cdc_meta_columns
+
+        meta = cdc_meta_columns(self.op_col, self.ordering)
         return [c for c in changes.columns if c not in meta]
 
     def init(self, df: DataFrame) -> None:
@@ -429,10 +442,9 @@ class DeltaLogTable:
             return None
 
     def _fs(self):
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        fs = hpath(self.path).getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs, hpath
+        from .fsutil import hadoop_fs
+
+        return hadoop_fs(self.spark, self.path)
 
     def delta_batches(self) -> list[int]:
         """Batch ids currently in the delta log (one FS listing — cheap;
@@ -542,7 +554,7 @@ class DeltaLogTable:
         # the MOR-only ingest_batch) so the COW and MOR variants of one feed
         # agree on the table schema — with ordering=("_lsn",) a batch that
         # happens to carry _ts_ms must not promote it to a data column.
-        meta = {self.op_col, "ingest_batch", "_lsn", "_ts_ms", *self.ordering}
+        meta = cdc_meta_columns(self.op_col, self.ordering) | {"ingest_batch"}
         row_cols = [c for c in deltas.columns if c not in meta]
         if base is None:
             base = self.spark.createDataFrame([], deltas.select(*row_cols).schema)

@@ -674,6 +674,57 @@ def test_rollup_new_run_not_skipped(spark, tmp_path):
     assert roll.last_applied_batch("ckpt-b") == 0
 
 
+def test_rollup_run_id_sanitization_no_collision(spark, tmp_path):
+    """Regression (round-4 review finding): '/ckpt/a_1' and '/ckpt/a-1'
+    both sanitize to '-ckpt-a-1'; without disambiguation they would share
+    one batch-id dedup scope and the second run's batches would be
+    silently skipped. Both runs must apply."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "rc"), "ts", "1 minute", ["k"], "v"
+    )
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    roll.apply_batch(df, 5, run_id="/ckpt/a_1")
+    roll.apply_batch(df, 0, run_id="/ckpt/a-1")  # would be skipped pre-fix
+    [r] = roll.read().collect()
+    assert (r.n, r.total) == (2, 4.0)
+    assert roll.last_applied_batch("/ckpt/a_1") == 5
+    assert roll.last_applied_batch("/ckpt/a-1") == 0
+
+
+def test_rollup_null_values_mean_semantics(spark, tmp_path):
+    """Regression (round-4 review finding): n must count NON-NULL values
+    (like total/vmin/vmax do) so the derived mean equals avg(value); a
+    count(*) n under-reported every null-bearing group's mean."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "rn"), "ts", "1 minute", ["k"], "v"
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(2024, 1, 1), 10.0),
+            ("a", datetime.datetime(2024, 1, 1), None),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    roll.apply_batch(df, 0)
+    [r] = roll.read().collect()
+    assert (r.n, r.total) == (1, 10.0)  # mean = 10.0 = avg(v)
+
+
 def test_rollup_two_interleaved_runs_no_double_count(spark, tmp_path):
     """Two concurrent stream runs (distinct checkpoints) fold into ONE
     rollup with keep_commits=2 — the retention hazard: trimming run A's

@@ -755,6 +755,87 @@ def test_ivm_partitioned_view_retracts_across_partitions(spark, tmp_path):
     assert {r.fid for r in v.read().collect()} == {10}
 
 
+def test_ivm_partitioned_left_view_keeps_late_dim_columns(spark, tmp_path):
+    """Regression (round-4 review finding): how='left' + partition_by —
+    facts land first in TWO partitions, then a dim batch touches only one
+    of them. The dynamic-overwrite rewrite leaves old-schema files in the
+    untouched partition, so without schema-merged reads the view's dim
+    columns vanish nondeterministically depending on which footer Spark
+    picks. The view must show the dim column everywhere (null where no
+    dim matched)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.ivm import (
+        IncrementalJoinView,
+    )
+
+    v = IncrementalJoinView(
+        spark, str(tmp_path / "vlp"), fact_keys=["fid"], fk="fk",
+        dim_key="did", how="left", partition_by=["region"],
+    )
+    fact_schema = (
+        "fid int, fk int, region string, amount int, op string, _lsn long"
+    )
+    v.apply_fact_batch(
+        spark.createDataFrame(
+            [(10, 1, "eu", 100, "u", 1), (11, 2, "us", 200, "u", 1)],
+            fact_schema,
+        )
+    )
+    # Dim lands AFTER the facts and matches only the eu-partition fact.
+    v.apply_dim_batch(
+        spark.createDataFrame([(1, "alpha", "u", 1)], DIM_SCHEMA)
+    )
+    out = v.read()
+    assert "name" in out.columns  # visible across the WHOLE view
+    state = {r.fid: r.name for r in out.collect()}
+    assert state == {10: "alpha", 11: None}
+
+
+def test_ivm_rejects_reserved_column_names(spark, tmp_path):
+    """A fact column named like IVM's internal machinery (_op, _ivm_seq,
+    __ivm_dkey) would be clobbered or stripped silently — must be refused
+    with a clear error."""
+    import pytest as _pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.ivm import (
+        IncrementalJoinView,
+    )
+
+    v = IncrementalJoinView(
+        spark, str(tmp_path / "vr"), fact_keys=["fid"], fk="fk", dim_key="did"
+    )
+    v.apply_dim_batch(
+        spark.createDataFrame([(1, "a", "u", 1)], DIM_SCHEMA)
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        v.apply_fact_batch(
+            spark.createDataFrame(
+                [(10, 1, "x", "u", 1)],
+                "fid int, fk int, _op string, op string, _lsn long",
+            )
+        )
+
+
+def test_merge_rejects_reserved_working_columns(spark):
+    """merge_upsert/latest_by_key must refuse inputs carrying __rn/__pri
+    instead of silently destroying those data columns."""
+    import pytest as _pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.merge import (
+        latest_by_key,
+        merge_upsert,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "id int, __pri int, _lsn long")
+    with _pytest.raises(ValueError, match="reserved"):
+        latest_by_key(df, ["id"], ["_lsn"])
+    clean = spark.createDataFrame([(1, 5, 1)], "id int, v int, _lsn long")
+    with _pytest.raises(ValueError, match="reserved"):
+        merge_upsert(
+            df.select("id", F.col("__pri").alias("__rn"), "_lsn"),
+            clean, ["id"], ["_lsn"], op_col=None,
+        )
+
+
 def test_ivm_rejects_colliding_column_names(spark, tmp_path):
     """The disjoint-columns contract fails fast with a clear error, not an
     ambiguous-reference AnalysisException deep inside the refresh."""
