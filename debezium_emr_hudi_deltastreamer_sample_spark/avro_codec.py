@@ -89,9 +89,10 @@ def _resolve(schema: Any, reg: dict[str, Any]) -> Any:
 class EnvelopeAvro:
     """Encoder/decoder bound to one envelope schema JSON."""
 
-    def __init__(self, schema_json: str) -> None:
+    def __init__(self, schema_json: str, nan_is_null: bool = False) -> None:
         self.schema = json.loads(schema_json)
         self.registry: dict[str, Any] = {}
+        self.nan_is_null = nan_is_null
         _named_types(self.schema, self.registry)
 
     # ------------------------------------------------------------ encode
@@ -144,11 +145,15 @@ class EnvelopeAvro:
             raise TypeError(f"unsupported Avro type {t!r}")
 
     def _branch(self, union: list, v: Any) -> int:
-        # pandas upcasts nullable numeric columns to float64 and represents
-        # NULL as NaN — treat NaN exactly like None so the null branch is
-        # taken (a non-null double field can still carry a genuine NaN via
-        # numpy float only through the non-union schema path).
-        is_null = v is None or (isinstance(v, float) and v != v)
+        # ``nan_is_null`` (constructor flag): pandas upcasts nullable
+        # numeric columns to float64 and represents NULL as NaN, so the
+        # mapInPandas envelope lane turns it on. The plain-Row lane
+        # (avrolog writer) leaves it OFF — there NaN is a legitimate
+        # non-null double and mapping it to null would silently corrupt
+        # the value.
+        is_null = v is None or (
+            self.nan_is_null and isinstance(v, float) and v != v
+        )
         for i, s in enumerate(union):
             if (s == "null") == is_null:
                 return i
@@ -175,7 +180,11 @@ class EnvelopeAvro:
             if logical == "date":
                 return _EPOCH + _dt.timedelta(days=n)
             if logical == "timestamp-micros":
-                return _dt.datetime.fromtimestamp(n / 1_000_000, tz=_dt.timezone.utc)
+                # Integer arithmetic like the encoder: float division loses
+                # microseconds beyond ~year 2242 (double ulp > 0.5 µs).
+                return _dt.datetime(
+                    1970, 1, 1, tzinfo=_dt.timezone.utc
+                ) + _dt.timedelta(microseconds=n)
             return n
         if t == "float":
             return struct.unpack("<f", buf.read(4))[0]

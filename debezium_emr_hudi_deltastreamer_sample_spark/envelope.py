@@ -344,7 +344,10 @@ def encode_envelope_avro_py(
     row_fields = [f.name for f in row_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codec = EnvelopeAvro(avro_schema_json)
+        # nan_is_null: THIS lane feeds pandas records, where a nullable
+        # numeric NULL arrives as NaN; the plain-Row avrolog lane keeps
+        # the flag off (there NaN is a real double value).
+        codec = EnvelopeAvro(avro_schema_json, nan_is_null=True)
         for pdf in batches:
             blobs = []
             for rec in pdf.to_dict("records"):

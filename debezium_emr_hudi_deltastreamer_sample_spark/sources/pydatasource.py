@@ -123,6 +123,11 @@ class ChangefeedStreamReader(DataSourceStreamReader):
         self.n_parts = int(options.get("partitions", "4"))
         self.cursor_dir = options.get("cursor_dir")
         self._pos = self._read_cursor()
+        #: Frozen at construction: initialOffset must report where THIS
+        #: run starts, immune to latestOffset/partitions having already
+        #: advanced the pacing cursor (Spark may probe availability before
+        #: asking for the initial offset).
+        self._initial = self._pos
 
     def _cursor_file(self):
         import os
@@ -142,7 +147,13 @@ class ChangefeedStreamReader(DataSourceStreamReader):
             return 0
 
     def initialOffset(self):
-        return {"index": 0}
+        # A FRESH checkpoint must resume from the persisted cursor, not
+        # from zero: with cursor_dir set, index 0 on restart would re-emit
+        # every already-committed row in one over-sized first batch (the
+        # exact duplicate-delivery the durable cursor exists to prevent).
+        # The construction-time snapshot (not _pos) keeps this stable even
+        # when Spark calls latestOffset before initialOffset.
+        return {"index": self._initial}
 
     def latestOffset(self):
         self._pos = min(self.total, self._pos + self.batch_rows)
@@ -222,10 +233,29 @@ class AvroLogWriter(DataSourceWriter):
         temp = os.path.join(self.path, f"_temp-{_uuid.uuid4().hex}.avrolog")
         with open(temp, "wb") as f:
             for row in iterator:
-                body = codec.encode(row.asDict())
+                body = codec.encode(row.asDict(recursive=True))
                 f.write(_struct.pack("<I", len(body)))
                 f.write(body)
         return _FileCommit(os.path.basename(temp))
+
+    @staticmethod
+    def _sweep_stray_temps(path, keep: set) -> None:
+        """Delete _temp files no commit message references: failed or
+        speculative task attempts leave orphans behind (their messages
+        never reach commit), and on a long-running stream they accumulate
+        unboundedly. Runs at COMMIT time only — every task attempt of the
+        committing job has finished, so anything still temp-named is
+        garbage from this or an earlier failed job. (Single concurrent
+        writer per directory, which the batch-id-keyed commit protocol
+        already assumes.)"""
+        import os
+
+        for name in os.listdir(path):
+            if name.startswith("_temp-") and name not in keep:
+                try:
+                    os.remove(os.path.join(path, name))
+                except FileNotFoundError:
+                    pass
 
     def commit(self, messages):
         import os
@@ -242,6 +272,7 @@ class AvroLogWriter(DataSourceWriter):
                 os.path.join(self.path, m.temp_name),
                 os.path.join(self.path, final),
             )
+        self._sweep_stray_temps(self.path, set())
 
     def abort(self, messages):
         import os
@@ -403,6 +434,7 @@ class AvroLogStreamWriter(DataSourceStreamWriter):
                 os.path.join(self.path, m.temp_name),
                 os.path.join(self.path, final),
             )
+        AvroLogWriter._sweep_stray_temps(self.path, set())
 
     def abort(self, messages, batchId) -> None:
         AvroLogWriter(self.path, self.avro_schema_json, False).abort(messages)

@@ -72,32 +72,32 @@ def upsert_batch_processor(
     at-least-once replay: re-merging the same change set is a no-op
     (latest-wins picks the same rows; deletes stay deleted).
 
-    Local/portable COW: read current snapshot, merge, overwrite. With
-    ``partition_by`` + the session's dynamic partitionOverwriteMode only
-    touched partitions rewrite — the Hudi file-group analogue (README.md:300).
+    Delegates to ``KeyedTable.upsert`` — ONE implementation of the COW
+    lifecycle: partition-pruned merges under dynamic overwrite, the
+    vanished-partition static rewrite (a partition emptied by deletes
+    would otherwise survive as stale files — delete resurrection), the
+    narrow missing-vs-broken table probe (a transient read failure must
+    abort the batch for retry, never bootstrap-overwrite the table down
+    to one micro-batch), and pre-overwrite materialization.
     """
     def process(df: DataFrame, batch_id: int) -> None:
-        spark = df.sparkSession
+        from ..table import KeyedTable
+
+        if not df.head(1):
+            return  # cheap raw-batch probe — skip the parse entirely
         changes = (
             parser(df) if parser is not None else parse_envelope(df, row_schema)
         )
         if not changes.head(1):
             return
-        try:
-            current = spark.read.parquet(table_path)
-        except Exception:
-            current = spark.createDataFrame([], row_schema)
-        merged = merge_upsert(
-            current, changes, keys=keys, ordering=list(ordering), op_col="op"
-        )
-        # The merge reads the same files the write replaces — materialize
-        # before overwrite (localCheckpoint breaks the lineage; at scale a
-        # real table format's atomic commit replaces this).
-        merged = merged.localCheckpoint(eager=True)
-        writer = merged.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(table_path)
+        KeyedTable(
+            df.sparkSession,
+            table_path,
+            keys=keys,
+            ordering=list(ordering),
+            partition_by=list(partition_by),
+            op_col="op",
+        ).upsert(changes)
 
     return process
 
@@ -125,6 +125,8 @@ def mor_batch_processor(
     def process(df: DataFrame, batch_id: int) -> None:
         from ..table import DeltaLogTable
 
+        if not df.head(1):
+            return  # cheap raw-batch probe — skip the parse entirely
         changes = parse_envelope(df, row_schema)
         if not changes.head(1):
             return
@@ -223,8 +225,6 @@ def incremental_read(spark, out_path: str, since_batch: int) -> DataFrame:
     property that keeps a 100 TB append log incrementally consumable.
     Callers checkpoint the last-processed batch id themselves (the same
     contract as Hudi's commit timeline)."""
-    from pyspark.sql import functions as F
-
     return spark.read.parquet(out_path).filter(F.col("ingest_batch") > since_batch)
 
 
@@ -273,7 +273,7 @@ def scd2_batch_processor(
         # abort the batch so foreachBatch retries it — swallowing it
         # would fold this batch against nothing and the final overwrite
         # would replace the whole versioned history with it.
-        from pyspark.errors.exceptions.captured import AnalysisException
+        from pyspark.errors import AnalysisException
 
         try:
             hist = spark.read.parquet(table_path)

@@ -109,11 +109,21 @@ class KeyedTable:
     # -- read ---------------------------------------------------------------
 
     def exists(self) -> bool:
+        """True iff the table has readable data. Only the two MISSING/EMPTY
+        conditions map to False — any other read failure (transient FS
+        error, corrupt footer, permissions) RAISES: callers use this to
+        decide between bootstrap-overwrite and merge, and treating a blip
+        as "missing" would let an upsert wipe the table down to one
+        batch."""
+        from pyspark.errors import AnalysisException
+
         try:
             self.spark.read.parquet(self.path)
             return True
-        except Exception:
-            return False
+        except AnalysisException as e:
+            if e.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                return False
+            raise
 
     def read(self, as_of: int | None = None) -> DataFrame:
         """Current snapshot, or — with ``keep_history`` and ``as_of=n`` —

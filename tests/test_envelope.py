@@ -261,7 +261,9 @@ def test_avro_codec_nan_is_null_and_null_op_dropped(spark):
         [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
     )
     schema_json = envelope_avro_schema(row_schema)
-    codec = EnvelopeAvro(schema_json)
+    # nan_is_null is OPT-IN (the pandas lane turns it on; the plain-Row
+    # avrolog lane keeps NaN a real double — see next test).
+    codec = EnvelopeAvro(schema_json, nan_is_null=True)
     nan = float("nan")
     good = codec.encode(
         {
@@ -292,6 +294,33 @@ def test_avro_codec_nan_is_null_and_null_op_dropped(spark):
     assert len(out) == 1 and out[0].op == "c"
 
 
+def test_avro_codec_preserves_real_nan_by_default(spark):
+    """Regression (round-4 review finding): NaN is a legitimate non-null
+    double in Spark. The default codec (Row lane / avrolog writer) must
+    encode it as a NaN double, not silently take the null union branch."""
+    import math
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.avro_codec import EnvelopeAvro
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import (
+        envelope_avro_schema,
+    )
+    from pyspark.sql import types as T
+
+    row_schema = T.StructType([T.StructField("v", T.DoubleType())])
+    codec = EnvelopeAvro(envelope_avro_schema(row_schema))
+    blob = codec.encode(
+        {
+            "before": None,
+            "after": {"v": float("nan")},
+            "source": {"lsn": 1, "ts_ms": 1, "table": "t"},
+            "op": "c",
+            "ts_ms": 1,
+        }
+    )
+    back = codec.decode(blob)
+    assert back["after"]["v"] is not None and math.isnan(back["after"]["v"])
+
+
 def test_avro_codec_timestamp_micros_utc_integer_roundtrip():
     """timestamp-micros: naive datetimes encode as UTC (engine session
     convention) with integer math — no float microsecond loss — and
@@ -305,9 +334,15 @@ def test_avro_codec_timestamp_micros_utc_integer_roundtrip():
         '{"type":"long","logicalType":"timestamp-micros"}}]}'
     )
     codec = EnvelopeAvro(schema)
-    naive = datetime.datetime(2024, 6, 1, 12, 30, 45, 123457)
-    back = codec.decode(codec.encode({"ts": naive}))["ts"]
-    assert back == naive.replace(tzinfo=datetime.timezone.utc)
+    for naive in (
+        datetime.datetime(2024, 6, 1, 12, 30, 45, 123457),
+        # Debezium's far-future infinity sentinel: float division in the
+        # decoder would be ~61 µs off at this magnitude (round-4 review
+        # finding) — integer math must round-trip exactly.
+        datetime.datetime(9999, 12, 31, 23, 59, 59, 999999),
+    ):
+        back = codec.decode(codec.encode({"ts": naive}))["ts"]
+        assert back == naive.replace(tzinfo=datetime.timezone.utc)
 
 
 from hypothesis import given, settings, strategies as st
