@@ -176,11 +176,21 @@ def envelope_avro_schema(
     return json.dumps(schema)
 
 
+_AVRO_PROBE_CACHE: dict[str, bool] = {}
+
+
 def avro_available(spark) -> bool:
     """Probe for the spark-avro data source (reference B4: the Hudi path is
     Avro-serialized — AvroConverter/KafkaAvroDeserializer, README.md:262-263,
     309; the reference's own submit line ships spark-avro, README.md:348).
-    The package is an external jar, absent in this container."""
+    The package is an external jar, absent in this container.
+
+    Cached per application: the probe is a real Spark job (range +
+    to_avro + head) and the jar cannot appear or disappear within a
+    session — paying it once, not per micro-batch."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _AVRO_PROBE_CACHE:
+        return _AVRO_PROBE_CACHE[app_id]
     try:
         from pyspark.sql import functions as F  # noqa: F401 (local import)
         from pyspark.sql.avro.functions import to_avro
@@ -188,9 +198,10 @@ def avro_available(spark) -> bool:
         spark.range(1).select(
             to_avro(F.struct(F.col("id"))).alias("b")
         ).head(1)
-        return True
+        _AVRO_PROBE_CACHE[app_id] = True
     except Exception:
-        return False
+        _AVRO_PROBE_CACHE[app_id] = False
+    return _AVRO_PROBE_CACHE[app_id]
 
 
 def parse_envelope_avro(
@@ -223,7 +234,12 @@ def parse_envelope_avro(
         )
     if avro_schema_json is None:
         avro_schema_json = envelope_avro_schema(row_schema)
-    parsed = raw.withColumn("env", from_avro(F.col(value_col), avro_schema_json))
+    parsed = raw.withColumn(
+        "env",
+        from_avro(
+            F.col(value_col), avro_schema_json, {"mode": "PERMISSIVE"}
+        ),
+    )
     img = F.when(F.col("env.op") == "d", F.col("env.before")).otherwise(
         F.col("env.after")
     )
@@ -286,6 +302,11 @@ def parse_envelope_avro_py(
         for pdf in batches:
             rows = []
             for blob in pdf[value_col]:
+                if blob is None:
+                    # Kafka tombstone / null value: the JSON lane filters
+                    # these via the null-op predicate; crashing the task
+                    # on bytes(None) is not an option.
+                    continue
                 b = bytes(blob)
                 if confluent_header:
                     b = b[5:]
@@ -352,7 +373,11 @@ def encode_envelope_avro_py(
             blobs = []
             for rec in pdf.to_dict("records"):
                 img = {k: rec.get(k) for k in row_fields}
-                op = rec.get("op") or "c"
+                # Default 'c' only when the batch carries no op column at
+                # all (snapshot encode); an EXPLICIT null op must stay
+                # null — the decode lanes drop it by contract, and
+                # upgrading it to a create would fabricate an upsert.
+                op = rec["op"] if "op" in rec else "c"
                 envd = {
                     "before": img if op == "d" else None,
                     "after": None if op == "d" else img,

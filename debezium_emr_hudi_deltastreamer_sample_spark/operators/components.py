@@ -86,8 +86,18 @@ def connected_components(
         "v",
         p,
     ).localCheckpoint(eager=True)
+    # Vertex universe = declared vertices ∪ edge endpoints: an endpoint
+    # missing from `vertices` would otherwise receive labels but never
+    # propagate its OWN id back, yielding non-minimal components and
+    # phantom output rows (review-pinned: vertices={5}, edges={(5,3)}
+    # must converge to component 3 for both).
+    universe = (
+        vertices.select(F.col(id_col).alias("v"))
+        .union(bidir.select("v"))
+        .distinct()
+    )
     labels = (
-        vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
+        universe.select("v", F.col("v").alias("label"))
         .localCheckpoint(eager=True)
     )
     # The checkpointed edge list lost its partitioning metadata (module
@@ -131,6 +141,7 @@ def pagerank_fixed(
     id_col: str = "id",
     iterations: int = 3,
     damping: float = 0.85,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge list (src, dst) —
     the second iterative distributed algorithm next to
@@ -151,10 +162,30 @@ def pagerank_fixed(
     carried as ``share``) so rounds don't re-join ``deg``.
     """
     n = vertices.count()
+    if n == 0:
+        # Empty graph → empty ranks (1/n teleport is undefined), with the
+        # same output schema the normal path produces.
+        return vertices.select(F.col(id_col), F.lit(0.0).alias("rank")).limit(0)
     p = _shuffle_partitions(vertices)
+    e = edges.select(F.col("src").alias("src"), F.col("dst").alias("dst")).filter(
+        F.col("src") != F.col("dst")  # self-loops carry no rank anywhere
+    )
+    if dedup_edges:
+        # Canonicalize orientation then dedup: duplicate input pairs (or
+        # the same edge in both orientations) would inflate degrees and
+        # skew every rank. One (src,dst) exchange; callers whose edge
+        # source is PROVABLY distinct-and-oriented (the LSH candidate
+        # pairs: aid < bid, distinct) pass dedup_edges=False to keep the
+        # 3-exchange iteration plan pinned in tests/test_plans.py.
+        e = (
+            e.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            ).distinct()
+        )
     both = _prehash(
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
-            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+            e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
         ),
         "u",
         p,

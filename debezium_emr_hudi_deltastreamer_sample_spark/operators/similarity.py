@@ -126,6 +126,11 @@ def _kmeans_fit_sample(
     closures."""
     frac = min(1.0, sample_size / max(1, embeddings.count()))
     sample = embeddings.sample(fraction=frac, seed=seed).select(vec_col).collect()
+    if not sample:
+        raise ValueError(
+            "k-means fit needs at least one embedding vector; the input "
+            "table (or its sample) is empty"
+        )
     v = np.stack([np.asarray(r[0], dtype="float64") for r in sample])
     # Spherical: the ranking metric is cosine, so cells must partition
     # DIRECTIONS, not positions — cluster L2-normalized vectors (assignment
@@ -401,6 +406,13 @@ def embedding_neardup_pairs(
             band_bits = adaptive_band_bits(sig.count())
             if n_planes is None:
                 n_planes = 3 * band_bits
+            else:
+                # Explicit n_planes with adaptive bits: clamp so at least
+                # the conventional 3 bands survive — adaptive bits wider
+                # than n_planes//3 would make n_bands = n_planes//bits
+                # collapse (to 0 at the extreme: zero candidate pairs,
+                # every duplicate silently kept).
+                band_bits = max(1, min(band_bits, n_planes // 3))
         else:
             if n_planes is None:
                 n_planes = 3 * band_bits
@@ -413,7 +425,13 @@ def embedding_neardup_pairs(
             )
             .drop("ae")
             .join(
-                _explode_bands(sig, id_col, vec_col, "b", n_planes, band_bits),
+                # drop("be"): vectors must not ride through the bucket
+                # self-join (the largest shuffle) — they are re-joined
+                # from `b` after the (long, long) distinct, same as the
+                # a-side's drop("ae").
+                _explode_bands(
+                    sig, id_col, vec_col, "b", n_planes, band_bits
+                ).drop("be"),
                 ["band", "bucket"],
             )
             .filter(F.col("aid") < F.col("bid"))

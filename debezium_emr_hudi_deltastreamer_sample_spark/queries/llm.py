@@ -886,7 +886,10 @@ def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("aid").alias("src"), F.col("bid").alias("dst")
     )
     pr = pagerank_fixed(
-        emb.select("vec_id"), edges, id_col="vec_id", iterations=3
+        emb.select("vec_id"), edges, id_col="vec_id", iterations=3,
+        # The LSH pair source is provably distinct and oriented
+        # (aid < bid, .distinct()) — skip the defensive canonicalize pass.
+        dedup_edges=False,
     )
     return pr.select("vec_id", dround("rank", 6).alias("rank"))
 
@@ -937,7 +940,8 @@ def llm_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("aid").alias("src"), F.col("bid").alias("dst")
     )
     pr = pagerank_fixed(
-        emb.select("vec_id"), edges, id_col="vec_id", iterations=3
+        emb.select("vec_id"), edges, id_col="vec_id", iterations=3,
+        dedup_edges=False,  # exact pairs: aid < bid, unique by construction
     )
     return pr.select("vec_id", dround("rank", 6).alias("rank"))
 

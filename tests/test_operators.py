@@ -823,6 +823,66 @@ def test_pagerank_fixed_known_graph(spark):
     assert 4 * 0.15 / 4 < sum(got.values()) <= 1.0 + 1e-9
 
 
+def test_pagerank_duplicate_edges_do_not_skew_ranks(spark):
+    """Regression (round-4 review finding): a duplicated input pair must
+    not inflate a vertex's degree (which would shrink its per-edge share
+    and skew every neighbor's rank) — the bidirected list dedups like the
+    connected-components sibling."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.components import (
+        pagerank_fixed,
+    )
+
+    verts = spark.createDataFrame([(v,) for v in [1, 2, 3]], "id long")
+    clean = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (1, 3)], "src long, dst long"
+    )
+    want = {r.id: r.rank for r in pagerank_fixed(verts, clean, iterations=4).collect()}
+    got = {r.id: r.rank for r in pagerank_fixed(verts, dup, iterations=4).collect()}
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_connected_components_undeclared_endpoint(spark):
+    """Regression (round-4 review finding): an edge endpoint absent from
+    the declared vertex set must still participate in min-label
+    propagation — vertices={5}, edges={(5,3)} converges to component 3
+    for BOTH vertices (previously 3 never propagated its own id back and
+    the output claimed component 5)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.components import (
+        connected_components,
+    )
+
+    verts = spark.createDataFrame([(5,)], "id long")
+    edges = spark.createDataFrame([(5, 3)], "src long, dst long")
+    got = {
+        r.id: r.component for r in connected_components(verts, edges).collect()
+    }
+    assert got == {5: 3, 3: 3}
+
+
+def test_avro_py_parse_skips_null_kafka_values(spark):
+    """Regression (round-4 review finding): a Kafka tombstone (null value
+    column) must be skipped by the pure-Python Avro parser, not crash the
+    task on bytes(None)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import (
+        encode_envelope_avro_py,
+        envelope_avro_schema,
+        parse_envelope_avro_py,
+    )
+    from pyspark.sql import types as T
+
+    row_schema = T.StructType([T.StructField("id", T.LongType())])
+    schema_json = envelope_avro_schema(row_schema)
+    flat = spark.createDataFrame([(7, "c", 1)], "id long, op string, _lsn long")
+    [blob_row] = encode_envelope_avro_py(flat, schema_json, row_schema).collect()
+    raw = spark.createDataFrame(
+        [(bytearray(blob_row[0]),), (None,)], "value binary"
+    )
+    out = parse_envelope_avro_py(raw, schema_json, row_schema).collect()
+    assert len(out) == 1 and out[0].id == 7
+
+
 def test_pagerank_lsh_edges_rank_containment(spark, sf_tiny):
     """Default llm_pagerank builds its graph from LSH-banded candidate
     pairs (O(n·bucket) at scale); the oracle variant uses the exact
