@@ -31,21 +31,28 @@ def asof_join(
     """
     on = list(on)
     lcols = left.columns
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
     l = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*lcols).alias("__l"),
         F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_values) + ">"
+            "struct<"
+            + ",".join(f"`{c}`:{rdt[c]}" for c in right_values)
+            + ">"
         ).alias("__r"),
     )
+    # A right row with a NULL timestamp can never satisfy right.ts <=
+    # left.ts, but ascending nulls-first ordering would sort it ahead of
+    # everything and make it everyone's "most recent" match — drop it.
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in lcols) + ">"
+            "struct<" + ",".join(f"`{c}`:{ldt[c]}" for c in lcols) + ">"
         ).alias("__l"),
         F.struct(*right_values).alias("__r"),
     )

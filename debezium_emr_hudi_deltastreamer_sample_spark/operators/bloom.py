@@ -64,7 +64,10 @@ def build_bloom(
     # Persist before the count: sizing needs n up front, and without the
     # cache the count job and the toLocalIterator pass would each execute
     # the (typically shuffle-heavy distinct-gram) plan from scratch.
-    df = df.persist()
+    # NULL grams must not enter the filter: str(None) would insert the
+    # hash of the literal "None", colliding with that real token on the
+    # probe side (and SQL semantics say NULL matches nothing anyway).
+    df = df.filter(F.col(col).isNotNull()).persist()
     n = df.count()
     if n > max_items:
         df.unpersist()
@@ -106,12 +109,17 @@ def bloom_contains(words: np.ndarray, m: int, k: int, col: Column) -> Column:
 
     @F.pandas_udf(T.BooleanType())
     def probe(vals: pd.Series) -> pd.Series:
+        # NULL probes are definitely-absent (SQL: NULL matches nothing);
+        # hashing str(None) would collide with the literal token "None".
+        null_mask = vals.isna().to_numpy()
+        vals = vals.fillna("")
         h1, h2 = _hash_pair(vals.to_numpy())
         hit = np.ones(len(vals), dtype=bool)
         for i in range(k):
             idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
             w, b = np.divmod(idx, np.uint64(64))
             hit &= (words[w.astype(np.int64)] >> b) & np.uint64(1) != 0
+        hit[null_mask] = False
         return pd.Series(hit)
 
     return probe(col)

@@ -39,6 +39,10 @@ def binned_range_join(
     it back into an inner join — refuse rather than lie."""
     if how != "inner":
         raise ValueError(f"binned_range_join supports how='inner' only, got {how!r}")
+    if not bin_width > 0:
+        # bin_width=0 would make every bin NULL (divide-by-zero → null in
+        # non-ANSI Spark) and the join silently return zero rows.
+        raise ValueError(f"bin_width must be positive, got {bin_width!r}")
 
     def bin_of(c: Column) -> Column:
         return F.floor(c / F.lit(float(bin_width))).cast("long")
@@ -82,6 +86,8 @@ def binned_interval_join(
         raise ValueError(
             f"binned_interval_join supports how='inner' only, got {how!r}"
         )
+    if not bin_width > 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width!r}")
 
     def bin_of(c) -> "F.Column":
         return F.floor(F.col(c) / F.lit(float(bin_width))).cast("long")

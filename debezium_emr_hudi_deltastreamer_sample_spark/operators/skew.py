@@ -37,6 +37,15 @@ def salted_join(
     execution (sufficient: the salt only needs uniformity, not cross-run
     stability; results are salt-invariant by construction).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "semi"):
+        # Each dim row is replicated n_salts times; under right/full outer
+        # the n_salts-1 unmatched replicas would emit spurious null-padded
+        # rows. Only fact-preserving joins are salt-safe.
+        raise ValueError(
+            f"salted_join supports inner/left/semi joins, not {how!r} — "
+            "the dim side is replicated per salt"
+        )
     on = list(on)
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     f = fact.withColumn("__salt", salt)

@@ -40,7 +40,10 @@ def bpe_ish_tokens_col(text_col: str = "text") -> Column:
     lookarounds), so any RE2-based engine (DuckDB included) reproduces it
     exactly; used by queries/llm.llm_bpe_token_count."""
     return F.regexp_extract_all(
-        F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0
+        # \s, not the literal space: tabs/newlines are separators, not
+        # phantom punctuation tokens (round-4 review finding; the DuckDB
+        # oracle in queries/llm.py shares the identical pattern).
+        F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
     )
 
 

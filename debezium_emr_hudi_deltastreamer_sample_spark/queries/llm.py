@@ -325,7 +325,7 @@ def llm_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_bpe_token_count",
     r"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_ish,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_ish,
            len(string_split(text, ' ')) AS n_words
     FROM documents
     """,

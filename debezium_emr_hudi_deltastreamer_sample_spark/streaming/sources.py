@@ -114,7 +114,6 @@ def kafka_record_projection(
     ``key``/``value`` (+ optional per-row ``topic``). Non-string values are
     JSON-serialized via to_json(struct(*)) — the envelope shape a Debezium
     consumer downstream of this engine would expect."""
-    from pyspark.sql import functions as F
 
     if value_col in df.columns:
         value = F.col(value_col).cast("string")
