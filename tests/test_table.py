@@ -1003,3 +1003,61 @@ def test_ivm_random_batch_sequence_equals_direct_join(spark, tmp_path):
             want = sorted(map(tuple, direct.select(*cols).collect()))
             assert got == want, f"seed={seed} how={how} cols={cols}"
             assert "fid" in cols and "amount" in cols
+
+
+from hypothesis import HealthCheck as _HC, given as _given, settings as _hset
+from hypothesis import strategies as _st
+
+_mor_change = _st.tuples(
+    _st.integers(0, 5),                  # key id
+    _st.integers(0, 99),                 # value payload
+    _st.sampled_from(["c", "u", "d"]),   # op
+)
+
+
+@_given(
+    changes=_st.lists(_mor_change, min_size=1, max_size=24),
+    cuts=_st.lists(_st.integers(0, 23), max_size=3),
+    compact_after=_st.lists(_st.booleans(), max_size=4),
+)
+@_hset(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+def test_mor_property_any_batching_any_compaction(
+    spark, tmp_path_factory, changes, cuts, compact_after
+):
+    """Property: for ANY change sequence, ANY split into delta batches,
+    and ANY interleaving of compactions, the MOR snapshot equals a plain
+    dict replay (latest (batch, lsn) wins, deletes drop the key) — the
+    invariant the MVCC base/delta/retirement machinery must preserve."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    rows = [
+        (k, f"v{val}", op, i) for i, (k, val, op) in enumerate(changes)
+    ]
+    bounds = sorted({0, len(rows), *[min(c, len(rows)) for c in cuts]})
+    slices = [s for s in zip(bounds, bounds[1:]) if s[0] < s[1]]
+
+    t = DeltaLogTable(
+        spark,
+        str(tmp_path_factory.mktemp("morprop")),
+        keys=["id"],
+        ordering=["_lsn"],
+    )
+    state: dict[int, str] = {}
+    for i, (lo, hi) in enumerate(slices):
+        batch = spark.createDataFrame(
+            rows[lo:hi], "id int, v string, op string, _lsn long"
+        )
+        t.append_changes(batch, i)
+        for k, v, op, _lsn in rows[lo:hi]:  # dict replay in arrival order
+            if op == "d":
+                state.pop(k, None)
+            else:
+                state[k] = v
+        if i < len(compact_after) and compact_after[i]:
+            t.compact()
+        got = {(r.id, r.v) for r in t.read().select("id", "v").collect()}
+        assert got == set(state.items()), (i, slices, compact_after)
