@@ -326,10 +326,16 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    from ..functions import dround
+
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    # Threshold the UNROUNDED value (the oracle does), round only the
+    # output — and with dround, not F.round: Spark rounds the decimal
+    # repr where DuckDB rounds the binary value, which diverges once
+    # shingle unions reach ~800 (functions.dround rationale).
     return (
-        shared.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
+        shared.filter(jac >= threshold)
+        .withColumn("jaccard", dround(jac, 4))
         .select("id_a", "id_b", "jaccard")
     )
 

@@ -58,11 +58,11 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_uniq_tokens", F.size(F.array_distinct("tokens")))
         .withColumn(
             "uniq_ratio",
-            F.round(F.col("n_uniq_tokens") / F.col("n_tokens"), 4),
+            dround(F.col("n_uniq_tokens") / F.col("n_tokens"), 4),
         )
         .withColumn(
             "avg_token_len",
-            F.round(
+            dround(
                 F.aggregate(
                     "tokens", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
                 )
@@ -72,7 +72,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "stopword_ratio",
-            F.round(
+            dround(
                 F.size(F.filter("tokens", lambda t: F.array_contains(stop_arr, t)))
                 / F.col("n_tokens"),
                 4,
@@ -80,7 +80,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "punct_ratio",
-            F.round(
+            dround(
                 (
                     F.length(text_col)
                     - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))

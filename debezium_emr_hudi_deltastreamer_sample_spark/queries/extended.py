@@ -173,7 +173,13 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
         pdf = pdf.copy()
-        pdf["z"] = ((v - v.mean()) / v.std(ddof=0)).round(3)
+        std = v.std(ddof=0)
+        if std == 0 or pd.isna(std):
+            # 0/0 is NULL in SQL (the oracle's stddev_pop path), not the
+            # pandas NaN — singleton / constant-valued groups must agree.
+            pdf["z"] = None
+        else:
+            pdf["z"] = ((v - v.mean()) / std).round(3)
         return pdf[["event_id", "event_type", "z"]]
 
     return events.groupBy("event_type").applyInPandas(
@@ -1210,7 +1216,10 @@ def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, n_tokens int")
     class ChunkDoc:
         def eval(self, text: str):
-            toks = [t for t in (text or "").split(" ") if t != ""]
+            # string_split semantics exactly (the oracle's): '' splits to
+            # [''], empties are KEPT — dropping them would disagree with
+            # the oracle on empty/multi-space documents.
+            toks = (text or "").split(" ")
             n_chunks = max((len(toks) + 19) // 20, 1)
             for i in range(n_chunks):
                 yield i, min(20, len(toks) - i * 20)

@@ -21,7 +21,6 @@ from ..operators.dedup import (
     simhash_candidates,
     with_shingle_hashes,
     with_shingles,
-    with_simhash,
 )
 from ..operators.similarity import (
     cosine_topk_bruteforce,
@@ -115,7 +114,8 @@ def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, count(*) AS n_docs,
            round(avg(n_chars), 4)  AS avg_chars,
            round(avg(n_tokens), 4) AS avg_tokens,
-           round(avg(quality), 4)  AS avg_quality,
+           round(sum(CAST(round(quality * 10000, 0) AS BIGINT))
+                 / (10000.0 * count(*)), 4) AS avg_quality,
            count(*) FILTER (quality >= 0.55) AS n_high_quality
     FROM scored GROUP BY lang
     """,
@@ -130,7 +130,15 @@ def llm_quality_langstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         dround(F.avg("n_chars"), 4).alias("avg_chars"),
         dround(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        dround(F.avg("quality"), 4).alias("avg_quality"),
+        # x10^4-integer sum, not avg(double): quality is 4dp-quantized,
+        # so a group mean can land on a .00005 tie where partial-agg
+        # float order flips the 4th decimal between engines (the
+        # llm_corpus_clean trick, applied here too).
+        dround(
+            F.sum(dround(F.col("quality") * 10000, 0).cast("long"))
+            / (10000.0 * F.count(F.lit(1))),
+            4,
+        ).alias("avg_quality"),
         F.count(F.when(F.col("quality") >= 0.55, 1)).alias("n_high_quality"),
     )
 
@@ -594,7 +602,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hash join against a scan-sized gram stream."""
     docs, grams, bench, train = doc_grams(spark, sf_dir)
     flagged = (
-        grams.filter(F.col("doc_id") % 25 != 0)
+        train  # the %25 train-split lives ONLY in doc_grams
         .join(F.broadcast(bench), "ng", "left_semi")
         .select("doc_id")
         .distinct()
@@ -1237,7 +1245,13 @@ def llm_graph_triangles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-companion triangles over the EXACT all-pairs cosine edge
     set — SQL-replayable at fixture size, O(n²) by contract (excluded
     from the sf1 sweep like the other exact companions, FIXTURES.md §4).
-    The default llm_graph_triangles uses LSH candidate edges."""
+    The default llm_graph_triangles uses LSH candidate edges.
+
+    Threshold float-safety (same contract llm_embed_neardup documents for
+    0.46): DuckDB's list_cosine_similarity accumulates in float32 (~2e-7
+    error) vs Spark's float64 — measured min |cos − 0.35| is 2.9e-5 at
+    sf0.01 and 6.4e-6 on an sf1 sample, 30-140× the error band, so no
+    fixture edge can flip between engines."""
     from ..operators.similarity import embedding_neardup_pairs
 
     edges = embedding_neardup_pairs(
@@ -1394,7 +1408,6 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs, grams, bench, train = doc_grams(spark, sf_dir)
     words, m, k = build_bloom(bench, "ng", fp_rate=0.01)
-    train = grams.filter(F.col("doc_id") % 25 != 0)
     flagged = (
         train.withColumn("hit", bloom_contains(words, m, k, F.col("ng")))
         .filter("hit")
@@ -1471,7 +1484,8 @@ def llm_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                      ELSE 'tail' END AS bucket,
            count(*) AS n_docs,
-           round(avg(nlp), 4) AS avg_nlp,
+           round(sum(CAST(round(nlp * 10000, 0) AS BIGINT))
+                 / (10000.0 * count(*)), 4) AS avg_nlp,
            min(doc_id) AS min_doc
     FROM b GROUP BY 1, 2
     """,
@@ -1518,7 +1532,13 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            dround(F.avg("nlp"), 4).alias("avg_nlp"),
+            # x10^4-integer sum over the 4dp-quantized nlp — same
+            # tie-proofing as llm_quality_langstats / llm_corpus_clean.
+            dround(
+                F.sum(dround(F.col("nlp") * 10000, 0).cast("long"))
+                / (10000.0 * F.count(F.lit(1))),
+                4,
+            ).alias("avg_nlp"),
             F.min("doc_id").alias("min_doc"),
         )
     )

@@ -1567,3 +1567,22 @@ def test_bpe_apply_matches_python_reference(spark, sf_tiny):
     assert got == expect
     assert rows[0].tokens_before == before
     assert rows[0].tokens_after == after
+
+
+def test_fixture_text_is_single_space_separated(spark, sf_tiny):
+    """The llm oracles split on the literal ' ' (string_split) while the
+    Spark side splits on \\s+ and drops empties (tokens_col) — the two
+    agree ONLY while fixture text has no runs of whitespace, no
+    leading/trailing space and no tabs/newlines. Pin that invariant so a
+    fixture regeneration that breaks it fails HERE with a clear message,
+    not as a cryptic parity hash mismatch."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+
+    docs = load_table(spark, sf_tiny, "documents")
+    offenders = docs.filter(
+        F.col("text").rlike(r"\s\s|^\s|\s$|[\t\n\r]")
+    ).count()
+    assert offenders == 0, (
+        "fixture text violates the single-space invariant the oracle "
+        "tokenization depends on"
+    )
