@@ -82,15 +82,24 @@ def parse_envelope(
     """
     schema = envelope_schema(row_schema)
     parsed = raw.withColumn("json", F.from_json(F.col(value_col).cast("string"), schema))
+    return project_envelope(parsed, "json")
+
+
+def project_envelope(parsed: DataFrame, env_col: str) -> DataFrame:
+    """Flatten an ALREADY-PARSED envelope struct column into change rows —
+    the projection half of ``parse_envelope``, factored out so a caller
+    that needs both the raw bytes and the parsed struct (e.g. dead-letter
+    routing) can run ``from_json`` ONCE and reuse the result for the DLQ
+    split and the merge."""
     img = F.when(
-        F.col("json.payload.op") == "d", F.col("json.payload.before")
-    ).otherwise(F.col("json.payload.after"))
+        F.col(f"{env_col}.payload.op") == "d", F.col(f"{env_col}.payload.before")
+    ).otherwise(F.col(f"{env_col}.payload.after"))
     return (
         parsed.withColumn("_row", img)
         .select(
-            F.col("json.payload.op").alias("op"),
-            F.col("json.payload.source.lsn").alias("_lsn"),
-            F.col("json.payload.ts_ms").alias("_ts_ms"),
+            F.col(f"{env_col}.payload.op").alias("op"),
+            F.col(f"{env_col}.payload.source.lsn").alias("_lsn"),
+            F.col(f"{env_col}.payload.ts_ms").alias("_ts_ms"),
             F.col("_row.*"),
         )
         # Defensive: malformed JSON → from_json yields null payload; drop.

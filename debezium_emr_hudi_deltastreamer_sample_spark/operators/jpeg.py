@@ -438,6 +438,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("expected marker")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes (some camera firmware pads) — skip them.
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -491,6 +495,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cid, tt = payload[1 + 2 * ci], payload[2 + 2 * ci]
                 scan.append((cid, tt >> 4, tt & 0xF))
             fh, fw, comps = frame
+            if ns != len(comps):
+                # Non-interleaved (one SOS per component) is legal T.81
+                # but this decoder only implements the interleaved MCU
+                # walk — decoding just the first scan would silently
+                # return a grayscale/garbled image; refuse into the
+                # imaging-library fallback instead.
+                raise ValueError(
+                    "non-interleaved multi-scan baseline JPEG unsupported"
+                )
             byid = {c[0]: c for c in comps}
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)

@@ -456,7 +456,12 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: expand each video row into frame
     timestamps (decode stubbed). Demonstrates the explode-shaped plan used
     for frame extraction at scale — rows multiply, bytes don't."""
-    n_frames = (F.col("media_meta.duration_ms") / every_ms).cast("int")
+    # ceil(duration/every): a 2500 ms clip sampled at 1000 ms has frames
+    # at 0/1000/2000 — plain truncation dropped the final partial-window
+    # frame (round-4 review finding; exact multiples are unchanged).
+    n_frames = (
+        ((F.col("media_meta.duration_ms") - 1) / every_ms).cast("int") + 1
+    )
     return df.filter(F.col("media_meta.media_type") == "video").select(
         "media_id",
         F.explode(

@@ -280,16 +280,17 @@ def cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ts_terciles(ev) -> list[tuple]:
-    """Three equal time windows spanning ALL of `ev` — derived from the
-    data's own min/max ts, not fixture-era constants, so batch replays
+def _ts_terciles(ev, col: str = "ts") -> list[tuple]:
+    """Three equal time windows spanning ALL of `ev[col]` — derived from
+    the data's own min/max, not fixture-era constants, so batch replays
     cover every row at every scale factor (the sf1 fixture extends event
     time 10×; hard-coded 2024 windows silently dropped nine tenths of
     it). The final latest-wins state is boundary-independent; only full
-    coverage matters."""
+    coverage matters. The single home of this boundary arithmetic — the
+    join-view replay reuses it on o_orderdate."""
     import datetime as _dt
 
-    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    b = ev.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
     lo, hi = b.lo, b.hi + _dt.timedelta(seconds=1)
     step = (hi - lo) / 3
     return [(lo + i * step, lo + (i + 1) * step if i < 2 else hi) for i in range(3)]
@@ -676,14 +677,7 @@ def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     v.apply_dim_batch(
         cust.withColumn("op", F.lit("u")).withColumn("_lsn", F.lit(1))
     )
-    b = orders.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")).first()
-    import datetime as _dt
-
-    lo, hi = b.lo, b.hi + _dt.timedelta(seconds=1)
-    step = (hi - lo) / 3
-    for i in range(3):
-        w_lo = lo + i * step
-        w_hi = lo + (i + 1) * step if i < 2 else hi
+    for w_lo, w_hi in _ts_terciles(orders, col="o_orderdate"):
         batch = (
             orders.filter(
                 (F.col("o_orderdate") >= F.lit(w_lo))

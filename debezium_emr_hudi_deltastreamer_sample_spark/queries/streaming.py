@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import ensure_read_confs
 from ..catalog import load_table as _t
-from ..envelope import parse_envelope
 from ..functions import dround
 from ..streaming.rollup import IncrementalRollup
 from ..streaming.pipeline import (
@@ -29,7 +28,7 @@ from ..streaming.pipeline import (
     upsert_batch_processor,
 )
 from ..streaming.sources import file_envelope_source
-from ..streaming.windows import session_counts, sliding_agg, tumbling_counts
+from ..streaming.windows import session_counts, tumbling_counts
 
 QUERIES = {}
 ORACLES = {}
@@ -191,14 +190,21 @@ def stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based session windows (30 min) per user via F.session_window;
-    the oracle rebuilds sessions with a lag/cumsum break detector (sessions
-    merge while consecutive gaps < 30 min)."""
+    """Gap-based session windows (30 min) per user via F.session_window,
+    run as a REAL streaming aggregation (round-4 review fix: this was a
+    batch call, silently overstating streaming coverage). COMPLETE mode:
+    session-window streaming aggregations refuse update, and in a
+    bounded availableNow replay the final complete emission IS the fully
+    merged session set — the same contract stream_tumbling_counts uses.
+    The oracle rebuilds sessions with a lag/cumsum break detector
+    (sessions merge while consecutive gaps < 30 min)."""
+    spark = _stream_session(spark)
     sess = session_counts(
-        _t(spark, sf_dir, "events"), "ts", "30 minutes", keys=["user_id"]
+        _events_stream(spark, sf_dir), "ts", "30 minutes",
+        keys=["user_id"], watermark="30 minutes",
     )
-    return sess.select(
-        "user_id", F.col("session_start"), "n_events"
+    return _drain(sess, output_mode="complete").select(
+        "user_id", "session_start", "n_events"
     )
 
 
@@ -333,7 +339,7 @@ def stream_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
-           count(*) AS n, round(sum(value), 3) AS total,
+           count(value) AS n, round(sum(value), 3) AS total,
            round(min(value), 3) AS vmin, round(max(value), 3) AS vmax
     FROM events GROUP BY 1, 2
     """,
@@ -410,7 +416,7 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            time_bucket(INTERVAL 1 DAY, ts) AS bucket_start,
-           count(*) AS n, round(sum(value), 3) AS total,
+           count(value) AS n, round(sum(value), 3) AS total,
            round(min(value), 3) AS vmin, round(max(value), 3) AS vmax
     FROM events GROUP BY 1, 2
     """,
@@ -1148,7 +1154,7 @@ def stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the split is one extra filter on the already-parsed batch —
     no second parse; the dead-letter append is O(bad rows)."""
-    from ..envelope import envelope_schema
+    from ..envelope import envelope_schema, project_envelope
 
     src, row_schema = _customer_change_feed(spark, sf_dir)
     # Corrupt the update envelopes (offset = custkey + 10M) of every
@@ -1170,22 +1176,23 @@ def stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dlq_path = _tmp("dlq_sink")
     env_schema = envelope_schema(row_schema)
     upsert = upsert_batch_processor(
-        table_path, keys=["c_custkey"], row_schema=row_schema
+        table_path, keys=["c_custkey"], row_schema=row_schema,
+        parser=lambda d: project_envelope(d, "env"),
     )
 
     def process(df: DataFrame, batch_id: int) -> None:
-        df = df.localCheckpoint(eager=True)
-        bad = df.filter(
-            F.from_json(F.col("value").cast("string"), env_schema)[
-                "payload"
-            ]["op"].isNull()
-        )
+        # ONE from_json per batch: the parsed struct rides alongside the
+        # raw bytes; the DLQ split filters on it and the merge projects
+        # from it (project_envelope) — no second parse.
+        parsed = df.withColumn(
+            "env", F.from_json(F.col("value").cast("string"), env_schema)
+        ).localCheckpoint(eager=True)
         # cast_value_projection already stripped the batch to the value
         # column — the raw bytes are the replayable record.
-        bad.select(
+        parsed.filter(F.col("env.payload.op").isNull()).select(
             F.col("value").cast("string").alias("raw")
         ).write.mode("append").parquet(dlq_path)
-        upsert(df, batch_id)
+        upsert(parsed, batch_id)
 
     q = start_pipeline(
         cast_value_projection(file_envelope_source(spark, src2)),

@@ -294,7 +294,9 @@ def test_frame_sample_plan(spark):
         "media_id long, media binary, media_meta struct<media_type:string,format:string,width:int,height:int,duration_ms:long>",
     )
     ts = [r.frame_ts_ms for r in frame_sample_plan(df, every_ms=1000).collect()]
-    assert ts == [0, 1000, 2000]
+    # Every every_ms tick strictly inside the 3500 ms duration — the old
+    # truncation dropped the 3000 ms frame (round-4 review finding).
+    assert ts == [0, 1000, 2000, 3000]
 
 
 def test_ivf_topk_recall(spark, emb_df):
@@ -1086,6 +1088,26 @@ def test_jpeg_codec_quality_and_variants():
     i = b.find(b"\xff\xc0")
     b[i + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(b))
+
+    # 0xFF fill bytes before markers are legal (T.81 B.1.1.2) and must
+    # decode identically; camera firmware emits them.
+    good = encode_jpeg(img, quality=90)
+    j = good.find(b"\xff\xdb")
+    padded = good[:j] + b"\xff\xff\xff" + good[j:]
+    assert (decode_jpeg(padded) == decode_jpeg(good)).all()
+
+    # Non-interleaved multi-scan (ns < component count) must REFUSE —
+    # decoding only the first scan would silently return grayscale.
+    b = bytearray(encode_jpeg(img))
+    i = b.find(b"\xff\xda")
+    ln = int.from_bytes(b[i + 2 : i + 4], "big")
+    one_comp_sos = (
+        b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big")
+        + bytes([1, 1, 0x00, 0, 63, 0])
+    )
+    b[i : i + 2 + ln] = one_comp_sos
+    with pytest.raises(ValueError, match="non-interleaved"):
         decode_jpeg(bytes(b))
 
 
