@@ -151,7 +151,7 @@ def window_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
              wf AS (PARTITION BY event_type ORDER BY idx
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
-    SELECT event_type, h,
+    SELECT event_type, CAST(epoch(h) AS BIGINT) AS h,
            round(CASE
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NULL THEN nv
@@ -202,9 +202,11 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pi", F.last(obs_idx, ignorenulls=True).over(wp))
         .withColumn("nv", F.first("v", ignorenulls=True).over(wf))
         .withColumn("ni", F.first(obs_idx, ignorenulls=True).over(wf))
+        # Epoch seconds, not raw TIMESTAMP (driver-OS-timezone hazard —
+        # see ts_gap_fill).
         .select(
             "event_type",
-            "h",
+            F.unix_timestamp("h").alias("h"),
             dround(interp, 3).alias("v_interp"),
             F.col("v").isNull().alias("is_gap"),
         )

@@ -1146,7 +1146,7 @@ def _hourly_type_grid(spark: SparkSession, sf_dir: str):
     grid AS (
       SELECT t.event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
       FROM (SELECT DISTINCT event_type FROM events) t, bounds)
-    SELECT g.event_type, g.h,
+    SELECT g.event_type, CAST(epoch(g.h) AS BIGINT) AS h,
            last_value(v IGNORE NULLS) OVER
              (PARTITION BY g.event_type ORDER BY g.h
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
@@ -1178,7 +1178,15 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grid.join(b, ["event_type", "h"], "left")
         .withColumn("v_filled", F.last("v", ignorenulls=True).over(fill))
-        .select("event_type", "h", "v_filled", F.col("v").isNull().alias("is_gap"))
+        # Epoch seconds, not raw TIMESTAMP: collect() renders timestamps
+        # in the DRIVER OS timezone (review-confirmed parity failure under
+        # TZ=America/New_York) — the surface rule is dates/epoch ints only.
+        .select(
+            "event_type",
+            F.unix_timestamp("h").alias("h"),
+            "v_filled",
+            F.col("v").isNull().alias("is_gap"),
+        )
     )
 
 

@@ -91,7 +91,8 @@ def pipe_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d)
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            count(*) AS n_events,
-           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS session_end,
            round(sum(CAST(round(value * 1000, 0) AS BIGINT)) / 1000.0, 3)
              AS session_value
     FROM s GROUP BY user_id, session_id
@@ -129,8 +130,11 @@ def pipe_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vint = dround(F.col("value") * 1000, 0).cast("long")
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        # Epoch micros, not raw TIMESTAMP: collect() renders timestamps in
+        # the DRIVER OS timezone (review-confirmed parity failure under a
+        # non-UTC TZ) — the surface rule is dates/epoch ints only.
+        F.unix_micros(F.min("ts")).alias("session_start"),
+        F.unix_micros(F.max("ts")).alias("session_end"),
         dround(F.sum(vint) / 1000.0, 3).alias("session_value"),
     )
 
@@ -368,26 +372,31 @@ def pipe_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (the data-quality gate before any pipeline run):
     per-column row count, null count, exact distinct, min/max — emitted as
-    one tidy (col, stat...) table. Spark computes all columns' profiles in
-    a SINGLE scan: the per-column aggregates union after aggregation, and
-    Catalyst reuses the cached scan; at 100 TB swap exact distinct for
+    one tidy (col, stat...) table, computed in ONE aggregate over ONE scan
+    (round-4 review fix: the previous union-of-aggregates form planned
+    four independent scans while its docstring claimed one) and unpivoted
+    with ``stack``. At 100 TB swap exact distinct for
     approx_count_distinct (agg_approx_distinct grades that path)."""
     docs = _t(spark, sf_dir, "documents")
-
-    def profile(col: str) -> DataFrame:
-        return docs.agg(
-            F.lit(col).alias("col"),
-            F.count(F.lit(1)).alias("n"),
-            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
-            F.countDistinct(col).alias("n_distinct"),
-            F.min(col).cast("string").alias("min_repr"),
-            F.max(col).cast("string").alias("max_repr"),
-        ).select("col", "n", "n_null", "n_distinct", "min_repr", "max_repr")
-
-    out = profile("doc_id")
-    for c in ("lang", "source", "n_chars"):
-        out = out.unionByName(profile(c))
-    return out
+    cols = ("doc_id", "lang", "source", "n_chars")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n, null_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n, n_null, n_distinct, min_repr, max_repr)"
+        )
+    )
 
 
 @_q(
@@ -476,7 +485,7 @@ def pipe_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity AS (
       SELECT DISTINCT user_id, time_bucket(INTERVAL 1 WEEK, ts) AS act_week
       FROM events)
-    SELECT f.cohort_week,
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
            date_diff('week', f.cohort_week, a.act_week) AS week_offset,
            count(*) AS n_active
     FROM first_seen f JOIN activity a USING (user_id)
@@ -511,6 +520,14 @@ def pipe_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
+        # DATE, not raw TIMESTAMP (driver-OS-timezone hazard — see
+        # pipe_sessionize); the week bucket is midnight-aligned so the
+        # cast loses nothing.
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+        )
     )
 
 

@@ -124,7 +124,7 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "project_cast_drop",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS INTEGER)       AS qty_int,
+           CAST(floor(l_quantity) AS INTEGER) AS qty_int,
            CAST(l_shipdate AS DATE)          AS ship_date,
            CAST(l_orderkey AS VARCHAR)       AS orderkey_str,
            round(l_extendedprice * (1 - l_discount), 2) AS net_price
@@ -137,7 +137,10 @@ def project_cast_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_linenumber") <= 2)
-        .withColumn("qty_int", F.col("l_quantity").cast("int"))
+        # floor() on BOTH sides: Spark's double->int cast truncates while
+        # DuckDB's rounds to nearest — explicit floor pins one semantic
+        # (latent until a fixture carries fractional quantities).
+        .withColumn("qty_int", F.floor("l_quantity").cast("int"))
         .withColumn("ship_date", F.col("l_shipdate").cast("date"))
         .withColumn("orderkey_str", F.col("l_orderkey").cast("string"))
         .withColumn(
@@ -206,7 +209,7 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cn.union(sn).distinct().select(F.lit("union").alias("op"), "nk")
         .unionByName(cn.intersect(sn).select(F.lit("intersect").alias("op"), "nk"))
-        .unionByName(cn.exceptAll(sn.distinct()).distinct().select(F.lit("except").alias("op"), "nk"))
+        .unionByName(cn.subtract(sn).select(F.lit("except").alias("op"), "nk"))
     )
 
 

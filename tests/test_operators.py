@@ -768,9 +768,9 @@ def test_sessionize_properties(spark, sf_tiny):
     ev = load_table(spark, sf_tiny, "events")
     assert sum(r.n_events for r in got) == ev.count()
 
-    import datetime
-
-    day = datetime.timedelta(days=1)
+    # session_start/end are now epoch MICROSECONDS (the raw-timestamp
+    # projection was a driver-OS-timezone hazard) — compare in int µs.
+    day = 86400 * 1_000_000
     by_user = {}
     for r in got:
         by_user.setdefault(r.user_id, []).append(r)

@@ -320,6 +320,14 @@ def test_heavy_hitters_candidates_broadcast_semi(spark, qs):
     assert "LeftSemi" in p
 
 
+def test_profile_columns_single_scan(spark, qs):
+    """pipe_profile_columns computes all four columns' profiles in ONE
+    aggregate over ONE scan (stack-unpivoted) — the union-of-aggregates
+    form it replaced planned four full scans of documents."""
+    p = plan(qs["pipe_profile_columns"](spark, SF))
+    assert p.count("documents.parquet") == 1
+
+
 def test_gap_fill_single_events_scan(spark, qs):
     """ts_gap_fill derives bounds and the type list from the hourly
     rollup (checkpointed once), so the events parquet is scanned exactly
