@@ -50,6 +50,35 @@ SF1_EXCLUDED = frozenset({
 })
 
 
+def driver_hostile_problems(scols, stypes, ocols, otypes):
+    """Problems for result types the driver's value-hash cannot compare.
+
+    The driver's hash is TYPE-sensitive and crashes on list cells: DuckDB
+    widening sum(BIGINT)->HUGEINT (int128) or returning LIST/STRUCT/MAP
+    columns makes an exact-value match hash-fail or error; Spark-side
+    array/struct/map columns do the same. These are GATE failures (exit 1),
+    not warnings, so the round-3 class of red (12 HUGEINT casts) cannot
+    recur silently. Fix is CAST(sum(..) AS BIGINT) / array_to_string on
+    BOTH sides.
+    """
+    problems = []
+    o_hostile = [
+        (c, t)
+        for c, t in zip(ocols, otypes)
+        if "HUGEINT" in t or t.endswith("[]") or "STRUCT" in t or "MAP" in t
+    ]
+    if o_hostile:
+        problems.append(f"driver-hostile oracle types: {o_hostile}")
+    s_hostile = [
+        (c, t)
+        for c, t in zip(scols, stypes)
+        if t.startswith(("array", "struct", "map"))
+    ]
+    if s_hostile:
+        problems.append(f"driver-hostile spark types: {s_hostile}")
+    return problems
+
+
 def main(names=None):
     import time
 
@@ -129,26 +158,9 @@ def main(names=None):
             failures.append((name, f"DUCKDB ERROR: {ex}"))
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
             continue
-        problems = []
-        # The driver's value-hash is TYPE-sensitive and crashes on list
-        # cells: DuckDB widening sum(BIGINT)->HUGEINT (int128) or returning
-        # LIST/STRUCT columns makes an exact-value match hash-fail or error.
-        # Flag those oracle types here so the class of bug can't recur —
-        # fix is CAST(sum(..) AS BIGINT) / array_to_string on BOTH sides.
-        driver_hostile = [
-            (c, t)
-            for c, t in zip(ocols, otypes)
-            if "HUGEINT" in t or t.endswith("[]") or "STRUCT" in t or "MAP" in t
-        ]
-        if driver_hostile:
-            problems.append(f"driver-hostile oracle types: {driver_hostile}")
-        s_hostile = [
-            (c, t)
-            for c, t in zip(scols, [f.dataType.simpleString() for f in sdf.schema])
-            if t.startswith(("array", "struct", "map"))
-        ]
-        if s_hostile:
-            problems.append(f"driver-hostile spark types: {s_hostile}")
+        problems = driver_hostile_problems(
+            scols, [f.dataType.simpleString() for f in sdf.schema], ocols, otypes
+        )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
