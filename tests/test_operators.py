@@ -314,6 +314,17 @@ def test_ivf_topk_recall(spark, emb_df):
     # Probing half the cells of a 4-cell index on 30 vectors: most true
     # neighbors are reachable; fixed seed keeps this stable.
     assert len(brute & approx) / len(brute) >= 0.6
+    # Multi-assignment (each DB vector in its 2 nearest cells) recovers
+    # boundary neighbors: recall must not drop below single-assignment,
+    # and no (qid, cid) pair may appear twice despite shared cells.
+    multi = [
+        (r.qid, r.cid)
+        for r in ivf_topk(
+            df, queries, k=3, nlist=4, nprobe=2, max_iter=8, nassign=2
+        ).collect()
+    ]
+    assert len(multi) == len(set(multi))
+    assert len(brute & set(multi)) / len(brute) >= len(brute & approx) / len(brute)
 
 
 def test_avro_gated_cleanly(spark):

@@ -62,7 +62,7 @@ def main() -> None:
     }
     variants = {
         "lsh": lambda: cosine_topk_lsh(emb, queries, k=k, dim=64),
-        "ivf": lambda: ivf_topk(emb, queries, k=k, nlist=16, nprobe=6),
+        "ivf": lambda: ivf_topk(emb, queries, k=k, nlist=16, nprobe=6, nassign=2),
     }
     for name, run in variants.items():
         t0 = time.perf_counter()
