@@ -108,15 +108,18 @@ def mor_batch_processor(
     row_schema: T.StructType = EMPLOYEES_SCHEMA,
     ordering: Sequence[str] = ("_lsn",),
     auto_compact_deltas: int | None = None,
+    async_compact: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Per-micro-batch MERGE_ON_READ ingest (Hudi's other
     ``write.table.type`` next to `upsert_batch_processor`'s COW): parse
     envelope → land the batch as one immutable delta directory on a
     `DeltaLogTable` — O(batch) per micro-batch, no table rewrite; the
     latest-wins merge happens at read time (or at inline compaction when
-    ``auto_compact_deltas`` is set). Idempotent under at-least-once
-    replay: a replayed batch overwrites its own ``ingest_batch=<id>``
-    directory.
+    ``auto_compact_deltas`` is set; ``async_compact`` moves that
+    compaction off the ingest thread — Hudi's async table service — so
+    micro-batch latency stays O(batch) even on compaction triggers).
+    Idempotent under at-least-once replay: a replayed batch overwrites
+    its own ``ingest_batch=<id>`` directory.
 
     This is the write-profile you want when the stream is hot and reads
     are periodic: COW pays a full rewrite per micro-batch (write
@@ -137,6 +140,7 @@ def mor_batch_processor(
             ordering=list(ordering),
             op_col="op",
             auto_compact_deltas=auto_compact_deltas,
+            async_compact=async_compact,
         )
         table.append_changes(changes, batch_id)
 

@@ -325,6 +325,41 @@ def test_mor_auto_compaction_and_incremental_read(spark, tmp_path):
     assert "ingest_batch" in pf
 
 
+def test_mor_async_compaction_single_flight(spark, tmp_path):
+    """The async table service (async_compact=True) must fold deltas off
+    the ingest thread: append_changes returns without compacting, an
+    in-flight compaction is never stacked (single-flight per path), and
+    after await_compaction the published base equals what inline
+    compaction would have produced."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    path = str(tmp_path / "mor_async")
+    t = DeltaLogTable(
+        spark, path, keys=["id"], ordering=["_lsn"],
+        auto_compact_deltas=2, async_compact=True,
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id int, v string, op string, _lsn long"
+    )
+    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    assert t.base_versions() == []  # below threshold, nothing spawned
+    t.append_changes(mk([(2, "x", "c", 2)]), 1)
+    # Threshold reached: the fold happens on the service thread; a second
+    # instance for the same path must not start another (single-flight).
+    t2 = DeltaLogTable(
+        spark, path, keys=["id"], auto_compact_deltas=2, async_compact=True
+    )
+    t2._spawn_async_compaction()
+    t.await_compaction(timeout=120)
+    assert t.base_versions() == [0]
+    assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == {
+        (1, "a"), (2, "x"),
+    }
+    # A later batch keeps the incremental surface intact.
+    t.append_changes(mk([(1, "b", "u", 3)]), 2)
+    assert {r.id for r in t.read_incremental(since_batch=1).collect()} == {1}
+
+
 def test_mor_compaction_concurrent_append_and_reader(spark, tmp_path):
     """Compaction vs concurrency (the lost-delta hazard): a batch that
     lands AFTER compaction snapshots its delta listing must survive the

@@ -95,11 +95,16 @@ def main() -> None:
     elif mode == "mor":
         # MERGE_ON_READ ingest: O(batch) delta appends instead of the COW
         # full-table rewrite — the write-amplification contrast the Hudi
-        # table-type axis is about (inline compaction every 8 deltas keeps
-        # read cost bounded without dominating write latency).
+        # table-type axis is about. Compaction fires every 8 deltas on the
+        # ASYNC table service (Hudi async compaction), so read cost stays
+        # bounded while the ingest path never pays the fold — the round-4
+        # p95 spike (4.8 s = the inline compaction batch) was exactly the
+        # blocking deployment mode.
         from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import mor_batch_processor
 
-        proc = mor_batch_processor(out, keys=["id"], auto_compact_deltas=8)
+        proc = mor_batch_processor(
+            out, keys=["id"], auto_compact_deltas=8, async_compact=True
+        )
     else:
         proc = upsert_batch_processor(out, keys=["id"])
     q = start_pipeline(
@@ -113,10 +118,28 @@ def main() -> None:
     q.stop()
     q.awaitTermination(60)
 
+    compactions = None
+    if mode == "mor":
+        # The async service must have actually folded deltas during the
+        # run — otherwise the sub-second p95 would just be deferred work.
+        from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+        t = DeltaLogTable(spark, out, keys=["id"])
+        t.await_compaction(timeout=60)
+        compactions = len(t.base_versions())
+
     progress = [p for p in (q.recentProgress or []) if p["numInputRows"] > 0]
-    durations = sorted(p["durationMs"]["triggerExecution"] for p in progress)
-    rows = sum(p["numInputRows"] for p in progress)
-    span_sec = sum(p["durationMs"]["triggerExecution"] for p in progress) / 1000.0
+    progress.sort(key=lambda p: p["batchId"])
+    # The first data batch pays one-time JVM costs (codegen, parquet writer
+    # init, state-store open) that no steady-state batch repeats; exclude
+    # it from the percentiles and report it separately so the p50/p95
+    # describe the sustained regime.
+    cold_ms = progress[0]["durationMs"]["triggerExecution"] if progress else None
+    durations = sorted(
+        p["durationMs"]["triggerExecution"] for p in progress[1:]
+    )
+    rows = sum(p["numInputRows"] for p in progress[1:])
+    span_sec = sum(p["durationMs"]["triggerExecution"] for p in progress[1:]) / 1000.0
     pct = lambda q_: durations[min(len(durations) - 1, int(q_ * len(durations)))]
     print(
         json.dumps(
@@ -129,8 +152,10 @@ def main() -> None:
                     "p50": statistics.median(durations) if durations else None,
                     "p95": pct(0.95) if durations else None,
                     "max": durations[-1] if durations else None,
+                    "cold_start": cold_ms,
                 },
                 "sustained_rows_per_sec": round(rows / span_sec, 1) if span_sec else None,
+                **({"compactions_published": compactions} if compactions is not None else {}),
             }
         )
     )
