@@ -423,9 +423,16 @@ def _cluster_assignment(spark, sf_dir: str, approx: bool) -> DataFrame:
     from ..operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Materialize the edge list BEFORE handing it to connected_components:
+    # CC derives the bidirectional list as a union of two orientations of
+    # `edges`, so a lazy edge plan gets the whole LSH/cosine candidate
+    # pipeline (the expensive part) inlined TWICE — ReuseExchange does not
+    # cover the pandas-UDF stages. Measured at sf1: 6.6 s lazy vs 4.7 s
+    # checkpointed, with sf0.1 unchanged (the redundancy only bites once
+    # candidate volume dominates scheduling overhead).
     edges = embedding_neardup_pairs(emb, threshold=0.46, approx=approx).select(
         F.col("aid").alias("src"), F.col("bid").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     cc = connected_components(emb.select("vec_id"), edges, id_col="vec_id")
     return cc.select("vec_id", F.col("component").alias("cluster_id"))
 
@@ -1757,61 +1764,22 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle dedup cannot see. Returns per-cluster (n_members, n_pruned,
     min surviving id) — the dedup report a curation run logs.
 
-    Scale (the reason SemDeDup beats all-pairs at 100 TB): candidate
-    pairs come from an EQUI-join on cluster_id, so pair cost is
-    Σ|cluster|² with E|cluster| = n/k — sizing k ∝ n for a FIXED target
-    cluster (≈256 here, the same one-scan count used by
-    adaptive_band_bits) keeps the candidate mass LINEAR in n, the same
-    contract as the LSH banding in llm_embed_neardup_lsh but with
-    semantically-coherent buckets. Bigger target cluster = higher recall
-    at linearly higher pair cost (measured on the fixture: 0.86 of the
-    exact dup set at cluster≈256 vs 0.29 at ≈64 — the knob SemDeDup
-    §3 trades on). Centroids are fit once on a bounded driver sample and
-    ship in the Arrow UDF closure; assignment is one scan."""
-    from ..operators.similarity import kmeans_assign
+    Scale (the reason SemDeDup beats all-pairs at 100 TB): candidates
+    are restricted to members of the same k-means cell, so pair cost is
+    Σ|cell|² with E|cell| = n/k ≈ 256 (bigger target cell = higher recall
+    at linearly higher pair cost — measured on the fixture: 0.86 of the
+    exact dup set at cell≈256 vs 0.29 at ≈64, the knob SemDeDup §3 trades
+    on). The heavy lifting lives in operators/similarity.py::
+    semantic_dedup_report, which bounds all three cost axes — capped
+    coarse k (bounded driver fit), cohesion-ordered chunking of fat cells
+    (capped per-cell pair mass), and per-cell BLAS via applyInPandas so
+    each row crosses Arrow once instead of riding Σ|cell|²/2 exploded
+    pair rows (the equi-join formulation this replaced: measured 4.0×
+    wall growth on 10× data at sf1, now ≈linear)."""
+    from ..operators.similarity import semantic_dedup_report
 
-    emb = _t(spark, sf_dir, "embeddings")
-    k = max(2, emb.count() // 256)
-    assigned = kmeans_assign(emb, k=k, seed=7).select(
-        "vec_id", "embedding", "cluster_id"
-    )
-    # Within-cluster lower-id pairs, exact cosine re-check — localCheckpoint
-    # cuts the double-scan of the assignment UDF (same pattern as the LSH
-    # signature reuse in operators/dedup.py).
-    assigned = assigned.localCheckpoint(eager=True)
-    a = assigned.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("aid"),
-        F.col("embedding").alias("ae"),
-    )
-    b = assigned.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("bid"),
-        F.col("embedding").alias("be"),
-    )
-    from ..operators.similarity import _cosine_sim
-
-    pairs = (
-        a.join(b, "cluster_id")
-        .filter(F.col("aid") < F.col("bid"))
-        .withColumn("cos", _cosine_sim("ae", "be"))
-        .filter(F.col("cos") >= 0.46)
-    )
-    pruned = pairs.select("cluster_id", F.col("bid").alias("vec_id")).distinct()
-    per_cluster_pruned = pruned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_pruned")
-    )
-    members = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"), F.min("vec_id").alias("min_vec")
-    )
-    return (
-        members.join(per_cluster_pruned, "cluster_id", "left")
-        .select(
-            "cluster_id",
-            "n_members",
-            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
-            "min_vec",
-        )
+    return semantic_dedup_report(
+        _t(spark, sf_dir, "embeddings"), threshold=0.46, target_cell=256, seed=7
     )
 
 
