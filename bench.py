@@ -67,6 +67,10 @@ def main() -> None:
     # ±30% on the streaming queries (state-store setup, tmp-dir I/O), which
     # is the same order as the regression the bench gate is meant to catch.
     # The min of two runs tracks the code's actual cost, not the noise.
+    # Measured noise decomposition (BASELINE.md "Bench noise profile"):
+    # the first run carries 1.5-3x one-time cold cost, warm-run spread is
+    # 5-24% — so best-of-2 reports the warm floor, and only a per-query
+    # regression >25% vs the prior BENCH_r{N} is actionable signal.
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
