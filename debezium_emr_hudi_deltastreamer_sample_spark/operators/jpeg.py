@@ -220,12 +220,16 @@ def _fdct_quant(plane: np.ndarray, qtbl64: np.ndarray) -> np.ndarray:
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 85,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF JPEG.
-    ``subsample=True`` emits 4:2:0 chroma (the common camera layout);
-    default is 4:4:4. ``restart_interval`` > 0 emits a DRI segment and
+    ``subsample``: False → 4:4:4 (default), True or "420" → 4:2:0 chroma
+    (the common camera layout, Y sampled 2×2), "422" → 4:2:2 (Y sampled
+    2×1, the broadcast/DV layout — chroma halved horizontally only).
+    The decoder's MCU walk is generic over per-component sampling factors,
+    so all three layouts round-trip through `decode_jpeg` with no special
+    casing there. ``restart_interval`` > 0 emits a DRI segment and
     RSTn markers every that many MCUs (what camera firmware writes for
     error resilience — exercises the decoder's restart path)."""
     arr = np.asarray(arr, dtype=np.uint8)
@@ -247,8 +251,16 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            # 2×2 box average; pad to even first.
+        if subsample == "422":
+            # Horizontal-only 2×1 box average; pad width to even first.
+            pe_w = (w + 1) // 2 * 2
+            def sub(p):
+                pp = np.pad(p, ((0, 0), (0, pe_w - w)), mode="edge")
+                return pp.reshape(h, pe_w // 2, 2).mean(axis=2)
+            planes = [y - 128.0, sub(cb) - 128.0, sub(cr) - 128.0]
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif subsample:
+            # 4:2:0 — 2×2 box average; pad to even first.
             pe_h, pe_w = (h + 1) // 2 * 2, (w + 1) // 2 * 2
             def sub(p):
                 pp = np.pad(p, ((0, pe_h - h), (0, pe_w - w)), mode="edge")

@@ -241,12 +241,17 @@ def mm_decode_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline JPEG for %4==3 — with every pixel set to doc_id % 256, then
     strictly decode via the pure-Python codecs (operators/multimodal +
     operators/jpeg) through the same mapInPandas plumbing as any corpus
-    decode. A solid-color image survives JPEG quantization EXACTLY
-    (DC-only blocks), so the oracle can recompute the dimensions AND the
-    per-image mean byte from the generating formulas even for the lossy
-    format — a codec that mis-parses a header, drops row padding, swaps
-    BGR/RGB channel math, corrupts the PNG inflate, or misaligns the
-    JPEG zigzag/quant tables fails the hash, not just a unit test."""
+    decode. The JPEG docs additionally rotate through all three baseline
+    chroma layouts by doc_id % 3 — 4:4:4, 4:2:0, and 4:2:2 (round-5
+    addition) — so every sampling-factor geometry the decoder's generic
+    MCU walk claims is exercised through the strict path AND the oracle.
+    A solid-color image survives JPEG quantization and chroma box
+    averaging EXACTLY (DC-only blocks, constant chroma), so the oracle
+    can recompute the dimensions AND the per-image mean byte from the
+    generating formulas even for the lossy format — a codec that
+    mis-parses a header, drops row padding, swaps BGR/RGB channel math,
+    corrupts the PNG inflate, misaligns the JPEG zigzag/quant tables, or
+    mis-walks a subsampled MCU fails the hash, not just a unit test."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -261,13 +266,18 @@ def mm_decode_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codecs = (encode_ppm, encode_bmp, encode_png, encode_jpeg)
+        chroma = (False, "420", "422")  # 4:4:4 / 4:2:0 / 4:2:2 by id
+        codecs = (encode_ppm, encode_bmp, encode_png, None)
         for pdf in batches:
             rows = []
             for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
-                arr = np.full((int(h), int(w), 3), int(mid) % 256, dtype=np.uint8)
-                blob = codecs[int(mid) % 4](arr)
-                rows.append({"media_id": int(mid), "media": blob})
+                m = int(mid)
+                arr = np.full((int(h), int(w), 3), m % 256, dtype=np.uint8)
+                if m % 4 == 3:
+                    blob = encode_jpeg(arr, subsample=chroma[m % 3])
+                else:
+                    blob = codecs[m % 4](arr)
+                rows.append({"media_id": m, "media": blob})
             yield pd.DataFrame(rows, columns=["media_id", "media"])
 
     media = docs.mapInPandas(gen, "media_id long, media binary")

@@ -1074,6 +1074,21 @@ def test_jpeg_codec_quality_and_variants():
     assert d420.shape == img.shape
     assert np.abs(d420.astype(int) - img.astype(int)).mean() < 4.0
 
+    # 4:2:2 (round 5): horizontal-only chroma halving — full size, blur
+    # bounded BETWEEN 4:4:4 and 4:2:0 (it keeps vertical chroma), solid
+    # colors exact (the property mm_decode_codec's oracle leans on), and
+    # odd widths pad/crop cleanly under the (2,1) MCU geometry.
+    d422 = decode_jpeg(encode_jpeg(img, quality=90, subsample="422"))
+    assert d422.shape == img.shape
+    assert np.abs(d422.astype(int) - img.astype(int)).mean() < 4.0
+    for hw in ((10, 13), (9, 33), (24, 40)):
+        solid = np.full((*hw, 3), 177, np.uint8)
+        assert (decode_jpeg(encode_jpeg(solid, subsample="422")) == solid).all()
+    assert (
+        decode_jpeg(encode_jpeg(img, quality=90, subsample="422", restart_interval=2))
+        == d422
+    ).all()
+
     # Restart markers are bit-transparent: identical output to plain.
     plain = decode_jpeg(encode_jpeg(img, quality=90))
     for ri in (1, 3):
