@@ -900,9 +900,12 @@ def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Materialized before pagerank_fixed's two-orientation union, which
+    # would otherwise inline the LSH candidate pipeline twice (same fix
+    # as _cluster_assignment / _triangles_from_edges).
     edges = embedding_neardup_pairs(emb, threshold=0.46, approx=True).select(
         F.col("aid").alias("src"), F.col("bid").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     pr = pagerank_fixed(
         emb.select("vec_id"), edges, id_col="vec_id", iterations=3,
         # The LSH pair source is provably distinct and oriented
@@ -1192,7 +1195,14 @@ def _triangles_from_edges(edges: DataFrame) -> DataFrame:
     vertex keys. The joins shuffle the EDGE list on vertex id twice; with
     edges pre-partitioned by vertex key (the PageRank layout) the first
     join is co-located, and skewed hub vertices are the AQE skew-join
-    case."""
+    case.
+
+    The edge list is materialized first: it feeds all THREE join legs, and
+    a lazy LSH/cosine candidate pipeline would otherwise be inlined (and
+    recomputed) once per leg — the same orientation-union redundancy fixed
+    in _cluster_assignment, tripled. On a real cluster the equivalent is
+    writing the edge list once (or df.persist) before the closing joins."""
+    edges = edges.localCheckpoint(eager=True)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")

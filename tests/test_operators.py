@@ -1544,6 +1544,88 @@ def test_semantic_dedup_prunes_subset_of_exact(spark, sf_small):
     assert sum(r.n_pruned for r in report) == len(pruned)
 
 
+def test_semantic_dedup_chunking_and_kcap_paths(spark, sf_small):
+    """The two scale bounds of semantic_dedup_report that fixture-size
+    inputs never trigger: (1) a tiny cell_cap forces the cohesion-ordered
+    chunk split — membership must still partition the table and the
+    pruned count can only SHRINK vs the unchunked run (chunking restricts
+    the candidate set, never invents a pair); (2) a tiny k_max caps the
+    coarse quantizer — the driver fit stays bounded and the report stays
+    a partition. With a cap larger than every cell, output must be
+    IDENTICAL to the default (the insurance code is a no-op until it
+    triggers)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        semantic_dedup_report,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+
+    base = {r.cluster_id: r for r in semantic_dedup_report(emb).collect()}
+    assert sum(r.n_members for r in base.values()) == n
+
+    # (1) force chunking: cap far below the ~n/2 cell sizes at sf0.01.
+    # Containment is the hard guarantee: a chunk only RESTRICTS the
+    # candidate set, so per-cell pruned counts can shrink, never grow.
+    # (No recall floor here — this fixture's qualifying pairs sit at
+    # cos≈0.46-0.51, far from identical, so their cluster_cos values are
+    # not adjacent; the recall property of cohesion chunking belongs to
+    # near-IDENTICAL duplicates and is asserted on the synthetic groups
+    # below.)
+    chunked = {
+        r.cluster_id: r
+        for r in semantic_dedup_report(emb, cell_cap=16).collect()
+    }
+    assert set(chunked) == set(base)
+    for cid, r in chunked.items():
+        assert r.n_members == base[cid].n_members
+        assert r.min_vec == base[cid].min_vec
+        assert 0 <= r.n_pruned <= base[cid].n_pruned
+
+    # Near-identical duplicate groups (the sf1 replica / boilerplate
+    # shape SemDeDup exists for: cos ≥ ~0.999) survive forced chunking —
+    # members share cluster_cos to ~1e-3, so cohesion ordering keeps them
+    # adjacent and co-chunked.
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    rows = []
+    vid = 0
+    for g in range(20):  # 20 groups of 5 near-identical vectors
+        center = rng.standard_normal(16)
+        for _ in range(5):
+            v = center + 0.01 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(200):  # random fill
+        rows.append((vid, [float(x) for x in rng.standard_normal(16)]))
+        vid += 1
+    syn = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    rep = semantic_dedup_report(syn, threshold=0.95, cell_cap=32).collect()
+    assert sum(r.n_members for r in rep) == 300
+    # Each 5-group prunes its 4 non-minimal members: 80 total; allow a
+    # small chunk-boundary loss but require ≥ 70%.
+    assert sum(r.n_pruned for r in rep) >= 56
+
+    # (2) force the k cap: k_max=3 < n//target would have been chosen.
+    capped = semantic_dedup_report(emb, target_cell=32, k_max=3).collect()
+    assert len(capped) <= 3
+    assert sum(r.n_members for r in capped) == n
+
+    # A cap that never binds must be byte-identical to the default.
+    loose = {
+        r.cluster_id: r
+        for r in semantic_dedup_report(emb, cell_cap=100_000).collect()
+    }
+    assert {c: (r.n_members, r.n_pruned, r.min_vec) for c, r in loose.items()} == {
+        c: (r.n_members, r.n_pruned, r.min_vec) for c, r in base.items()
+    }
+
+
 def test_ngram_jaccard_lsh_refines_subset_of_exact(spark, sf_small):
     """The LSH-refined Jaccard twin: every emitted pair must appear in the
     exact inverted-index result WITH the same Jaccard value (the refine
