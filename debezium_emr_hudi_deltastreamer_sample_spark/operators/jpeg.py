@@ -237,6 +237,12 @@ def encode_jpeg(
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if isinstance(subsample, str) and subsample not in ("420", "422"):
+        # Fail fast: any unrecognized truthy string would otherwise fall
+        # into the 4:2:0 branch and silently emit the wrong layout.
+        raise ValueError(
+            f"unknown chroma subsampling {subsample!r}: use False, True/'420', or '422'"
+        )
     ql = _quality_scale(QTBL_LUMA, quality)
     qc = _quality_scale(QTBL_CHROMA, quality)
 

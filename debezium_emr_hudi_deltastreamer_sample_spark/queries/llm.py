@@ -957,9 +957,11 @@ def llm_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Same materialization as llm_pagerank: pagerank_fixed's orientation
+    # union would inline the (here O(n²)) pair pipeline twice.
     edges = embedding_neardup_pairs(emb, threshold=0.46).select(
         F.col("aid").alias("src"), F.col("bid").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     pr = pagerank_fixed(
         emb.select("vec_id"), edges, id_col="vec_id", iterations=3,
         dedup_edges=False,  # exact pairs: aid < bid, unique by construction

@@ -24,6 +24,7 @@ probe.
 
 from __future__ import annotations
 
+import sys
 import threading
 from collections.abc import Sequence
 
@@ -471,9 +472,20 @@ class DeltaLogTable:
 
         return hadoop_fs(self.spark, self.path)
 
-    def delta_batches(self) -> list[int]:
+    def delta_batches(self, committed_only: bool = False) -> list[int]:
         """Batch ids currently in the delta log (one FS listing — cheap;
-        compaction retires them)."""
+        compaction retires them).
+
+        ``committed_only`` keeps only dirs carrying the ``_SUCCESS`` job
+        marker. Required by the ASYNC compaction path: the ingest thread's
+        parquet write creates ``ingest_batch=N`` at job SETUP, so a raw
+        listing taken from the compaction thread can see a batch whose
+        files have not committed yet — folding it would publish a base
+        "compacted through N" over zero/partial rows and the delta filter
+        in ``read`` would then mask N's committed rows forever. The marker
+        flips the dir from invisible to foldable atomically at job commit
+        (and an in-place replay overwrite deletes it first, hiding the dir
+        again for the overwrite's duration)."""
         fs, hpath = self._fs()
         try:
             listed = fs.listStatus(hpath(self._delta()))
@@ -482,8 +494,13 @@ class DeltaLogTable:
         out = []
         for s in listed:
             name = s.getPath().getName()
-            if name.startswith("ingest_batch="):
-                out.append(int(name.split("=", 1)[1]))
+            if not name.startswith("ingest_batch="):
+                continue
+            if committed_only and not fs.exists(
+                hpath(f"{self._delta()}/{name}/_SUCCESS")
+            ):
+                continue
+            out.append(int(name.split("=", 1)[1]))
         return sorted(out)
 
     def append_changes(self, changes: DataFrame, batch_id: int) -> None:
@@ -509,20 +526,49 @@ class DeltaLogTable:
 
     # Single-flight async compaction registry: one live compaction thread
     # per table path across ALL DeltaLogTable instances (foreachBatch
-    # constructs a fresh instance per micro-batch).
+    # constructs a fresh instance per micro-batch). _ASYNC_ERRORS holds
+    # the last failure per path — a daemon thread has nowhere to raise.
     _ASYNC_LOCK = threading.Lock()
     _ASYNC_THREADS: dict[str, threading.Thread] = {}
+    _ASYNC_ERRORS: dict[str, BaseException] = {}
 
     def _spawn_async_compaction(self) -> None:
+        def run() -> None:
+            # The table service semantics (Hudi async compactor): a failed
+            # attempt is logged and retried at the next trigger, it never
+            # fails the ingest stream. compact() cleans its own stage dir
+            # on any exit path, so a deterministic failure retries without
+            # accumulating snapshot-sized garbage.
+            try:
+                self.compact()
+                with DeltaLogTable._ASYNC_LOCK:
+                    DeltaLogTable._ASYNC_ERRORS.pop(self.path, None)
+            except BaseException as e:  # noqa: BLE001 — must not die silent
+                with DeltaLogTable._ASYNC_LOCK:
+                    DeltaLogTable._ASYNC_ERRORS[self.path] = e
+                print(
+                    f"[mor-compact] async compaction failed for {self.path}: "
+                    f"{type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+
         with DeltaLogTable._ASYNC_LOCK:
             t = DeltaLogTable._ASYNC_THREADS.get(self.path)
             if t is not None and t.is_alive():
                 return  # one in flight — the next trigger catches up
             t = threading.Thread(
-                target=self.compact, name=f"mor-compact:{self.path}", daemon=True
+                target=run, name=f"mor-compact:{self.path}", daemon=True
             )
             DeltaLogTable._ASYNC_THREADS[self.path] = t
             t.start()
+
+    def last_compaction_error(self) -> BaseException | None:
+        """Most recent ASYNC compaction failure for this path (cleared by
+        the next successful run). Monitoring hook: the service retries
+        per-trigger, but a deterministic failure shows up here while
+        deltas accumulate."""
+        with DeltaLogTable._ASYNC_LOCK:
+            return DeltaLogTable._ASYNC_ERRORS.get(self.path)
 
     def await_compaction(self, timeout: float | None = None) -> None:
         """Join any in-flight async compaction for this path (tests and
@@ -664,7 +710,9 @@ class DeltaLogTable:
         from .fsutil import rename_commit
 
         fs, hpath = self._fs()
-        batches = self.delta_batches()
+        # committed_only: under the async service this listing races the
+        # ingest thread's in-flight parquet job — see delta_batches.
+        batches = self.delta_batches(committed_only=True)
         if not batches:
             return
         through = max(batches)
@@ -689,10 +737,21 @@ class DeltaLogTable:
         if self.compact_target_files:
             merged = merged.coalesce(self.compact_target_files)
         stage = f"{self.path}/__stage/{_uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(stage)
-        fs.mkdirs(hpath(self._base_commits_dir()))
-        target = f"{self._base_commits_dir()}/v{seq:012d}_t{through + 1:012d}"
-        if not rename_commit(fs, hpath, stage, target):
+        try:
+            merged.write.mode("overwrite").parquet(stage)
+            fs.mkdirs(hpath(self._base_commits_dir()))
+            target = f"{self._base_commits_dir()}/v{seq:012d}_t{through + 1:012d}"
+            published = rename_commit(fs, hpath, stage, target)
+        except BaseException:
+            # A failed stage write is a full-table snapshot of garbage —
+            # without this cleanup a deterministically-failing ASYNC
+            # service would leak one per trigger, forever.
+            try:
+                fs.delete(hpath(stage), True)
+            except Exception:
+                pass
+            raise
+        if not published:
             # Lost the race to a concurrent compaction; its snapshot folds
             # the same (or more) deltas. Drop ours and do not retire.
             fs.delete(hpath(stage), True)

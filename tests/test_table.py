@@ -360,6 +360,84 @@ def test_mor_async_compaction_single_flight(spark, tmp_path):
     assert {r.id for r in t.read_incremental(since_batch=1).collect()} == {1}
 
 
+def test_mor_compaction_skips_uncommitted_batch_dir(spark, tmp_path):
+    """Torn-batch guard for the ASYNC service: the ingest thread's parquet
+    job creates ingest_batch=N at job SETUP, so a compaction listing taken
+    mid-write can see a batch with no committed files. compact() must not
+    record 'compacted through N' over it — otherwise read()'s delta filter
+    (ingest_batch > through) masks N's committed rows forever, silent
+    loss. Simulated by a marker-less dir standing in for the in-flight
+    job; after the batch 'commits' (marker appears), the next compaction
+    folds it."""
+    import os
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    path = str(tmp_path / "mor_torn")
+    t = DeltaLogTable(spark, path, keys=["id"], ordering=["_lsn"])
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id int, v string, op string, _lsn long"
+    )
+    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    # An in-flight batch 1: directory + data file present, no _SUCCESS.
+    torn = tmp_path / "mor_torn" / "delta" / "ingest_batch=1"
+    committed = tmp_path / "mor_torn" / "delta" / "ingest_batch=0"
+    os.makedirs(torn)
+    datafile = next(
+        f for f in os.listdir(committed) if f.endswith(".parquet")
+    )
+    with open(committed / datafile, "rb") as f:
+        blob = f.read()
+    with open(torn / datafile, "wb") as f:
+        f.write(blob)
+
+    assert t.delta_batches() == [0, 1]
+    assert t.delta_batches(committed_only=True) == [0]
+    t.compact()
+    # Compacted through batch 0 only; the in-flight dir was not folded.
+    assert t._base_versions()[-1][1] == 0
+    # The batch commits (job marker lands) -> next compaction folds it.
+    with open(torn / "_SUCCESS", "wb"):
+        pass
+    t.append_changes(mk([(3, "c", "c", 3)]), 2)
+    t.compact()
+    assert t._base_versions()[-1][1] == 2
+    got = {(r.id, r.v) for r in t.read().select("id", "v").collect()}
+    assert got == {(1, "a"), (3, "c")}
+
+
+def test_mor_async_failure_recorded_and_stage_cleaned(spark, tmp_path):
+    """A failing ASYNC compaction must not die silently or leak its stage
+    snapshot: the error is recorded (last_compaction_error), the __stage
+    dir is cleaned, and a later successful run clears the error."""
+    import os
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    path = str(tmp_path / "mor_asyncfail")
+    t = DeltaLogTable(spark, path, keys=["id"], ordering=["_lsn"])
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id int, v string, op string, _lsn long"
+    )
+    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    # Corrupt the committed batch's data file so the stage write fails.
+    bdir = tmp_path / "mor_asyncfail" / "delta" / "ingest_batch=0"
+    datafile = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+    with open(bdir / datafile, "wb") as f:
+        f.write(b"not parquet")
+    t._spawn_async_compaction()
+    t.await_compaction(timeout=120)
+    assert t.last_compaction_error() is not None
+    stage_root = tmp_path / "mor_asyncfail" / "__stage"
+    assert not stage_root.exists() or os.listdir(stage_root) == []
+    # Repair (rewrite the batch) -> async retry succeeds, error clears.
+    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    t._spawn_async_compaction()
+    t.await_compaction(timeout=120)
+    assert t.last_compaction_error() is None
+    assert t.base_versions() == [0]
+
+
 def test_mor_compaction_concurrent_append_and_reader(spark, tmp_path):
     """Compaction vs concurrency (the lost-delta hazard): a batch that
     lands AFTER compaction snapshots its delta listing must survive the
@@ -378,8 +456,8 @@ def test_mor_compaction_concurrent_append_and_reader(spark, tmp_path):
 
         racing = None
 
-        def delta_batches(self):
-            out = super().delta_batches()
+        def delta_batches(self, committed_only=False):
+            out = super().delta_batches(committed_only=committed_only)
             if self.racing is not None:
                 row, bid = self.racing
                 self.racing = None
@@ -497,8 +575,8 @@ def test_mor_racing_compactions_cas_single_winner(spark, tmp_path):
 
         arm = False
 
-        def delta_batches(self):
-            out = super().delta_batches()
+        def delta_batches(self, committed_only=False):
+            out = super().delta_batches(committed_only=committed_only)
             if self.arm:
                 self.arm = False
                 DeltaLogTable.compact(self)  # the winner

@@ -89,6 +89,12 @@ def main() -> None:
     duration_sec = float(sys.argv[3]) if len(sys.argv) > 3 else 20.0
 
     spark = get_spark(app_name=f"stream_latency_{mode}")
+    # Size the progress ring buffer to the run: at ~2 batches/s a long run
+    # outgrows the default 100 entries and evicts the first (cold) batch.
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(1000, int(duration_sec * 20))),
+    )
     out = tempfile.mkdtemp(prefix="spark_graft_lat_out_")
     if mode == "append":
         proc = append_batch_processor(out)
@@ -126,20 +132,36 @@ def main() -> None:
 
         t = DeltaLogTable(spark, out, keys=["id"])
         t.await_compaction(timeout=60)
-        compactions = len(t.base_versions())
+        # Seqs are monotone from 0, so newest seq + 1 = total published.
+        # len(base_versions()) saturates at 2 (retention keeps only the
+        # two newest) and under-counts any run with >= 3 compactions.
+        seqs = t.base_versions()
+        compactions = (seqs[-1] + 1) if seqs else 0
 
     progress = [p for p in (q.recentProgress or []) if p["numInputRows"] > 0]
     progress.sort(key=lambda p: p["batchId"])
     # The first data batch pays one-time JVM costs (codegen, parquet writer
     # init, state-store open) that no steady-state batch repeats; exclude
     # it from the percentiles and report it separately so the p50/p95
-    # describe the sustained regime.
-    cold_ms = progress[0]["durationMs"]["triggerExecution"] if progress else None
-    durations = sorted(
-        p["durationMs"]["triggerExecution"] for p in progress[1:]
+    # describe the sustained regime. recentProgress is a bounded ring
+    # buffer (numRecentProgressUpdates, raised below at session setup) —
+    # if the run still outgrew it, the true first batch is gone; report
+    # cold_start as None rather than mislabeling a warm batch.
+    buf_cap = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
     )
-    rows = sum(p["numInputRows"] for p in progress[1:])
-    span_sec = sum(p["durationMs"]["triggerExecution"] for p in progress[1:]) / 1000.0
+    evicted = len(q.recentProgress or []) >= buf_cap
+    cold_ms = (
+        progress[0]["durationMs"]["triggerExecution"]
+        if progress and not evicted
+        else None
+    )
+    # Evicted buffer => the cold batch is already gone; every retained
+    # batch is warm and belongs in the percentiles.
+    warm = progress if evicted else progress[1:]
+    durations = sorted(p["durationMs"]["triggerExecution"] for p in warm)
+    rows = sum(p["numInputRows"] for p in warm)
+    span_sec = sum(p["durationMs"]["triggerExecution"] for p in warm) / 1000.0
     pct = lambda q_: durations[min(len(durations) - 1, int(q_ * len(durations)))]
     print(
         json.dumps(
