@@ -237,9 +237,10 @@ def encode_jpeg(
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    if isinstance(subsample, str) and subsample not in ("420", "422"):
-        # Fail fast: any unrecognized truthy string would otherwise fall
-        # into the 4:2:0 branch and silently emit the wrong layout.
+    if subsample not in (False, True, "420", "422"):
+        # Fail fast for ANY unrecognized value (strings, ints like 422,
+        # bytes): every other truthy value would fall into the 4:2:0
+        # branch and silently emit the wrong layout.
         raise ValueError(
             f"unknown chroma subsampling {subsample!r}: use False, True/'420', or '422'"
         )

@@ -461,7 +461,18 @@ class DeltaLogTable:
             pass
         return None
 
-    def _read_dir(self, p: str) -> DataFrame | None:
+    def _read_dir(self, p: str, strict: bool = False) -> DataFrame | None:
+        """``strict`` distinguishes MISSING (→ None) from BROKEN (→ raise):
+        the compaction path must never treat a transient read failure as
+        an empty directory — swallowing it would publish a base whose
+        version name claims deltas it silently dropped, and the
+        ``ingest_batch > through`` filter would mask those committed rows
+        forever (the same missing-vs-broken probe the COW upsert uses)."""
+        if strict:
+            fs, hpath = self._fs()
+            if not fs.exists(hpath(p)):
+                return None
+            return self.spark.read.parquet(p)
         try:
             return self.spark.read.parquet(p)
         except Exception:
@@ -491,17 +502,47 @@ class DeltaLogTable:
             listed = fs.listStatus(hpath(self._delta()))
         except Exception:
             return []
-        out = []
+        all_ids, committed = [], []
         for s in listed:
             name = s.getPath().getName()
             if not name.startswith("ingest_batch="):
                 continue
-            if committed_only and not fs.exists(
+            bid = int(name.split("=", 1)[1])
+            all_ids.append(bid)
+            if committed_only and fs.exists(
                 hpath(f"{self._delta()}/{name}/_SUCCESS")
             ):
-                continue
-            out.append(int(name.split("=", 1)[1]))
-        return sorted(out)
+                committed.append(bid)
+        if not committed_only:
+            return sorted(all_ids)
+        if all_ids and not committed:
+            # No dir carries the marker. Either every dir is in-flight
+            # (marker convention active — exclude them all) or the
+            # deployment disables marksuccessfuljobs (common on object
+            # stores) and filtering would make compaction silently inert
+            # forever. Disambiguate via the base-version dirs: they are
+            # written by the same committer, so a marker there proves the
+            # convention is active. With no evidence of markers anywhere,
+            # degrade to the raw listing (pre-guard behavior) and say so
+            # once — on such deployments the torn-batch guard needs the
+            # table-format commit log (README "Deploying outside this
+            # container").
+            versions = self._base_versions()
+            if versions and fs.exists(hpath(f"{versions[-1][2]}/_SUCCESS")):
+                return []
+            if self.path not in DeltaLogTable._MARKERLESS_WARNED:
+                DeltaLogTable._MARKERLESS_WARNED.add(self.path)
+                print(
+                    f"[mor-compact] no _SUCCESS markers found under "
+                    f"{self._delta()}: committed-batch detection degraded "
+                    "to the raw listing (set "
+                    "mapreduce.fileoutputcommitter.marksuccessfuljobs=true "
+                    "or use a table-format commit log for the async "
+                    "torn-batch guard)",
+                    file=sys.stderr,
+                )
+            return sorted(all_ids)
+        return sorted(committed)
 
     def append_changes(self, changes: DataFrame, batch_id: int) -> None:
         """Land one change batch (idempotent per batch id: a replay
@@ -531,6 +572,8 @@ class DeltaLogTable:
     _ASYNC_LOCK = threading.Lock()
     _ASYNC_THREADS: dict[str, threading.Thread] = {}
     _ASYNC_ERRORS: dict[str, BaseException] = {}
+    #: paths already warned about a marker-less committer (once per proc).
+    _MARKERLESS_WARNED: set[str] = set()
 
     def _spawn_async_compaction(self) -> None:
         def run() -> None:
@@ -605,7 +648,10 @@ class DeltaLogTable:
         )
 
     def read(
-        self, optimized: bool = False, _upper_batch: int | None = None
+        self,
+        optimized: bool = False,
+        _upper_batch: int | None = None,
+        _strict: bool = False,
     ) -> DataFrame:
         """Merge-on-read snapshot: base patched with the delta log.
 
@@ -620,7 +666,7 @@ class DeltaLogTable:
         landed since the last ``compact()`` are not visible). The
         dashboard/reporting lane next to the exact snapshot lane."""
         ver = self._latest_base()
-        base = self._read_dir(ver[2]) if ver else None
+        base = self._read_dir(ver[2], strict=_strict) if ver else None
         through = ver[1] if ver else -1
         if optimized:
             if base is None:
@@ -629,7 +675,7 @@ class DeltaLogTable:
                     "base (run compact() first)"
                 )
             return base
-        deltas = self._read_dir(self._delta())
+        deltas = self._read_dir(self._delta(), strict=_strict)
         if deltas is not None and through >= 0:
             # A version records the batch id it compacted THROUGH; delta
             # dirs at or below it are already folded into this base (they
@@ -733,7 +779,10 @@ class DeltaLogTable:
         # racing compaction's retention keeps the base version this plan
         # reads (two-newest rule). The former eager localCheckpoint here
         # computed the whole merge twice per compaction.
-        merged = self.read(_upper_batch=through)
+        # _strict: a transient read failure must RAISE (async service
+        # retries next trigger), never collapse to "no base"/"no deltas" —
+        # publishing from a silently-partial read is permanent data loss.
+        merged = self.read(_upper_batch=through, _strict=True)
         if self.compact_target_files:
             merged = merged.coalesce(self.compact_target_files)
         stage = f"{self.path}/__stage/{_uuid.uuid4().hex}"
@@ -757,7 +806,11 @@ class DeltaLogTable:
             fs.delete(hpath(stage), True)
             return
         prev_through = versions[-1][1] if versions else -1
-        for b in batches:
+        # Retire from the RAW listing: any dir ≤ prev_through was folded
+        # by the previous version whether or not its _SUCCESS marker still
+        # exists (read() applies no marker filter) — retiring only the
+        # committed-only listing would leak a marker-stripped dir forever.
+        for b in self.delta_batches():
             if b > prev_through:
                 continue  # deferred: retired by the NEXT compaction
             try:

@@ -406,11 +406,51 @@ def test_mor_compaction_skips_uncommitted_batch_dir(spark, tmp_path):
     assert got == {(1, "a"), (3, "c")}
 
 
+def test_mor_markerless_committer_degrades_to_raw_listing(spark, tmp_path):
+    """Deployments with marksuccessfuljobs=false write no _SUCCESS: the
+    committed-only listing must degrade to the raw listing (else the
+    async service is silently inert forever) — but only when NO marker
+    evidence exists anywhere; once a base version proves the convention
+    is active, marker-less delta dirs are treated as in-flight."""
+    import os
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    path = str(tmp_path / "mor_nomark")
+    t = DeltaLogTable(spark, path, keys=["id"], ordering=["_lsn"])
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id int, v string, op string, _lsn long"
+    )
+    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    t.append_changes(mk([(2, "b", "c", 2)]), 1)
+    ddir = tmp_path / "mor_nomark" / "delta"
+    for b in os.listdir(ddir):
+        marker = ddir / b / "_SUCCESS"
+        if marker.exists():
+            os.remove(marker)
+    # No markers anywhere -> degrade to raw (compaction stays live).
+    assert t.delta_batches(committed_only=True) == [0, 1]
+    t.compact()
+    assert t._base_versions()[-1][1] == 1
+    # Convention now proven by the base version's own _SUCCESS: a new
+    # marker-less dir is treated as in-flight, not silently folded.
+    t.append_changes(mk([(3, "c", "c", 3)]), 2)
+    os.remove(ddir / "ingest_batch=2" / "_SUCCESS")
+    assert t.delta_batches(committed_only=True) == []
+
+
 def test_mor_async_failure_recorded_and_stage_cleaned(spark, tmp_path):
     """A failing ASYNC compaction must not die silently or leak its stage
     snapshot: the error is recorded (last_compaction_error), the __stage
-    dir is cleaned, and a later successful run clears the error."""
+    dir is cleaned, and a later successful run clears the error. Two
+    failure points are driven separately: (a) a broken delta file — the
+    STRICT read path must raise (a swallowed read would publish a base
+    that silently drops the batch: permanent data loss); (b) a failure
+    DURING the stage write itself, which must pass through compact()'s
+    cleanup block rather than leak a snapshot-sized __stage dir."""
     import os
+
+    from pyspark.sql import functions as SF
 
     from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
 
@@ -420,18 +460,40 @@ def test_mor_async_failure_recorded_and_stage_cleaned(spark, tmp_path):
         rows, "id int, v string, op string, _lsn long"
     )
     t.append_changes(mk([(1, "a", "c", 1)]), 0)
-    # Corrupt the committed batch's data file so the stage write fails.
+    # (a) Corrupt the committed batch's data file: strict read raises.
     bdir = tmp_path / "mor_asyncfail" / "delta" / "ingest_batch=0"
     datafile = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+    with open(bdir / datafile, "rb") as f:
+        good_bytes = f.read()
     with open(bdir / datafile, "wb") as f:
         f.write(b"not parquet")
     t._spawn_async_compaction()
     t.await_compaction(timeout=120)
     assert t.last_compaction_error() is not None
+    assert t.base_versions() == []  # nothing published over the bad read
     stage_root = tmp_path / "mor_asyncfail" / "__stage"
     assert not stage_root.exists() or os.listdir(stage_root) == []
-    # Repair (rewrite the batch) -> async retry succeeds, error clears.
-    t.append_changes(mk([(1, "a", "c", 1)]), 0)
+    with open(bdir / datafile, "wb") as f:
+        f.write(good_bytes)
+
+    # (b) Failure mid-stage-write: read() yields a plan that explodes at
+    # execution, so the stage parquet job starts and dies — the cleanup
+    # block must remove the partial stage dir and surface the error.
+    class StageFailTable(DeltaLogTable):
+        def read(self, optimized=False, _upper_batch=None, _strict=False):
+            df = super().read(
+                optimized=optimized, _upper_batch=_upper_batch, _strict=_strict
+            )
+            return df.withColumn(
+                "_boom", SF.assert_true(SF.lit(False), SF.lit("injected"))
+            )
+
+    tf = StageFailTable(spark, path, keys=["id"], ordering=["_lsn"])
+    tf._spawn_async_compaction()
+    tf.await_compaction(timeout=120)
+    assert tf.last_compaction_error() is not None
+    assert not stage_root.exists() or os.listdir(stage_root) == []
+    # Repair (plain table) -> async retry succeeds, error clears.
     t._spawn_async_compaction()
     t.await_compaction(timeout=120)
     assert t.last_compaction_error() is None

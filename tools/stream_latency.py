@@ -144,21 +144,23 @@ def main() -> None:
     # init, state-store open) that no steady-state batch repeats; exclude
     # it from the percentiles and report it separately so the p50/p95
     # describe the sustained regime. recentProgress is a bounded ring
-    # buffer (numRecentProgressUpdates, raised below at session setup) —
-    # if the run still outgrew it, the true first batch is gone; report
-    # cold_start as None rather than mislabeling a warm batch.
-    buf_cap = int(
-        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    # buffer (numRecentProgressUpdates, raised at session setup): the
+    # earliest DATA batch we retained is provably the true cold batch iff
+    # some retained entry PRECEDES it (batchId 0 retained, or an earlier
+    # zero-row batch) — eviction drops oldest-first, so a retained
+    # predecessor proves nothing before it was a data batch. Otherwise
+    # the true first data batch may be evicted: report cold_start as None
+    # and keep every retained batch in the warm percentiles rather than
+    # mislabeling one.
+    all_retained = sorted((q.recentProgress or []), key=lambda p: p["batchId"])
+    genuine_cold = bool(progress) and bool(all_retained) and (
+        all_retained[0]["batchId"] == 0
+        or all_retained[0]["batchId"] < progress[0]["batchId"]
     )
-    evicted = len(q.recentProgress or []) >= buf_cap
     cold_ms = (
-        progress[0]["durationMs"]["triggerExecution"]
-        if progress and not evicted
-        else None
+        progress[0]["durationMs"]["triggerExecution"] if genuine_cold else None
     )
-    # Evicted buffer => the cold batch is already gone; every retained
-    # batch is warm and belongs in the percentiles.
-    warm = progress if evicted else progress[1:]
+    warm = progress[1:] if genuine_cold else progress
     durations = sorted(p["durationMs"]["triggerExecution"] for p in warm)
     rows = sum(p["numInputRows"] for p in warm)
     span_sec = sum(p["durationMs"]["triggerExecution"] for p in warm) / 1000.0
