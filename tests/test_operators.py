@@ -1492,19 +1492,19 @@ def test_resize_images_nearest_neighbor_reference(spark):
 
 
 def test_semantic_dedup_prunes_subset_of_exact(spark, sf_small):
-    """SemDeDup containment: every id the semantic pass prunes must be a
-    duplicate under the EXACT all-pairs rule at the same threshold (the
-    equi-join on cluster_id only restricts the candidate set — it can
-    miss, never invent), recall on the fixture's dup structure is the
-    measured ≈0.86 at target cluster ≈256, and membership partitions the
-    table."""
-    from pyspark.sql import functions as F
-
+    """SemDeDup containment + recall: every id the semantic pass prunes
+    must be a duplicate under the EXACT all-pairs rule at the same
+    threshold (cells only restrict the candidate set — the pairwise is
+    exact, so it can miss, never invent), the nassign=2 multi-assignment
+    recovers the full dup set on this fixture (measured: 7/7 at sf0.01 vs
+    6/7 single-assignment — the boundary-pair fix), membership partitions
+    the table, and the report's n_pruned aggregation equals the exposed
+    pruned-id set."""
     from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
     from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        _semantic_cells,
         embedding_neardup_pairs,
-        kmeans_assign,
-        _cosine_sim,
+        semantic_dedup_pruned_ids,
     )
     from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
         llm_semantic_dedup,
@@ -1516,31 +1516,18 @@ def test_semantic_dedup_prunes_subset_of_exact(spark, sf_small):
     assert sum(r.n_members for r in report) == n
     assert sum(r.n_pruned for r in report) > 0
 
-    # Recompute the pruned id set with the same pipeline to check it
-    # against the exact dup set (the report aggregates it away).
+    # Recompute the pruned id set with the operator's own assignment to
+    # check it against the exact dup set (the report aggregates it away).
     k = max(2, n // 256)
-    assigned = kmeans_assign(emb, k=k, seed=7).select(
-        "vec_id", "embedding", "cluster_id"
+    assigned = _semantic_cells(
+        emb, "vec_id", "embedding", k=k, nassign=2, seed=7
     ).localCheckpoint(eager=True)
-    a = assigned.select(
-        "cluster_id", F.col("vec_id").alias("aid"), F.col("embedding").alias("ae")
-    )
-    b = assigned.select(
-        "cluster_id", F.col("vec_id").alias("bid"), F.col("embedding").alias("be")
-    )
     pruned = {
-        r.bid
-        for r in a.join(b, "cluster_id")
-        .filter(F.col("aid") < F.col("bid"))
-        .withColumn("cos", _cosine_sim("ae", "be"))
-        .filter(F.col("cos") >= 0.46)
-        .select("bid")
-        .distinct()
-        .collect()
+        r.vec_id for r in semantic_dedup_pruned_ids(assigned).collect()
     }
     exact = {r.bid for r in embedding_neardup_pairs(emb, threshold=0.46).collect()}
     assert pruned <= exact
-    assert len(pruned) >= len(exact) // 2  # measured 6/7 at cluster ≈ 256
+    assert len(pruned) >= len(exact) - 1  # measured 7/7 at nassign=2
     assert sum(r.n_pruned for r in report) == len(pruned)
 
 
