@@ -2005,3 +2005,98 @@ def llm_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(idx)
         exists = True
     return spark.read.parquet(idx)
+
+
+@_q(
+    "llm_filtered_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT qid, c.vec_id AS cid,
+             list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(qe)+1),
+                         i -> qe[i]::DOUBLE * c.embedding[i]::DOUBLE)), (acc,x) -> acc + x)
+             / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(qe, x -> x::DOUBLE * x::DOUBLE)), (acc,x) -> acc + x))
+              * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)), (acc,x) -> acc + x)))
+             AS sim
+      FROM q, embeddings c WHERE c.vec_id <> qid AND c.label % 2 = 0)
+    SELECT qid, cid FROM (
+      SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def llm_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — the retrieval shape every RAG
+    stack needs ("nearest neighbors among candidates satisfying a
+    predicate"): top-5 cosine per query restricted to even-label vectors.
+    The predicate is applied to the CANDIDATE SCAN, before any distance
+    work (pre-filtering), so selectivity directly cuts distance evals —
+    unlike post-filtering a top-k, which silently returns < k rows when
+    the filter bites. Output is (qid, cid) int ranks, same float-safety
+    contract as llm_cosine_topk.
+
+    Scale: the filter is a plain pushed-down predicate on the embedding
+    table (PushedFilters in the scan — metadata lives WITH the vectors,
+    the design argument for storing embeddings in the warehouse instead
+    of a side-car vector store); at 100 TB the same query runs against
+    the IVF/LSH candidate paths by filtering their candidate sets before
+    the exact re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(
+        emb.filter(F.col("label") % 2 == 0), queries, k=5
+    ).select("qid", "cid")
+
+
+@_q(
+    "llm_semantic_decontaminate",
+    """
+    WITH b AS (SELECT embedding AS be FROM embeddings WHERE vec_id % 13 = 0),
+    c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id % 13 <> 0)
+    SELECT c.vec_id,
+           count(b.be) AS n_hits
+    FROM c LEFT JOIN b
+      ON list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(ce)+1),
+                     i -> ce[i]::DOUBLE * b.be[i]::DOUBLE)), (acc,x) -> acc + x)
+         / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(ce, x -> x::DOUBLE * x::DOUBLE)), (acc,x) -> acc + x))
+          * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(b.be, x -> x::DOUBLE * x::DOUBLE)), (acc,x) -> acc + x)))
+         >= 0.46
+    GROUP BY c.vec_id
+    """,
+)
+def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination: for every corpus vector, count
+    the held-out benchmark vectors (vec_id % 13 == 0) within cosine 0.46
+    — paraphrased/near-duplicate eval contamination that the n-gram
+    decontaminers (llm_decontaminate / llm_bloom_decontaminate) cannot
+    see because no 4-gram survives a paraphrase. n_hits > 0 is the drop
+    signal; the count itself grades HOW contaminated (multi-benchmark
+    overlap). Threshold float-safety: min |cos − 0.46| over the
+    bench×corpus pairs is 1.2e-3 at sf0.01 and 7.3e-4 at sf0.1 — several
+    orders above cross-engine float64 noise, so no hit can flip.
+
+    Scale (the decontamination asymmetry): the benchmark side is SMALL by
+    nature (eval suites, not corpora) — it collects once to the driver
+    (bounded, same contract as the k-means sample fit) and ships
+    normalized inside an Arrow pandas UDF closure; the corpus side is one
+    scan with a (batch × bench) BLAS matmul per Arrow batch. No join, no
+    shuffle, no corpus movement — the only viable shape when the corpus
+    is 100 TB and the benchmark is 50k rows."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 13 == 0).select("embedding").toPandas()
+    b = np.stack(
+        [np.asarray(a, dtype="float64") for a in bench["embedding"].to_numpy()]
+    )
+    b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("long")
+    def n_hits(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype("float64")
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(((m @ b.T) >= 0.46).sum(axis=1).astype("int64"))
+
+    return emb.filter(F.col("vec_id") % 13 != 0).select(
+        "vec_id", n_hits("embedding").alias("n_hits")
+    )

@@ -614,3 +614,79 @@ def pipe_ingest_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_est_jaccard"
         ),
     )
+
+
+@_q(
+    "pipe_right_to_forget",
+    """
+    WITH req AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0),
+    survivors AS (
+      SELECT d.* FROM documents d LEFT JOIN req r ON d.doc_id = r.doc_id
+      WHERE r.doc_id IS NULL),
+    purged AS (
+      SELECT d.source, d.doc_id FROM documents d JOIN req r ON d.doc_id = r.doc_id),
+    vec_purged AS (
+      SELECT d.source, e.vec_id
+      FROM embeddings e JOIN req r ON e.vec_id = r.doc_id
+      JOIN documents d ON d.doc_id = e.vec_id)
+    SELECT s.source,
+           count(*) AS n_after,
+           coalesce(p.n_purged, 0) AS n_purged,
+           coalesce(v.n_vec_purged, 0) AS n_vec_purged,
+           min(s.doc_id) AS min_surviving
+    FROM survivors s
+    LEFT JOIN (SELECT source, count(*) AS n_purged FROM purged GROUP BY source) p
+      ON s.source = p.source
+    LEFT JOIN (SELECT source, count(*) AS n_vec_purged FROM vec_purged GROUP BY source) v
+      ON s.source = v.source
+    GROUP BY s.source, p.n_purged, v.n_vec_purged
+    """,
+)
+def pipe_right_to_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade (the GDPR/takedown pipeline the
+    reference's CDC delete events ultimately serve): a deletion-request
+    set (doc_id % 23 == 0) propagates through every derived artifact —
+    documents purge via ANTI-join, the 1:1 embedding rows purge with
+    them, and the per-source report accounts for survivors, purged docs,
+    and purged vectors in one pass. The same cascade drives
+    llm_index_maintain's signed gram retractions; here the grade is the
+    cross-artifact accounting.
+
+    Scale: deletion-request batches are small by nature — the request set
+    broadcasts to every join (docs anti, docs semi, embeddings semi), so
+    each artifact is ONE scan with no table-vs-table shuffle; at 100 TB
+    this is the only cascade shape that doesn't re-partition the corpus
+    to forget 22 documents. Counts stay BIGINT (driver hash contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    req = docs.filter(F.col("doc_id") % 23 == 0).select("doc_id")
+    survivors = docs.join(F.broadcast(req), "doc_id", "left_anti")
+    purged = (
+        docs.join(F.broadcast(req), "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_purged"))
+    )
+    vec_purged = (
+        emb.join(
+            F.broadcast(req), emb["vec_id"] == req["doc_id"], "left_semi"
+        )
+        .join(docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_vec_purged"))
+    )
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.min("doc_id").alias("min_surviving"),
+        )
+        .join(F.broadcast(purged), "source", "left")
+        .join(F.broadcast(vec_purged), "source", "left")
+        .select(
+            "source",
+            "n_after",
+            F.coalesce("n_purged", F.lit(0).cast("long")).alias("n_purged"),
+            F.coalesce("n_vec_purged", F.lit(0).cast("long")).alias("n_vec_purged"),
+            "min_surviving",
+        )
+    )

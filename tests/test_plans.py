@@ -491,3 +491,32 @@ def test_parameterized_sql_pushes_bound_literals(spark, qs):
     p = plan(qs["sql_parameterized"](spark, SF))
     assert "GreaterThanOrEqual(o_orderdate" in p
     assert "GreaterThan(o_totalprice" in p
+
+
+def test_filtered_topk_pushes_metadata_predicate(spark, qs):
+    """llm_filtered_topk's whole point is PRE-filtering: the label
+    predicate must reach the candidate parquet scan (PushedFilters), not
+    run as a post-filter after distance computation."""
+    p = plan(qs["llm_filtered_topk"](spark, SF))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("label" in l for l in pushed)
+
+
+def test_semantic_decontaminate_is_one_scan_no_shuffle(spark, qs):
+    """llm_semantic_decontaminate ships the benchmark matrix in the UDF
+    closure: the corpus side must be a single filtered scan with NO
+    Exchange anywhere — any join/shuffle means the corpus moved."""
+    p = plan(qs["llm_semantic_decontaminate"](spark, SF))
+    assert ") Exchange" not in p
+    assert "Join" not in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("vec_id" in l for l in pushed)
+
+
+def test_right_to_forget_broadcasts_requests(spark, qs):
+    """The deletion-request set must broadcast to every cascade join —
+    a sort-merge join against the request list would re-shuffle the
+    corpus to forget a handful of documents."""
+    p = plan(qs["pipe_right_to_forget"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
