@@ -190,6 +190,44 @@ def _kmeans_fit_sample(
     return min(fits, key=lambda t: t[0])[1]
 
 
+def _topn_cells(sims: np.ndarray, na: int) -> np.ndarray:
+    """Deterministic top-``na`` centroid indices per row, nearest first.
+    ``na`` successive argmax passes (ties → first occurrence, identical
+    to plain argmax) — O(k · na) per row, NOT the O(k log k) full argsort
+    whose cost scales with exactly the axis (large capped k) the callers
+    are bounding."""
+    s = sims.copy()
+    rows = np.arange(len(s))
+    cols = []
+    for _ in range(na):
+        j = s.argmax(axis=1)
+        cols.append(j)
+        s[rows, j] = -np.inf
+    return np.stack(cols, axis=1).astype("int32")
+
+
+def _multi_assign_udf(centroids: np.ndarray, na: int):
+    """Shared fit-free assigner: normalize the Arrow batch, one BLAS
+    matmul against the (k, dim) closure-shipped centroids, emit the
+    ``na`` nearest cell ids (nearest first) and the matching cosines.
+    Single source of truth for kmeans_assign (na=1) and the SemDeDup
+    multi-assignment — norm guards, dtype, and tie behavior cannot
+    drift apart."""
+
+    @F.pandas_udf("struct<cells:array<int>,coss:array<double>>")
+    def assign(vec: pd.Series) -> pd.DataFrame:
+        m = np.stack(vec.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ centroids.T
+        top = _topn_cells(sims, na)
+        rows = np.arange(len(top))[:, None]
+        return pd.DataFrame(
+            {"cells": list(top), "coss": list(sims[rows, top])}
+        )
+
+    return assign
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     vec_col: str = "embedding",
@@ -207,22 +245,11 @@ def kmeans_assign(
     centroids = _kmeans_fit_sample(
         embeddings, vec_col, nlist=k, seed=seed, max_iter=max_iter
     )
-
-    @F.pandas_udf("struct<cluster_id:int,cluster_cos:double>")
-    def assign(vec: pd.Series) -> pd.DataFrame:
-        m = np.stack(vec.to_numpy())
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ centroids.T
-        best = sims.argmax(axis=1)
-        return pd.DataFrame(
-            {
-                "cluster_id": best.astype("int32"),
-                "cluster_cos": sims[np.arange(len(best)), best],
-            }
-        )
-
+    assign = _multi_assign_udf(centroids, 1)
     return embeddings.withColumn("_kc", assign(vec_col)).select(
-        "*", "_kc.cluster_id", "_kc.cluster_cos"
+        "*",
+        F.col("_kc.cells")[0].alias("cluster_id"),
+        F.col("_kc.coss")[0].alias("cluster_cos"),
     ).drop("_kc")
 
 
@@ -237,31 +264,20 @@ def _semantic_cells(
 ) -> DataFrame:
     """One assignment scan for SemDeDup: adds ``cells`` (the ``nassign``
     nearest centroids, nearest first — cells[0] is the primary/reporting
-    cell) and ``cluster_cos`` (cosine to the primary centroid, the
-    deterministic cohesion ordering the chunker uses)."""
+    cell) and the matching ``coss`` cosines, so downstream chunking can
+    order each cell's members by cohesion to THAT cell's centroid (a
+    secondary member sorted by its primary-cell cosine would break
+    near-identical adjacency in shared cells)."""
     centroids = _kmeans_fit_sample(
         embeddings, vec_col, nlist=k, seed=seed, max_iter=max_iter
     )
     na = max(1, min(int(nassign), len(centroids)))
-
-    @F.pandas_udf("struct<cells:array<int>,cluster_cos:double>")
-    def assign(vec: pd.Series) -> pd.DataFrame:
-        m = np.stack(vec.to_numpy())
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ centroids.T
-        top = np.argsort(-sims, axis=1)[:, :na].astype("int32")
-        return pd.DataFrame(
-            {
-                "cells": list(top),
-                "cluster_cos": sims[np.arange(len(top)), top[:, 0]],
-            }
-        )
-
+    assign = _multi_assign_udf(centroids, na)
     return embeddings.withColumn("_kc", assign(vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("_kc.cells").alias("cells"),
-        F.col("_kc.cluster_cos").alias("cluster_cos"),
+        F.col("_kc.coss").alias("coss"),
     )
 
 
@@ -318,34 +334,50 @@ def semantic_dedup_report(
     Plan shape: one bounded driver fit, one assignment scan (checkpointed
     — the pruned-id and membership branches both consume it), one shuffle
     on cell for the pairwise pass, one dedup of pruned ids across cells,
-    one aggregation on the primary cell. Containment (pruned ⊆ the exact
-    all-pairs dup set) and the recall floor are pinned in
-    tests/test_operators.py::test_semantic_dedup_prunes_subset_of_exact.
+    one aggregation on the primary cell. ``min_vec`` is the min SURVIVING
+    id: under multi-assignment a cell's minimum member can itself be
+    pruned through a shared cell with a lower-id vector, so the survivor
+    set — not raw membership — is what the minimum is taken over (a cell
+    whose members are all pruned reports min_vec NULL). Containment
+    (pruned ⊆ the exact all-pairs dup set) and the recall floor are
+    pinned in tests/test_operators.py::test_semantic_dedup_prunes_subset_of_exact.
     """
     n = embeddings.count()
     k = max(2, min(n // target_cell, k_max))
     base = _semantic_cells(
         embeddings, id_col, vec_col, k=k, nassign=nassign, seed=seed
     ).localCheckpoint(eager=True)
+    # Checkpointed: the pruned-id set feeds BOTH the per-cluster count and
+    # the survivor anti-join — lazy, the per-cell pairwise UDF would run
+    # twice (the multi-leg recompute class fixed across the graph queries).
     pruned_ids = semantic_dedup_pruned_ids(
         base, id_col, vec_col, threshold=threshold, cell_cap=cell_cap
-    )
+    ).localCheckpoint(eager=True)
     primary = base.select(
         F.col(id_col), F.col("cells")[0].alias("cluster_id")
     )
     members = primary.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"), F.min(id_col).alias("min_vec")
+        F.count(F.lit(1)).alias("n_members")
+    )
+    survivors_min = (
+        primary.join(pruned_ids, id_col, "left_anti")
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias("min_vec"))
     )
     pruned_per = (
         pruned_ids.join(primary, id_col)
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_pruned"))
     )
-    return members.join(pruned_per, "cluster_id", "left").select(
-        "cluster_id",
-        "n_members",
-        F.coalesce("n_pruned", F.lit(0).cast("long")).alias("n_pruned"),
-        "min_vec",
+    return (
+        members.join(pruned_per, "cluster_id", "left")
+        .join(survivors_min, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_pruned", F.lit(0).cast("long")).alias("n_pruned"),
+            "min_vec",
+        )
     )
 
 
@@ -369,7 +401,10 @@ def semantic_dedup_pruned_ids(
         m = len(ids)
         vecs = np.stack(pdf[vec_col].to_numpy()).astype("float64")
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        order = np.lexsort((ids, pdf["cluster_cos"].to_numpy()))
+        # Chunk by cohesion to THIS cell's centroid (cell_cos rides the
+        # explode) — a secondary member ordered by its primary-cell cosine
+        # would lose near-identical adjacency in shared cells.
+        order = np.lexsort((ids, pdf["cell_cos"].to_numpy()))
         n_chunks = max(1, -(-m // cap))
         bounds = np.linspace(0, m, n_chunks + 1).astype(int)
         out: list[int] = []
@@ -383,8 +418,14 @@ def semantic_dedup_pruned_ids(
         return pd.DataFrame({id_col: out}, dtype="int64")
 
     exploded = assigned.select(
-        F.col(id_col), F.col(vec_col), F.col("cluster_cos"),
-        F.explode("cells").alias("cell"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.arrays_zip("cells", "coss")).alias("cc"),
+    ).select(
+        id_col,
+        vec_col,
+        F.col("cc.cells").alias("cell"),
+        F.col("cc.coss").alias("cell_cos"),
     )
     return (
         exploded.groupBy("cell")

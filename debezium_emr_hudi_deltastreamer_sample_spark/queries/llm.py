@@ -2018,7 +2018,7 @@ def llm_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(qe, x -> x::DOUBLE * x::DOUBLE)), (acc,x) -> acc + x))
               * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)), (acc,x) -> acc + x)))
              AS sim
-      FROM q, embeddings c WHERE c.vec_id <> qid AND c.label % 2 = 0)
+      FROM q, embeddings c WHERE c.vec_id <> qid AND c.label <= 4)
     SELECT qid, cid FROM (
       SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
       FROM pairs)
@@ -2028,7 +2028,9 @@ def llm_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-FILTERED vector search — the retrieval shape every RAG
     stack needs ("nearest neighbors among candidates satisfying a
-    predicate"): top-5 cosine per query restricted to even-label vectors.
+    predicate"): top-5 cosine per query restricted to label <= 4 vectors
+    (a RANGE predicate — chosen because ranges push all the way into the
+    parquet scan, unlike modulo arithmetic which only pushes IsNotNull).
     The predicate is applied to the CANDIDATE SCAN, before any distance
     work (pre-filtering), so selectivity directly cuts distance evals —
     unlike post-filtering a top-k, which silently returns < k rows when
@@ -2044,7 +2046,7 @@ def llm_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_bruteforce(
-        emb.filter(F.col("label") % 2 == 0), queries, k=5
+        emb.filter(F.col("label") <= 4), queries, k=5
     ).select("qid", "cid")
 
 
@@ -2086,6 +2088,11 @@ def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % 13 == 0).select("embedding").toPandas()
+    if len(bench) == 0:
+        raise ValueError(
+            "semantic decontamination needs a non-empty benchmark set; "
+            "the vec_id % 13 == 0 filter selected zero rows"
+        )
     b = np.stack(
         [np.asarray(a, dtype="float64") for a in bench["embedding"].to_numpy()]
     )

@@ -666,11 +666,15 @@ def pipe_right_to_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_purged"))
     )
+    # The broadcastable set is the request-sized (vec_id, source)
+    # projection of the purged docs — joining the FULL docs table here
+    # would be a corpus-vs-corpus shuffle at scale; embeddings stay a
+    # single scan against the broadcast.
+    purged_docs = docs.join(F.broadcast(req), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
     vec_purged = (
-        emb.join(
-            F.broadcast(req), emb["vec_id"] == req["doc_id"], "left_semi"
-        )
-        .join(docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id")
+        emb.join(F.broadcast(purged_docs), "vec_id")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_vec_purged"))
     )

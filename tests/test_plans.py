@@ -494,12 +494,13 @@ def test_parameterized_sql_pushes_bound_literals(spark, qs):
 
 
 def test_filtered_topk_pushes_metadata_predicate(spark, qs):
-    """llm_filtered_topk's whole point is PRE-filtering: the label
-    predicate must reach the candidate parquet scan (PushedFilters), not
-    run as a post-filter after distance computation."""
+    """llm_filtered_topk's whole point is PRE-filtering: the RANGE label
+    predicate must reach the candidate parquet scan (PushedFilters shows
+    the comparison itself, not merely IsNotNull), so no distance work is
+    spent on rows the metadata excludes."""
     p = plan(qs["llm_filtered_topk"](spark, SF))
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
-    assert any("label" in l for l in pushed)
+    assert any("LessThanOrEqual(label,4" in l for l in pushed)
 
 
 def test_semantic_decontaminate_is_one_scan_no_shuffle(spark, qs):

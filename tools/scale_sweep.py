@@ -89,6 +89,13 @@ QUERIES = [
     # Cross-set LSH ingest gate: batch signatures vs corpus index, join
     # bounded by bucket intersections — must track batch size at scale.
     "pipe_ingest_neardup_gate",
+    # Round 5: filtered vector search (pushed range predicate before
+    # distance work), closure-broadcast semantic decontamination (one
+    # corpus scan, no shuffle), and the GDPR cascade (request broadcast
+    # into anti/semi joins — corpus must never re-partition).
+    "llm_filtered_topk",
+    "llm_semantic_decontaminate",
+    "pipe_right_to_forget",
 ]
 
 
