@@ -500,3 +500,155 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@_q(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) — THE join-ordering benchmark
+    query: revenue per nation where the customer and the supplier share a
+    nation, for one region and one order year. Six tables, two selective
+    dimension filters (region name, order-date year), and the same-nation
+    constraint that binds the two fact-side FK chains together.
+
+    Scale: region→nation prunes to the 5-nation ASIA branch and both
+    broadcast; supplier broadcasts (100·SF rows); the real work is
+    orders⋈lineitem after the pushed o_orderdate range cuts the orders
+    side ~6× (PushedFilters — pinned in test_plans). The same-nation
+    equality rides the supplier join as a second key, never a post-join
+    filter over a nation × nation blow-up."""
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    return (
+        od.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): how many customers
+    placed 0, 1, 2, … qualifying orders — the double-aggregation histogram
+    over a FILTERED outer join (the filter lives in the JOIN CONDITION:
+    an urgent-only customer must still appear with count 0, which a WHERE
+    would silently delete along with the never-ordered customers).
+    count(o_orderkey) counts only matched rows — the outer-join null row
+    contributes 0, not 1 (the classic count(*) -vs- count(col) trap).
+
+    Scale: one customer⋈orders shuffle on custkey; the first aggregate is
+    co-partitioned with the join output (no extra exchange), the second
+    groups a histogram whose key space is the max order count (~tens) —
+    map-side partials collapse it."""
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cu.join(
+            od,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "tpch_q17_small_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk, sum(l_quantity) AS qsum, count(*) AS qcnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND 5 * l_quantity * qcnt < qsum
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost if orders
+    below 20% of a part's average quantity were not filled — the textbook
+    CORRELATED SCALAR SUBQUERY (per-part avg) decorrelated into a
+    pre-aggregated join, the rewrite every optimizer paper demonstrates.
+
+    Cross-engine float safety: the 20%-of-average predicate is evaluated
+    in EXACT integer arithmetic — ``5·quantity·count < sum`` is algebraic
+    for l_quantity < 0.2·avg, and quantities are integral doubles whose
+    sums stay exact in float64 — so no boundary row can flip between
+    Spark and DuckDB (a direct ``< 0.2*avg(...)`` comparison can, when a
+    part's average lands exactly on a multiple of 5).
+
+    Scale: the per-part aggregate is a map-side-partial groupBy of the
+    fact table on its own join key (co-partitioned with the subsequent
+    join — one shuffle serves both); the brand filter prunes `part` to
+    ~1/25 and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("qsum"), F.count(F.lit(1)).alias("qcnt")
+    )
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
+        "p_partkey"
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(5 * F.col("l_quantity") * F.col("qcnt") < F.col("qsum"))
+        .agg(dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

@@ -521,3 +521,24 @@ def test_right_to_forget_broadcasts_requests(spark, qs):
     p = plan(qs["pipe_right_to_forget"](spark, SF))
     assert p.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in p
+
+
+def test_q5_pushes_date_range_and_broadcasts_dims(spark, qs):
+    """Q5's selectivity comes from the pushed order-date range; the
+    region/nation/supplier branch must broadcast, never shuffle the
+    fact chain against 5-row dimensions."""
+    p = plan(qs["tpch_q5_local_supplier_volume"](spark, SF))
+    pushed = " ".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "o_orderdate" in pushed and "GreaterThanOrEqual" in pushed
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_q17_brand_pushdown_and_partial_agg(spark, qs):
+    """Q17's decorrelated per-part aggregate must keep map-side partials
+    (partial_sum/partial_count before the exchange) and the brand filter
+    must reach the part scan."""
+    p = plan(qs["tpch_q17_small_qty_revenue"](spark, SF))
+    pushed = " ".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(p_brand,Brand#4)" in pushed
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p
