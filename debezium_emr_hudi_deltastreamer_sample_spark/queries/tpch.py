@@ -652,3 +652,92 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(5 * F.col("l_quantity") * F.col("qcnt") < F.col("qsum"))
         .agg(dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+@_q(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+    ls AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN o ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey),
+    po AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+      FROM ls GROUP BY l_orderkey)
+    SELECT s_name, count(*) AS numwait
+    FROM ls JOIN po USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
+      AND n_name = 'NATION_9'
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the hardest
+    decorrelation in the benchmark: the classic form is an EXISTS plus a
+    NOT EXISTS over the SAME fact table, correlated on the order key with
+    a supplier inequality ("some other supplier is on the order" / "no
+    other supplier was late"). Adapted lateness: shipped > 60 days after
+    the order date (the trimmed schema carries no commit/receipt dates).
+
+    Implemented as the aggregate rewrite both Spark and modern optimizers
+    target instead of the double-correlated scan: roll lineitem up to
+    (order, supplier, any_late) grain, roll that to per-order
+    (supplier-count, late-supplier-count), and the two EXISTS become
+    ``n_supp >= 2 AND n_late = 1`` on a single joined row — three
+    aggregations, zero correlated subplans, one pass over the fact.
+
+    Scale: the (order, supplier) rollup is materialized ONCE (it feeds
+    both the per-order rollup and the qualifying-row filter — two
+    DataFrame instances of the same aggregate have distinct expression
+    ids, so ReuseExchange cannot dedup them and the fact join would run
+    twice; the multi-leg recompute class fixed across the graph queries),
+    then carries one declared l_orderkey repartition that the per-order
+    rollup AND the closing self-join both reuse (one exchange, pinned in
+    test_plans — on a real cluster the same effect comes from persisting
+    or bucketing the rollup). Supplier and nation broadcast; the F-status
+    filter prunes orders before the fact join."""
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ls = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+        .localCheckpoint(eager=True)
+    )
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ls = ls.repartition(p, "l_orderkey")
+    po = ls.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    na = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9").select(
+        "n_nationkey"
+    )
+    return (
+        ls.join(po, F.col("l_orderkey") == F.col("po_key"))
+        .filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -542,3 +542,17 @@ def test_q17_brand_pushdown_and_partial_agg(spark, qs):
     assert "EqualTo(p_brand,Brand#4)" in pushed
     assert "partial_sum" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_q21_single_fact_rollup(spark, qs):
+    """Q21's (order, supplier) rollup must materialize ONCE: the lazy
+    form computed the lineitem⋈orders join + aggregate twice (once per
+    leg of the closing self-join) because distinct expression ids defeat
+    ReuseExchange. The checkpointed rollup appears as an RDD scan; the
+    fact parquet scan must appear at most once in the final plan."""
+    p = plan(qs["tpch_q21_waiting_supplier"](spark, SF))
+    assert p.count("Scan ExistingRDD") >= 1
+    fact_scans = [
+        l for l in p.splitlines() if "Scan parquet" in l and "lineitem" in l
+    ]
+    assert len(fact_scans) == 0  # folded into the checkpoint
