@@ -13,6 +13,16 @@ challenge the optimizer literature names it for:
 - Q18 large orders: HAVING-filtered aggregate semi-joined back to facts.
 - Q19 bracket revenue: disjunctive multi-column predicates (OR of ANDs).
 - Q22 idle customers: anti join + uncorrelated scalar subquery.
+- Q4  priority check (round 5): EXISTS with a cross-relation date
+  residual — a LEFT SEMI whose join condition is key + non-equi.
+- Q5  local supplier volume (round 5): THE join-ordering benchmark;
+  same-nation constraint binds both FK chains.
+- Q13 order distribution (round 5): filtered OUTER join (predicate in
+  the join condition) + double-aggregation histogram.
+- Q17 small-quantity revenue (round 5): correlated scalar avg subquery
+  decorrelated into a pre-aggregated join, exact-integer predicate.
+- Q21 waiting supplier (round 5): EXISTS + NOT EXISTS over the same
+  fact, as the per-order rollup rewrite (single fact materialization).
 
 The reference repo has no query surface of its own (47 LoC generator,
 README-embedded config); these close SURVEY.md §2.C's "joins of every
@@ -740,4 +750,51 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
+    "tpch_q4_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders of one year with at
+    least one line shipped more than 30 days after the order date,
+    counted by priority — the canonical EXISTS whose correlated predicate
+    mixes BOTH relations (l_shipdate vs o_orderdate), so the decorrelated
+    form is a LEFT SEMI join with a non-equi residual on the join, not a
+    plain key semi. Lateness adapted to ship-lag (the trimmed schema has
+    no commit/receipt dates).
+
+    Scale: the order-date year is a pushed scan range on orders
+    (PushedFilters); the semi join dedups lineitem's multi-match rows
+    inside the join operator itself (no distinct needed — EXISTS
+    semantics are the join type), and the 5-key priority aggregate is
+    map-side dominated."""
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        od.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
     )
