@@ -96,6 +96,15 @@ QUERIES = [
     "llm_filtered_topk",
     "llm_semantic_decontaminate",
     "pipe_right_to_forget",
+    # Round-5 TPC-H closures: the join-ordering benchmark (Q5), the
+    # filtered-outer-join histogram (Q13), the decorrelated scalar-avg
+    # join (Q17), the per-order rollup rewrite of the double-EXISTS
+    # (Q21), and the non-equi semi join (Q4).
+    "tpch_q4_priority_check",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_supplier",
 ]
 
 
