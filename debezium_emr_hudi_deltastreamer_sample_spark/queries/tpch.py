@@ -618,16 +618,21 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "tpch_q17_small_qty_revenue",
+    # Oracle = the CANONICAL correlated scalar subqueries, not the
+    # implementation's pre-aggregated join — DuckDB must grade the
+    # decorrelation, not replay it. The predicate keeps the exact-integer
+    # algebraic form on both sides (5·qty·count < sum ≡ qty < 0.2·avg)
+    # so no float boundary can flip between engines.
     """
-    WITH pa AS (
-      SELECT l_partkey AS pk, sum(l_quantity) AS qsum, count(*) AS qcnt
-      FROM lineitem GROUP BY l_partkey)
     SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-    FROM lineitem
+    FROM lineitem l
     JOIN part ON p_partkey = l_partkey
-    JOIN pa   ON pk = l_partkey
     WHERE p_brand = 'Brand#4'
-      AND 5 * l_quantity * qcnt < qsum
+      AND 5 * l_quantity *
+            (SELECT count(*) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT sum(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
     """,
 )
 def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,24 +671,34 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "tpch_q21_waiting_supplier",
+    # The oracle is the CANONICAL correlated form (EXISTS + NOT EXISTS),
+    # deliberately NOT the implementation's rollup rewrite: an oracle
+    # that restates the rewrite would stay green if the decorrelation
+    # itself regressed (e.g. n_late = 1 drifting to >= 1) — this way
+    # DuckDB grades the rewrite against the textbook semantics. DISTINCT
+    # pins the (order, supplier) grain the rollup produces (a supplier
+    # with two late lines in one order counts once).
     """
-    WITH o AS (
-      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
-    ls AS (
-      SELECT l_orderkey, l_suppkey,
-             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
-                      THEN 1 ELSE 0 END) AS is_late
-      FROM lineitem JOIN o ON l_orderkey = o_orderkey
-      GROUP BY l_orderkey, l_suppkey),
-    po AS (
-      SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
-      FROM ls GROUP BY l_orderkey)
+    WITH q AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1 JOIN orders o1 ON o1.o_orderkey = l1.l_orderkey
+      WHERE o1.o_orderstatus = 'F'
+        AND l1.l_shipdate > o1.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY))
     SELECT s_name, count(*) AS numwait
-    FROM ls JOIN po USING (l_orderkey)
+    FROM q
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
-    WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
-      AND n_name = 'NATION_9'
+    WHERE n_name = 'NATION_9'
     GROUP BY s_name
     """,
 )
@@ -705,13 +720,16 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the (order, supplier) rollup is materialized ONCE (it feeds
     both the per-order rollup and the qualifying-row filter — two
     DataFrame instances of the same aggregate have distinct expression
-    ids, so ReuseExchange cannot dedup them and the fact join would run
-    twice; the multi-leg recompute class fixed across the graph queries),
-    then carries one declared l_orderkey repartition that the per-order
-    rollup AND the closing self-join both reuse (one exchange, pinned in
-    test_plans — on a real cluster the same effect comes from persisting
-    or bucketing the rollup). Supplier and nation broadcast; the F-status
-    filter prunes orders before the fact join."""
+    ids, so ReuseExchange cannot dedup them and the fact join + first
+    aggregate would run twice; the multi-leg recompute class fixed across
+    the graph queries). The two legs then each re-shuffle the
+    MATERIALIZED rollup on l_orderkey — self-join re-aliasing defeats
+    exchange reuse even over the same RDD, so the honest count is two
+    exchanges over the (order, supplier)-grain intermediate (≪ the fact
+    table; bounded with the exchange-count pin in test_plans). On a real
+    cluster, bucketing the persisted rollup by order key removes both.
+    Supplier and nation broadcast; the F-status filter prunes orders
+    before the fact join."""
     od = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")

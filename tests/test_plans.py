@@ -548,11 +548,16 @@ def test_q21_single_fact_rollup(spark, qs):
     """Q21's (order, supplier) rollup must materialize ONCE: the lazy
     form computed the lineitem⋈orders join + aggregate twice (once per
     leg of the closing self-join) because distinct expression ids defeat
-    ReuseExchange. The checkpointed rollup appears as an RDD scan; the
-    fact parquet scan must appear at most once in the final plan."""
+    ReuseExchange. The checkpointed rollup appears as an RDD scan and the
+    fact parquet scan appears ZERO times in the final plan (it ran inside
+    the checkpoint; one would mean a leg re-derived it). What remains are
+    the two l_orderkey re-shuffles of the rollup itself (self-join
+    re-aliasing defeats exchange reuse even over one RDD) — bound them so
+    a regression cannot silently re-introduce more."""
     p = plan(qs["tpch_q21_waiting_supplier"](spark, SF))
     assert p.count("Scan ExistingRDD") >= 1
     fact_scans = [
         l for l in p.splitlines() if "Scan parquet" in l and "lineitem" in l
     ]
-    assert len(fact_scans) == 0  # folded into the checkpoint
+    assert len(fact_scans) == 0  # ran inside the checkpoint, not per leg
+    assert p.count("REPARTITION_BY_NUM") <= 2
