@@ -762,3 +762,58 @@ def cdc_catalog_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {name} GROUP BY event_type
         """
     )
+
+
+@_q(
+    "cdc_hot_keys",
+    """
+    WITH per_key AS (
+      SELECT user_id,
+             count(*) AS n_changes,
+             count(DISTINCT event_type) AS n_types,
+             CAST(min(ts) AS DATE) AS first_day,
+             CAST(max(ts) AS DATE) AS last_day
+      FROM events GROUP BY user_id),
+    tot AS (SELECT avg(n_changes) AS mean_changes FROM per_key)
+    SELECT user_id, n_changes, n_types, first_day, last_day,
+           CASE WHEN n_changes >= 2 * mean_changes THEN 'hot'
+                WHEN n_changes >= mean_changes     THEN 'warm'
+                ELSE 'cold' END AS churn_class
+    FROM per_key, tot
+    """,
+)
+def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key audit for an upserted CDC table — the write-skew
+    diagnostic an operator runs when a COW table's rewrite cost spikes
+    (one hot key forces its whole partition to rewrite every batch; the
+    reference's single-`employees`-table pipeline concentrates all churn
+    on a handful of ids by construction). Per key: change count, distinct
+    operation types, first/last change DAY (dates, not raw timestamps —
+    driver hash contract), and a churn class relative to the mean change
+    rate. Feeds the MOR-vs-COW table-type decision and salting/bucketing
+    choices (operators/skew.py) directly.
+
+    Scale: one key-grain aggregate (map-side partials; the count-distinct
+    is per-key, not global) plus a 1-row mean broadcast-joined back — the
+    crossJoin is the repo's established broadcast-scalar pattern, never a
+    shuffle. The mean comparison is exact: both engines average the same
+    integral counts over the same key set."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").cast("date").alias("first_day"),
+        F.max("ts").cast("date").alias("last_day"),
+    )
+    mean = per_key.agg(F.avg("n_changes").alias("mean_changes"))
+    return per_key.crossJoin(F.broadcast(mean)).select(
+        "user_id",
+        "n_changes",
+        "n_types",
+        "first_day",
+        "last_day",
+        F.when(F.col("n_changes") >= 2 * F.col("mean_changes"), "hot")
+        .when(F.col("n_changes") >= F.col("mean_changes"), "warm")
+        .otherwise("cold")
+        .alias("churn_class"),
+    )
