@@ -105,6 +105,10 @@ QUERIES = [
     "tpch_q13_order_distribution",
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_supplier",
+    # Late round 5: the LIKE-filtered derived-measure star and the
+    # key-grain write-skew audit.
+    "tpch_q9_product_profit",
+    "cdc_hot_keys",
 ]
 
 
