@@ -799,12 +799,16 @@ def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. The mean comparison is exact: both engines average the same
     integral counts over the same key set."""
     ev = _t(spark, sf_dir, "events")
+    # Materialized once: the aggregate feeds BOTH the output rows and the
+    # broadcast mean — lazy, the fact scan + key-grain shuffle would run
+    # twice (verified in the plan; same single-fact-scan fix as
+    # tpch_q15_top_supplier, pinned in test_plans).
     per_key = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_changes"),
         F.countDistinct("event_type").alias("n_types"),
         F.min("ts").cast("date").alias("first_day"),
         F.max("ts").cast("date").alias("last_day"),
-    )
+    ).localCheckpoint(eager=True)
     mean = per_key.agg(F.avg("n_changes").alias("mean_changes"))
     return per_key.crossJoin(F.broadcast(mean)).select(
         "user_id",

@@ -2092,20 +2092,26 @@ def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (someone pointing this at a corpus) fails loudly instead of OOMing
     # the driver — the same explicit-bound discipline as the k-means
     # sample fit (cap chosen to keep the closure matrix ≲100 MB at 64-d).
-    bench_df = emb.filter(F.col("vec_id") % 13 == 0).select("embedding")
-    n_bench = bench_df.count()
-    if n_bench == 0:
+    # ONE bounded job: limit(cap+1) stops the scan once the bound is
+    # provably exceeded (a separate count() would scan the whole corpus
+    # before raising), and collects ≤ ~102 MB either way.
+    bench = (
+        emb.filter(F.col("vec_id") % 13 == 0)
+        .select("embedding")
+        .limit(200_001)
+        .toPandas()
+    )
+    if len(bench) == 0:
         raise ValueError(
             "semantic decontamination needs a non-empty benchmark set; "
             "the vec_id % 13 == 0 filter selected zero rows"
         )
-    if n_bench > 200_000:
+    if len(bench) > 200_000:
         raise ValueError(
-            f"benchmark set has {n_bench} rows — the closure-broadcast "
-            "design assumes an eval-suite-sized benchmark (≤200k); for a "
+            "benchmark set exceeds 200k rows — the closure-broadcast "
+            "design assumes an eval-suite-sized benchmark; for a "
             "corpus-sized right side use the LSH/IVF candidate joins"
         )
-    bench = bench_df.toPandas()
     b = np.stack(
         [np.asarray(a, dtype="float64") for a in bench["embedding"].to_numpy()]
     )

@@ -561,3 +561,24 @@ def test_q21_single_fact_rollup(spark, qs):
     ]
     assert len(fact_scans) == 0  # ran inside the checkpoint, not per leg
     assert p.count("REPARTITION_BY_NUM") <= 2
+
+
+def test_q9_part_broadcasts_despite_nonpushable_like(spark, qs):
+    """Q9's contains-LIKE cannot push into the parquet scan — the plan
+    contract is that the FILTERED part side still broadcasts, so the fact
+    table flows only through broadcast joins plus the one orders-side
+    shuffle (no sort-merge against a dimension)."""
+    p = plan(qs["tpch_q9_product_profit"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
+
+
+def test_hot_keys_single_fact_scan(spark, qs):
+    """cdc_hot_keys materializes the per-key aggregate once: lazy, the
+    events scan + key-grain shuffle ran TWICE (output rows + broadcast
+    mean branch). The checkpointed aggregate appears as an RDD scan and
+    the events parquet scan appears at most once."""
+    p = plan(qs["cdc_hot_keys"](spark, SF))
+    assert p.count("Scan ExistingRDD") >= 1
+    ev_scans = [l for l in p.splitlines() if "Scan parquet" in l and "events" in l]
+    assert len(ev_scans) == 0  # ran inside the checkpoint
