@@ -17,61 +17,80 @@ from . import analytics, cdc, extended, llm, pipeline, relational, streaming, tp
 _MODULES = (relational, cdc, llm, streaming, extended, pipeline, tpch, analytics)
 
 # Query names the driver's 50-entry correctness sample has covered across
-# rounds 1-4 (union of CORRECTNESS_r01..r04.json keys, 147 of 201). Names are
+# rounds 1-5 (union of CORRECTNESS_r01..r05.json keys, 197 of 211). Names are
 # stable across rounds by contract; enumerating the never-yet-sampled queries
 # FIRST lets successive driver samples accumulate coverage instead of
 # re-checking the same prefix.
 _DRIVER_SAMPLED = frozenset({
     "agg_approx_distinct", "agg_collect_pivot", "agg_corr_covar",
-    "agg_cube", "agg_decimal_exact", "agg_grouping_sets", "agg_hll_sketch",
-    "agg_listagg", "agg_percentile_approx", "agg_percentiles", "agg_rollup",
+    "agg_countif_bool", "agg_cube", "agg_decimal_exact", "agg_grouping_id",
+    "agg_grouping_sets", "agg_hll_sketch", "agg_listagg", "agg_mode_median",
+    "agg_multi_distinct", "agg_percentile_approx", "agg_percentiles",
+    "agg_rollup", "agg_skew_kurtosis", "agg_skew_twophase",
     "agg_stats_events", "cdc_apply_deletes", "cdc_asof_join",
     "cdc_avro_roundtrip", "cdc_catalog_sync", "cdc_envelope_roundtrip",
-    "cdc_incremental_join_view", "cdc_incremental_read",
+    "cdc_hot_keys", "cdc_incremental_join_view", "cdc_incremental_read",
     "cdc_latest_by_key", "cdc_merge_upsert", "cdc_mor_table",
     "cdc_mor_time_travel", "cdc_scd2_history", "cdc_schema_evolution",
     "cdc_time_travel", "cdc_topic_to_table", "distinct_flags",
     "filter_nullsafe_eq", "filter_predicates", "forecast_revenue",
     "fuzzy_name_pairs", "join_anti", "join_cross_small", "join_full_outer",
-    "join_interval_overlap", "join_left_outer", "join_range_binned",
-    "join_right_outer", "join_salted_skew", "join_semi",
-    "join_star_revenue", "join_theta_range", "llm_bloom_decontaminate",
-    "llm_bpe_apply", "llm_bpe_merge_pairs", "llm_bpe_token_count",
-    "llm_cluster_canonical", "llm_corpus_clean", "llm_corpus_fingerprint",
-    "llm_cosine_ivf", "llm_cosine_lsh", "llm_cosine_topk",
-    "llm_decontaminate", "llm_dedup_clusters", "llm_dedup_clusters_exact",
-    "llm_domain_cap", "llm_embed_neardup", "llm_embed_neardup_lsh",
-    "llm_embed_quantize", "llm_embedding_stats", "llm_exact_dedup",
-    "llm_fingerprint", "llm_graph_triangles", "llm_graph_triangles_exact",
-    "llm_heavy_hitters", "llm_index_maintain", "llm_kmeans_clusters",
-    "llm_language_id", "llm_length_histogram", "llm_minhash_lsh",
-    "llm_ngram_jaccard", "llm_ngram_jaccard_lsh", "llm_ngram_novelty",
-    "llm_pack_global", "llm_pack_sequences", "llm_pagerank",
-    "llm_pagerank_exact", "llm_perplexity_buckets", "llm_quality_langstats",
-    "llm_repetition_score", "llm_semantic_dedup", "llm_simhash",
-    "llm_span_dedup", "llm_stratified_sample", "llm_token_stats",
-    "llm_unigram_logprob", "llm_weighted_sample", "llm_word_freq",
+    "join_interval_overlap", "join_left_outer", "join_nullaware_anti",
+    "join_range_binned", "join_right_outer", "join_salted_skew",
+    "join_semi", "join_star_revenue", "join_theta_range",
+    "llm_bloom_decontaminate", "llm_bpe_apply", "llm_bpe_merge_pairs",
+    "llm_bpe_token_count", "llm_cluster_canonical", "llm_corpus_clean",
+    "llm_corpus_fingerprint", "llm_cosine_ivf", "llm_cosine_lsh",
+    "llm_cosine_topk", "llm_decontaminate", "llm_dedup_clusters",
+    "llm_dedup_clusters_exact", "llm_domain_cap", "llm_embed_neardup",
+    "llm_embed_neardup_lsh", "llm_embed_quantize", "llm_embedding_stats",
+    "llm_exact_dedup", "llm_filtered_topk", "llm_fingerprint",
+    "llm_graph_triangles", "llm_graph_triangles_exact", "llm_heavy_hitters",
+    "llm_index_maintain", "llm_kmeans_clusters", "llm_language_id",
+    "llm_length_histogram", "llm_minhash_lsh", "llm_ngram_jaccard",
+    "llm_ngram_jaccard_lsh", "llm_ngram_novelty", "llm_pack_global",
+    "llm_pack_sequences", "llm_pagerank", "llm_pagerank_exact",
+    "llm_perplexity_buckets", "llm_quality_langstats",
+    "llm_repetition_score", "llm_semantic_decontaminate",
+    "llm_semantic_dedup", "llm_simhash", "llm_span_dedup",
+    "llm_stratified_sample", "llm_token_stats", "llm_unigram_logprob",
+    "llm_weighted_sample", "llm_word_freq", "mm_audio_stats",
     "mm_decode_codec", "mm_decode_stats", "mm_frame_sample",
-    "pipe_dataset_mix", "pipe_incremental_dedup", "pricing_summary",
-    "project_cast_drop", "scalar_array_ops", "scalar_bit_ops",
+    "mm_resize_stats", "obs_scan_metrics", "pipe_chunk_documents",
+    "pipe_cohort_retention", "pipe_dataset_mix", "pipe_epoch_shuffle",
+    "pipe_funnel_conversion", "pipe_hash_split", "pipe_incremental_dedup",
+    "pipe_ingest_neardup_gate", "pipe_pack_sharded", "pipe_pii_scrub",
+    "pipe_profile_columns", "pipe_right_to_forget", "pipe_sessionize",
+    "pipe_tfidf_top_terms", "pricing_summary", "project_cast_drop",
+    "ps_pandas_on_spark", "scalar_array_ops", "scalar_bit_ops",
     "scalar_date_arith", "scalar_dates", "scalar_json", "scalar_map_ops",
     "scalar_math_cond", "scalar_posexplode", "scalar_regex",
-    "scalar_strings", "scalar_try_ops", "set_ops_nations",
-    "shipping_priority", "sink_csv_roundtrip", "sink_partitioned_readback",
-    "sql_subquery_exists", "sql_subquery_in", "sql_subquery_scalar",
-    "stream_avro_upsert", "stream_cdc_upsert", "stream_deadletter",
-    "stream_dedup_keys", "stream_dedup_within_watermark",
-    "stream_join_view", "stream_mor_upsert", "stream_python_datasource",
+    "scalar_strings", "scalar_try_ops", "scalar_variant", "set_ops_all",
+    "set_ops_nations", "shipping_priority", "sink_clustered_readback",
+    "sink_csv_roundtrip", "sink_orc_roundtrip", "sink_partitioned_readback",
+    "sink_python_format_roundtrip", "sink_xml_roundtrip",
+    "sink_zorder_readback", "source_csv_malformed",
+    "source_jsonl_roundtrip", "source_python_datasource",
+    "sql_lateral_topk", "sql_recursive_cte", "sql_subquery_exists",
+    "sql_subquery_in", "sql_subquery_scalar", "stream_avro_upsert",
+    "stream_cdc_upsert", "stream_deadletter", "stream_dedup_keys",
+    "stream_dedup_within_watermark", "stream_join_view",
+    "stream_mor_upsert", "stream_python_datasource",
     "stream_python_sink_roundtrip", "stream_rollup_incremental",
     "stream_rollup_two_level", "stream_scd2_fold", "stream_session_windows",
     "stream_sliding_value", "stream_stateful_totals", "stream_static_join",
     "stream_stream_full_join", "stream_stream_join",
     "stream_stream_left_join", "stream_temporal_join",
     "stream_tumbling_counts", "stream_window_topk",
-    "table_compact_roundtrip", "top_orders_global", "udf_grouped_zscore",
-    "unpivot_metrics", "window_cume_dist", "window_first_last",
-    "window_lag_lead", "window_rank_ntile", "window_running_frames",
-    "window_time_range", "window_topk_per_group",
+    "table_compact_roundtrip", "top_orders_global",
+    "tpch_q10_returned_items", "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier", "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue", "tpch_q22_idle_customers",
+    "tpch_q7_nation_volume", "tpch_q8_market_share", "ts_gap_fill",
+    "udf_arrow_batch", "udf_grouped_zscore", "udtf_doc_chunks",
+    "unpivot_metrics", "window_count_distinct", "window_cume_dist",
+    "window_first_last", "window_lag_lead", "window_rank_ntile",
+    "window_running_frames", "window_time_range", "window_topk_per_group",
 })
 
 
