@@ -617,6 +617,93 @@ def pipe_ingest_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipe_ingest_neardup_gate_exact",
+    """
+    WITH sh AS (
+      SELECT doc_id, source, lang,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3),
+    binv AS (SELECT doc_id, len(shingles) AS n_a, unnest(shingles) AS sh
+             FROM sh WHERE source = 'src1'),
+    cinv AS (SELECT doc_id, len(shingles) AS n_b, unnest(shingles) AS sh
+             FROM sh WHERE source <> 'src1'),
+    pairs AS (
+      SELECT b.doc_id AS id_a, b.n_a, c.n_b, count(*) AS shared
+      FROM binv b JOIN cinv c ON b.sh = c.sh
+      GROUP BY b.doc_id, c.doc_id, b.n_a, c.n_b),
+    worst AS (
+      SELECT id_a AS doc_id,
+             max(shared::DOUBLE / (n_a + n_b - shared)) AS best_match
+      FROM pairs GROUP BY id_a),
+    gated AS (
+      SELECT d.lang, w.best_match,
+             coalesce(w.best_match, 0.0) >= 0.5 AS rejected
+      FROM documents d LEFT JOIN worst w ON d.doc_id = w.doc_id
+      WHERE d.source = 'src1')
+    SELECT lang,
+           count(*) AS n_batch,
+           count(*) FILTER (rejected) AS n_rejected,
+           count(*) FILTER (NOT rejected) AS n_admitted,
+           round(max(CASE WHEN rejected THEN best_match END), 4) AS worst_jaccard
+    FROM gated GROUP BY lang
+    """,
+)
+def pipe_ingest_neardup_gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable companion of pipe_ingest_neardup_gate (the
+    `_exact`-sibling pattern, cf. llm_dedup_clusters_exact): the same
+    admission-control report computed from EXACT cross-set trigram-shingle
+    Jaccard — incoming batch (source='src1') vs corpus via an
+    inverted-index join on shingle, never batch×corpus. Batch docs too
+    short to shingle (<3 tokens) can't match anything and are admitted by
+    the left join, so n_batch still counts them.
+
+    Scale: the batch is small by nature (one ingest tick), so its shingle
+    index BROADCASTS to the corpus index scan — one corpus-side pass, no
+    table-vs-table shuffle; the per-pair groupBy is bounded by shared
+    shingles, and the corpus side is the same persisted index the LSH gate
+    maintains. Exact-int ratio + dround(4) per the driver hash contract."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..operators.dedup import with_shingles
+
+    batch = docs.filter(F.col("source") == "src1")
+    corpus = docs.filter(F.col("source") != "src1")
+    binv = with_shingles(batch, n=3).select(
+        F.col("doc_id").alias("id_a"),
+        F.size("shingles").alias("n_a"),
+        F.explode("shingles").alias("sh"),
+    )
+    cinv = with_shingles(corpus, n=3).select(
+        F.col("doc_id").alias("id_b"),
+        F.size("shingles").alias("n_b"),
+        F.explode("shingles").alias("sh"),
+    )
+    shared = (
+        F.broadcast(binv)
+        .join(cinv, "sh")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    worst = shared.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.max(
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        ).alias("best_match")
+    )
+    gated = batch.join(worst, "doc_id", "left_outer").withColumn(
+        "rejected", F.coalesce(F.col("best_match"), F.lit(0.0)) >= 0.5
+    )
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count_if(F.col("rejected")).alias("n_rejected"),
+        F.count_if(~F.col("rejected")).alias("n_admitted"),
+        dround(F.max(F.when(F.col("rejected"), F.col("best_match"))), 4).alias(
+            "worst_jaccard"
+        ),
+    )
+
+
+@_q(
     "pipe_right_to_forget",
     """
     WITH req AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0),
