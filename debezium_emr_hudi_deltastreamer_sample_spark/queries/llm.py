@@ -1223,6 +1223,89 @@ def _triangles_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def _triangle_count_from_edges(edges: DataFrame, cap: int | None = None) -> DataFrame:
+    """Degree-ordered triangle COUNT — the scale path when the enumeration's
+    output volume (cubic in local density) is itself the bottleneck.
+
+    Orientation is by (degree, id), not raw id: every edge points from its
+    lower-(deg,id) endpoint to the higher one, so each triangle is counted
+    exactly once at its minimum vertex AND wedge fan-out is bounded by the
+    out-degree under degree ordering — O(sqrt(m)) per vertex worst-case
+    (Cohen's ordered-wedge bound) instead of a hub's full degree. Same
+    count as enumerating then counting, at a fraction of the join mass on
+    skewed graphs.
+
+    ``cap`` additionally clamps per-vertex out-degree to the ``cap``
+    NEAREST out-neighbors in the degree order (deterministic) — an
+    explicit under-count guard for adversarially dense graphs (cap=None
+    is exact on the edge set; equality is pinned in tests).
+
+    Both the edge list and the oriented list are checkpointed: each feeds
+    multiple join legs, and a lazy LSH candidate pipeline would otherwise
+    recompute per leg (the _cluster_assignment bug class)."""
+    edges = edges.localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("ida").alias("v"))
+        .unionAll(edges.select(F.col("idb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = edges.join(
+        deg.select(F.col("v").alias("ida"), F.col("deg").alias("dega")), "ida"
+    ).join(deg.select(F.col("v").alias("idb"), F.col("deg").alias("degb")), "idb")
+    ka = F.struct(F.col("dega").alias("d"), F.col("ida").alias("i"))
+    kb = F.struct(F.col("degb").alias("d"), F.col("idb").alias("i"))
+    oriented = e.select(
+        F.when(ka < kb, F.col("ida")).otherwise(F.col("idb")).alias("src"),
+        F.when(ka < kb, F.col("idb")).otherwise(F.col("ida")).alias("dst"),
+        F.when(ka < kb, kb).otherwise(ka).alias("dstkey"),
+    )
+    if cap is not None:
+        w = Window.partitionBy("src").orderBy("dstkey")
+        oriented = (
+            oriented.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap)
+            .drop("rn")
+        )
+    oriented = oriented.localCheckpoint(eager=True)
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(F.col("o1.dstkey") < F.col("o2.dstkey"))
+        .select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nv.crossJoin(ne).crossJoin(tri)
+
+
+@_q("llm_graph_triangles_count")  # LSH edge source — rows-only; equality pinned
+def llm_graph_triangles_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-only sibling of llm_graph_triangles — same LSH candidate edge
+    source, but degree-ordered wedge counting instead of enumeration, so
+    output is ONE row (n_vertices, n_edges, n_triangles) and the join mass
+    is bounded by ordered out-degree (capped at 64) rather than the
+    triangle count itself. The default for clustering-coefficient /
+    graph-stats reporting at 100 TB, where enumeration's output volume
+    grows cubically with local density; equality with the enumeration's
+    count (cap off) and fixture-equality at cap=64 are pinned in
+    tests/test_operators.py."""
+    from ..operators.similarity import embedding_neardup_pairs
+
+    edges = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        approx=True,
+        multiprobe=True,
+    ).select(F.col("aid").alias("ida"), F.col("bid").alias("idb"))
+    return _triangle_count_from_edges(edges, cap=64)
+
+
 @_q("llm_graph_triangles")  # LSH edge source — rows-only; containment pinned
 def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the LSH-candidate similarity graph — the

@@ -539,6 +539,56 @@ def test_triangles_lsh_full_recall_on_high_sim_clusters(spark):
     assert len(tris) == 40
 
 
+def test_triangle_count_matches_enumeration(spark, sf_tiny):
+    """Degree-ordered counting is EXACT on the same edge set: the count
+    variant (cap off) must equal |enumeration| for both edge sources, and
+    the query's cap=64 must not bite at fixture degrees."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
+        _triangle_count_from_edges,
+        _triangles_from_edges,
+        llm_graph_triangles_count,
+    )
+
+    emb = load_table(spark, sf_tiny, "embeddings")
+    for approx in (True, False):
+        edges = embedding_neardup_pairs(
+            emb, threshold=0.35, approx=approx, multiprobe=approx
+        ).select(F.col("aid").alias("ida"), F.col("bid").alias("idb"))
+        enum_n = _triangles_from_edges(edges).count()
+        row = _triangle_count_from_edges(edges).collect()[0]
+        assert row.n_triangles == enum_n, (approx, row, enum_n)
+    q = llm_graph_triangles_count(spark, sf_tiny).collect()[0]
+    lsh_edges = embedding_neardup_pairs(
+        emb, threshold=0.35, approx=True, multiprobe=True
+    ).select(F.col("aid").alias("ida"), F.col("bid").alias("idb"))
+    assert q.n_triangles == _triangles_from_edges(lsh_edges).count()
+
+
+def test_triangle_count_known_graph_and_cap(spark):
+    """K5 ∪ hub-star sanity: K5 has C(5,3)=10 triangles, a pure star has
+    none; a tight cap under-counts MONOTONICALLY (never over-counts) and
+    a cap ≥ max out-degree is exact."""
+    from itertools import combinations
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.llm import (
+        _triangle_count_from_edges,
+    )
+
+    k5 = [(a, b) for a, b in combinations(range(5), 2)]
+    star = [(100, 100 + i) for i in range(1, 20)]
+    edges = spark.createDataFrame(k5 + star, "ida long, idb long")
+    exact = _triangle_count_from_edges(edges).collect()[0]
+    assert (exact.n_vertices, exact.n_edges, exact.n_triangles) == (25, 29, 10)
+    capped = _triangle_count_from_edges(edges, cap=2).collect()[0]
+    assert 0 <= capped.n_triangles <= 10
+    wide = _triangle_count_from_edges(edges, cap=64).collect()[0]
+    assert wide.n_triangles == 10
+
+
 def test_dedup_clusters_approx_refines_exact(spark, sf_tiny):
     """The graded LSH-edge cluster assignment must REFINE the exact one:
     approx edges are a subset of real edges (exact cosine re-check on

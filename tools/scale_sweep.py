@@ -109,6 +109,12 @@ QUERIES = [
     # key-grain write-skew audit.
     "tpch_q9_product_profit",
     "cdc_hot_keys",
+    # Round 6: count-only triangles (degree-ordered wedges, one-row
+    # output — join mass must stay bounded where enumeration's output
+    # volume grows) and the exact cross-set ingest-gate companion
+    # (batch-broadcast inverted-index join, must track batch size).
+    "llm_graph_triangles_count",
+    "pipe_ingest_neardup_gate_exact",
 ]
 
 
