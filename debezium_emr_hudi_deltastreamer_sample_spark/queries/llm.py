@@ -1862,10 +1862,12 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (the reason SemDeDup beats all-pairs at 100 TB): candidates
     are restricted to members of a shared k-means cell, so pair cost is
     Σ|cell|² with E|cell| = n/k ≈ 256 (bigger target cell = higher recall
-    at linearly higher pair cost, the knob SemDeDup §3 trades on; the
-    round-5 nassign=2 multi-assignment recovers Voronoi-boundary pairs —
-    measured recall vs the exact dup set 0.86→1.00 at sf0.01 and
-    0.38→0.77 at sf0.1). The heavy lifting lives in operators/similarity.py::
+    at linearly higher pair cost, the knob SemDeDup §3 trades on); the
+    nassign=2 multi-assignment recovers Voronoi-boundary pairs and the
+    round-6 multiprobe-LSH re-probe channel recovers the mid-similarity
+    pairs cells cannot see — measured recall vs the exact dup set 1.00
+    at sf0.01 and 0.95 at sf0.1 (cells alone: 0.44 at sf0.1). The heavy
+    lifting lives in operators/similarity.py::
     semantic_dedup_report, which bounds all three cost axes — capped
     coarse k (bounded driver fit), cohesion-ordered chunking of fat cells
     (capped per-cell pair mass), and per-cell BLAS via applyInPandas so
