@@ -1676,14 +1676,18 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text the corpus already contains (template spam, mirrored pages);
     dedup pipelines use it to rank what survived exact+near dedup.
 
-    Scale: the same inverted-index shape as decontamination — distinct
-    grams per doc (explode + codegen'd hash), gram-frequency partial-agg
-    (shuffle is gram-vocabulary-sized), one join back on gram, one doc-
-    grain re-agg. No all-pairs anything: cost is O(total grams), and the
-    gram →count side is exactly the reusable index a corpus service would
-    persist."""
-    # Materialized (localCheckpoint) before explode: the gram index is
-    # consumed twice (inverted index + probe side), and the Generate
+    Scale: ONE gram-grain shuffle total. A corpus-unique (df=1) gram
+    lives in exactly one document, so min(doc_id) inside the
+    gram-frequency aggregate already names its owner — no join back on
+    gram (the round-5 plan's gram-volume join, the dominant cost at sf1:
+    2.63× growth from re-shuffling every gram a second time). Per-doc
+    n_grams is size(shingles) straight off the gram index, so after the
+    gram agg everything is doc-grain: filter df=1, re-agg on doc_id
+    (vocabulary-sized input, doc-sized output), left-join back to docs.
+    The gram→count side is still the reusable index a corpus service
+    would persist."""
+    # Materialized (localCheckpoint) before explode: the gram index feeds
+    # both the n_grams projection and the explode, and the Generate
     # node's inferred size(shingles)>0 constraint would otherwise push
     # below the shingle projection with the whole O(tokens²) HOF pipeline
     # inlined into a per-row Filter (measured 25× on this query). In
@@ -1694,15 +1698,25 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     inv = docs.select("doc_id", F.explode("shingles").alias("g"))
-    u = inv.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
-    return (
-        inv.join(u, "g")
+    u = inv.groupBy("g").agg(
+        F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("doc_id")
+    )
+    uniq = (
+        u.filter(F.col("nd") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count_if(F.col("nd") == 1).alias("n_unique"),
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        docs.select("doc_id", F.size("shingles").cast("long").alias("n_grams"))
+        .join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_unique", F.lit(0).cast("long")).alias("n_unique"),
             dround(
-                F.count_if(F.col("nd") == 1) / F.count(F.lit(1)), 4
+                F.coalesce("n_unique", F.lit(0).cast("long"))
+                / F.col("n_grams"),
+                4,
             ).alias("novelty"),
         )
     )
