@@ -527,6 +527,19 @@ class DeltaLogTable:
             # once — on such deployments the torn-batch guard needs the
             # table-format commit log (README "Deploying outside this
             # container").
+            #
+            # Known hole in this inference (accepted): before the FIRST
+            # compaction there is no base version to probe, so a moment
+            # where every pending dir is simultaneously marker-less (all
+            # in-flight) is indistinguishable from a markerless committer
+            # and folds an in-flight batch. Reaching it requires
+            # auto_compact_deltas=1 (compact fires while the only batch
+            # ever written is still mid-write — at the default threshold
+            # >= 2 some SIBLING batch has already committed and carries
+            # the marker) or a manual compact() racing the first-ever
+            # batch. Deployments that need the guard airtight from batch
+            # zero should write the base version first (an empty
+            # overwrite() bootstraps the marker probe).
             versions = self._base_versions()
             if versions and fs.exists(hpath(f"{versions[-1][2]}/_SUCCESS")):
                 return []
@@ -754,6 +767,24 @@ class DeltaLogTable:
         import uuid as _uuid
 
         from .fsutil import rename_commit
+
+        # The fail-safe story below leans on strict scans RAISING when a
+        # racing (out-of-process) compaction retires a file between this
+        # listing and the stage write. spark.sql.files.ignoreMissingFiles
+        # =true would turn that raise into a silently row-short published
+        # base — assert the conf here so the property is pinned, not
+        # assumed (it is false by default; a deployment flipping it
+        # globally must scope it away from compaction).
+        if (
+            self.spark.conf.get("spark.sql.files.ignoreMissingFiles", "false")
+            == "true"
+        ):
+            raise RuntimeError(
+                "compact() requires spark.sql.files.ignoreMissingFiles=false: "
+                "with it true, a compaction racing another process's "
+                "retirement would publish a base snapshot missing rows "
+                "instead of failing and retrying"
+            )
 
         fs, hpath = self._fs()
         # committed_only: under the async service this listing races the

@@ -147,8 +147,13 @@ def main() -> None:
     # buffer (numRecentProgressUpdates, raised at session setup): the
     # earliest DATA batch we retained is provably the true cold batch iff
     # some retained entry PRECEDES it (batchId 0 retained, or an earlier
-    # zero-row batch) — eviction drops oldest-first, so a retained
-    # predecessor proves nothing before it was a data batch. Otherwise
+    # zero-row batch) — sound only under THIS harness's rate-source
+    # workload, where every zero-row batch precedes every data batch
+    # (warm-up ticks, then steady data): a retained zero-row predecessor
+    # then implies no EVICTED predecessor carried data. On a general
+    # workload (data interleaved with empty batches) only the batchId==0
+    # arm would be proof — keep that in mind before reusing this
+    # heuristic elsewhere. Otherwise
     # the true first data batch may be evicted: report cold_start as None
     # and keep every retained batch in the warm percentiles rather than
     # mislabeling one.
