@@ -23,6 +23,20 @@ challenge the optimizer literature names it for:
   decorrelated into a pre-aggregated join, exact-integer predicate.
 - Q21 waiting supplier (round 5): EXISTS + NOT EXISTS over the same
   fact, as the per-order rollup rewrite (single fact materialization).
+- Q2  min-cost supplier (round 6): correlated-min scalar subquery
+  decorrelated into a per-part min equality join; deterministic LIMIT.
+- Q11 important parts (round 6): grouped aggregate filtered by an
+  uncorrelated scalar subquery over itself, exact-decimal threshold.
+- Q12 late priority lines (round 6): conditional two-way counts under a
+  cross-relation date residual that cannot push below the join.
+- Q16 supplier/part counts (round 6): DISTINCT-pair source + NOT IN
+  exclusion + count(DISTINCT) over a multi-attribute group.
+- Q20 promotable suppliers (round 6): double-nested IN with a grouped
+  HAVING in the middle subquery, decorrelated to two semi joins.
+
+With these the adapted decision-support family covers all 22 TPC-H
+shapes (Q1 = pricing_summary, Q3 = shipping_priority, Q6 =
+filter_predicates' scan-bound sibling live in queries/relational.py).
 
 The reference repo has no query surface of its own (47 LoC generator,
 README-embedded config); these close SURVEY.md §2.C's "joins of every
@@ -872,4 +886,370 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(dround(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@_q(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    cand AS (
+        SELECT p_partkey, s_name, s_acctbal, n_name,
+               CAST((l_suppkey * 7919 + l_partkey * 104729) % 100000
+                    AS BIGINT) AS supply_cost
+        FROM pairs
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_size BETWEEN 10 AND 20
+          AND p_type IN ('LARGE', 'STANDARD')
+          AND r_name = 'EUROPE'
+    )
+    SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+           p_partkey, supply_cost
+    FROM cand
+    JOIN (SELECT p_partkey AS mk, min(supply_cost) AS mc
+          FROM cand GROUP BY p_partkey) m
+      ON p_partkey = mk AND supply_cost = mc
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: for each qualifying
+    part, the supplier(s) in a region offering it at the minimum supply
+    cost — the classic CORRELATED-MIN scalar subquery, decorrelated into
+    a per-part min aggregate equality-joined back to the candidates. The
+    trimmed schema has no partsupp, so (a) the part↔supplier relation is
+    the DISTINCT (l_partkey, l_suppkey) pairs actually observed in
+    lineitem, and (b) supply cost is a deterministic integer hash of the
+    pair — exact in both engines, preserving exactly the shape that
+    matters (the min-equality can't tolerate float fuzz; two suppliers
+    tying at the min must BOTH survive, as in the spec).
+
+    Scale: part/supplier/nation/region all broadcast; the one big input
+    (lineitem) is first semi-reduced by the broadcast part filter, THEN
+    deduplicated — the distinct shuffles only qualifying pairs, not the
+    whole fact. `cand` is localCheckpointed so the min aggregate and the
+    join-back don't recompute the pair dedup. The LIMIT is deterministic:
+    the ORDER BY is a total order ((p_partkey, s_name) is unique per
+    candidate row).
+
+    Reference: closes the last correlated-subquery TPC-H shape missing
+    from §2.C's decision-support row (reference README.md:234 'query the
+    Hudi table with Spark SQL')."""
+    pa = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").between(10, 20)
+            & F.col("p_type").isin("LARGE", "STANDARD")
+        )
+        .select("p_partkey")
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cost = ((F.col("l_suppkey") * 7919 + F.col("l_partkey") * 104729) % 100000).cast(
+        "long"
+    )
+    cand = (
+        pairs.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            cost.alias("supply_cost"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("supply_cost").alias("mc")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("supply_cost") == F.col("mc")),
+        )
+        .select(
+            dround(F.col("s_acctbal"), 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "supply_cost",
+        )
+        .orderBy(
+            F.col("acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@_q(
+    "tpch_q11_important_parts",
+    """
+    WITH val AS (
+        SELECT l_partkey AS partkey,
+               sum(CAST(l_quantity * p_retailprice AS DECIMAL(18,6)))
+                 AS val_exact
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_9', 'NATION_11')
+        GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT sum(val_exact) AS total, count(*) AS cnt FROM val
+    )
+    SELECT partkey, round(CAST(val_exact AS DOUBLE), 2) AS value
+    FROM val, tot
+    WHERE 2 * val_exact * cnt > 3 * total
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: parts whose inventory value
+    held by suppliers of given nations exceeds a threshold fraction of
+    the TOTAL — a grouped aggregate filtered by an UNCORRELATED scalar
+    subquery over itself. The trimmed schema has no partsupp, so value is
+    quantity × retail price over observed lineitems; the spec's fixed
+    fraction is replaced by 1.5× the mean part value (2·val·cnt > 3·total
+    — all-integer/decimal arithmetic), which keeps the predicate
+    scale-free instead of degenerating to zero rows as part count grows.
+
+    Determinism: the threshold compare is on EXACT decimal sums (per-row
+    double products are bit-identical in both engines, cast to
+    DECIMAL(18,6), summed order-insensitively) — a part sitting exactly
+    at 1.5× mean can't flip on summation order. Only the display column
+    rounds back through double.
+
+    Scale: ONE fact aggregate keyed by partkey (supplier/nation/part
+    broadcast); the total is a second tiny aggregate over part-count rows
+    broadcast back as a 1-row cross join. `val` is localCheckpointed so
+    its two consumers don't rescan the fact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pa = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_9", "NATION_11")
+    ).select("n_nationkey")
+    term = (F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(18,6)")
+    val = (
+        li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(term).alias("val_exact"))
+        .localCheckpoint(eager=False)
+    )
+    tot = val.agg(
+        F.sum("val_exact").alias("total"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("val_exact") * F.col("cnt") > 3 * F.col("total"))
+        .select(
+            "partkey",
+            dround(F.col("val_exact").cast("double"), 2).alias("value"),
+        )
+    )
+
+
+@_q(
+    "tpch_q12_late_priority_lines",
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: how many
+    HIGH- vs LOW-priority order lines shipped late, per line class — the
+    canonical conditional two-way count over a fact-fact join with a
+    CROSS-RELATION date residual (shipdate vs orderdate + 60 days: the
+    predicate references both join sides, so it can't push below the
+    join). The trimmed lineitem has no l_shipmode/l_commitdate/
+    l_receiptdate; l_returnflag stands in for the mode grouping and
+    ship-after-order+60d for the receipt-after-commit lateness test —
+    the same shape, same pushability profile.
+
+    Scale: the shipdate range IS scan-pushable and prunes the fact first;
+    the residual runs post-join on surviving rows. One orderkey shuffle
+    (AQE broadcasts orders at small SF); both counts come from the SAME
+    pass (no self-join), group space = 3 flags."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@_q(
+    "tpch_q16_supplier_part_counts",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM pairs JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many distinct
+    suppliers can provide parts of each (brand, type, size) combination,
+    excluding an unwanted brand/type, a size whitelist, and a NOT-IN
+    supplier exclusion set. The trimmed schema has no partsupp (pairs
+    come from lineitem, as in Q2) and no s_comment (the spec's
+    'complaints' exclusion becomes negative account balance) — the
+    shape is intact: DISTINCT-pair source, NOT IN anti-join, and a
+    count(DISTINCT) over a three-attribute group.
+
+    Scale: part filters broadcast into the pair dedup (only qualifying
+    partkeys shuffle); the exclusion set is tiny and applies as a
+    broadcast null-aware anti join (s_suppkey is non-null here, so no
+    null-semantics surprise); count(DISTINCT suppkey) re-shuffles by the
+    group key — two exchanges total, both on reduced data. Group space
+    is brands × types × sizes (~10³) — partials collapse it."""
+    pa = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "tpch_q20_promotable_suppliers",
+    """
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'
+        )
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 60
+    )
+    """,
+)
+def tpch_q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: suppliers who moved
+    significant volume of name-matched parts in a year — the DOUBLE-NESTED
+    IN shape (supplier IN {shippers of parts IN {LIKE-matched parts}}
+    with a grouped HAVING inside the middle subquery). The trimmed schema
+    has no partsupp/ps_availqty, so the spec's 'stock > half of shipped
+    qty' becomes 'shipped qty of a single part > 60 units' — the nesting
+    and decorrelation structure (two semi joins, inner group-filter) is
+    what this query pins, and it survives intact.
+
+    Determinism: l_quantity is integer-valued; per-row BIGINT casts make
+    the HAVING sum exact in both engines.
+
+    Scale: the part LIKE-filter broadcasts into the year-pruned fact scan
+    (the date range pushes to parquet; contains-LIKE can't, but runs on
+    the small part side only); the grouped HAVING keys on
+    (suppkey, partkey) — one fact shuffle; the surviving suppkey set is
+    tiny and applies to supplier as a broadcast LEFT SEMI."""
+    pa = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("gear")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    movers = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        su.join(
+            F.broadcast(movers),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
     )

@@ -582,3 +582,65 @@ def test_hot_keys_single_fact_scan(spark, qs):
     assert p.count("Scan ExistingRDD") >= 1
     ev_scans = [l for l in p.splitlines() if "Scan parquet" in l and "events" in l]
     assert len(ev_scans) == 0  # ran inside the checkpoint
+
+
+def test_tpch_q2_pair_dedup_after_part_filter(spark, qs):
+    """tpch_q2: the pair dedup shuffles only part-filtered lineitem rows
+    (broadcast part filter BELOW the distinct), every dimension
+    broadcasts, and the min-equality join-back never widens to a
+    cartesian. The cand CTE feeds min + join-back from one checkpoint —
+    the fact scan appears once."""
+    p = plan(qs["tpch_q2_min_cost_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # Both consumers (min aggregate + join-back) read the checkpointed
+    # cand RDD — the lineitem parquet never re-scans in the final plan.
+    assert not any(
+        "ReadSchema" in l and "l_partkey" in l for l in p.splitlines()
+    )
+    assert "ExistingRDD" in p
+    # deterministic LIMIT rides TakeOrdered, not a global sort.
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q11_single_fact_aggregate(spark, qs):
+    """tpch_q11: the val CTE feeds the total subquery AND the threshold
+    filter from ONE localCheckpointed aggregate; the 1-row total joins
+    back as a broadcast, and supplier/nation/part all broadcast."""
+    p = plan(qs["tpch_q11_important_parts"](spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # The fact scan feeds the checkpointed aggregate exactly once.
+    assert (
+        sum("l_partkey" in l for l in p.splitlines() if "ReadSchema" in l) <= 1
+    )
+
+
+def test_tpch_q12_date_range_pushes_residual_does_not(spark, qs):
+    """tpch_q12: the shipdate range reaches the lineitem scan
+    (PushedFilters), while the cross-relation lateness residual
+    (l_shipdate > o_orderdate + 60d) evaluates post-join — and both
+    conditional counts come from a single aggregate pass."""
+    p = plan(qs["tpch_q12_late_priority_lines"](spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert p.count("HashAggregate") >= 2  # partial + final, one pass
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q16_anti_join_and_filtered_dedup(spark, qs):
+    """tpch_q16: the supplier exclusion set applies as a broadcast anti
+    join; the pair dedup happens AFTER the broadcast part filter so only
+    qualifying partkeys shuffle."""
+    p = plan(qs["tpch_q16_supplier_part_counts"](spark, SF))
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q20_nested_semi_joins(spark, qs):
+    """tpch_q20: both IN subqueries decorrelate to broadcast joins — the
+    movers set applies to supplier as LEFT SEMI, and the LIKE-filtered
+    part set broadcasts into the year-pruned fact scan."""
+    p = plan(qs["tpch_q20_promotable_suppliers"](spark, SF))
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p  # year range pushed
+    assert "CartesianProduct" not in p
