@@ -400,7 +400,11 @@ def semantic_dedup_report(
         # fall. Both channels only ever emit exact-verified pairs, so
         # containment in the all-pairs dup set is preserved; cost adds
         # one O(n·bucket) candidate join (the llm_embed_neardup_lsh
-        # plan, ~1.5× sf1 growth in the permanent sweep).
+        # plan). The probe budget self-decays with band width inside
+        # embedding_neardup_pairs (3 probes at sf0.1's 4-bit bands where
+        # they carry the recall; 0 at sf1's 8-bit bands where measured
+        # gain was 2.9% of pairs for 3.6× the join mass), keeping the
+        # channel's sf1 cost at the plain-banding floor.
         dim = embeddings.select(F.size(vec_col)).first()[0]
         lsh_pruned = (
             embedding_neardup_pairs(
@@ -710,7 +714,12 @@ def embedding_neardup_pairs(
     on the sf0.1 fixture, probing inflates the candidate set from 0.18×
     to 0.68× of all-pairs — near-dup thresholds are high (pairs nearly
     collinear), so plain banding already catches them; multi-probe is the
-    recall lever for top-k's mid-similarity neighbors, not for dedup."""
+    recall lever for top-k's mid-similarity neighbors, not for dedup.
+    When requested (True = 2, int = that many), the probe count DECAYS
+    one per adaptive band bit above 4 (see the inline rationale): probes
+    only pay on short bands, so a consumer can ask for 3 and get 3 at
+    sf0.1-like densities but 0 once `adaptive_band_bits` reaches 7+ —
+    the request is a budget, not a contract."""
     a = embeddings.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("ae"))
     b = embeddings.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("be"))
     if approx:
@@ -744,6 +753,22 @@ def embedding_neardup_pairs(
             sig = with_lsh_signature(
                 embeddings, vec_col, n_planes, seed, dim, margins=multiprobe
             ).localCheckpoint(eager=True)
+        # Margin-aware probing (lowest-|margin| flips per band), not
+        # all-bit flips: the full Hamming-1 ring at 8-bit bands is 9
+        # index entries per (vector, band) and was the entire 4× sweep
+        # regression of the probing consumers. multiprobe=True probes 2
+        # flips; an int probes that many — DECAYED one probe per band
+        # bit above the 4-bit floor: a single-bit flip can only rescue a
+        # pair whose band mismatches by exactly 1, and the expected
+        # mismatch of a mid-similarity pair grows linearly with band
+        # width (θ=62.6° ⇒ 0.35·bits ≈ 1.4 bits at 4-bit bands but 2.8
+        # at 8-bit). Measured at sf1 (20k, 8-bit bands): 3 probes added
+        # 2.9% more pairs for 3.6× the candidate join mass (11.7M vs
+        # 3.2M); at sf0.1 (2k, 4-bit bands) the same probes lift
+        # SemDeDup union recall 0.64 → 0.94 — probe budget belongs to
+        # short bands only.
+        probes_req = (2 if multiprobe is True else int(multiprobe)) if multiprobe else 0
+        probes_eff = max(0, probes_req - max(0, band_bits - 4))
         pairs = (
             _explode_bands(
                 sig,
@@ -752,19 +777,7 @@ def embedding_neardup_pairs(
                 "a",
                 n_planes,
                 band_bits,
-                # Margin-aware probing (lowest-|margin| flips per band),
-                # not all-bit flips: at sf1's adaptive 8-bit bands the
-                # full Hamming-1 ring is 9 index entries per (vector,
-                # band) and was the entire 4× sweep regression of the
-                # probing consumers; the low-margin flips keep ~all the
-                # recall (the near-zero-margin bit IS the one a true
-                # pair disagrees on) at a fraction of the index mass.
-                # multiprobe=True probes 2 flips; an int probes that many.
-                probe_lowmargin=(
-                    (2 if multiprobe is True else int(multiprobe))
-                    if multiprobe
-                    else 0
-                ),
+                probe_lowmargin=probes_eff,
             )
             .drop("ae")
             .join(

@@ -1761,3 +1761,35 @@ def test_fixture_text_is_single_space_separated(spark, sf_tiny):
         "fixture text violates the single-space invariant the oracle "
         "tokenization depends on"
     )
+
+
+def test_multiprobe_budget_decays_with_band_width(spark, sf_small):
+    """The probe request is a budget, not a contract: at explicit 8-bit
+    bands (the sf1 adaptive regime) a 3-probe request decays to zero —
+    the pair set must equal plain banding's exactly — while at the
+    4-bit floor probes stay live and can only ADD pairs (superset).
+    Pins the probes_eff = req − (band_bits − 4) decay in
+    embedding_neardup_pairs."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").localCheckpoint(eager=True)
+
+    def pairset(**kw):
+        return {
+            (r.aid, r.bid)
+            for r in embedding_neardup_pairs(
+                emb, threshold=0.46, approx=True, **kw
+            ).collect()
+        }
+
+    wide_plain = pairset(band_bits=8, multiprobe=False)
+    wide_probed = pairset(band_bits=8, multiprobe=3)
+    assert wide_probed == wide_plain  # 3 − (8−4) < 0 → no probes
+
+    narrow_plain = pairset(band_bits=4, multiprobe=False)
+    narrow_probed = pairset(band_bits=4, multiprobe=3)
+    assert narrow_probed >= narrow_plain  # probes live, candidates only grow
+    assert len(narrow_probed) > len(narrow_plain)  # and do fire on this fixture

@@ -115,6 +115,15 @@ QUERIES = [
     # (batch-broadcast inverted-index join, must track batch size).
     "llm_graph_triangles_count",
     "pipe_ingest_neardup_gate_exact",
+    # Round-6 TPC-H completion: correlated-min over deduped pairs (Q2),
+    # scalar-subquery threshold on a checkpointed aggregate (Q11), the
+    # cross-relation date residual (Q12), NOT-IN distinct-count (Q16),
+    # and the double-nested IN (Q20).
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority_lines",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotable_suppliers",
 ]
 
 
