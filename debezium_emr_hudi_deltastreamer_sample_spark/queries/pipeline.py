@@ -603,7 +603,7 @@ def pipe_ingest_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst = cands.groupBy(F.col("id_a").alias("doc_id")).agg(
         F.max("est_jaccard").alias("best_match")
     )
-    gated = batch.join(worst, "doc_id", "left_outer").withColumn(
+    gated = batch.join(F.broadcast(worst), "doc_id", "left_outer").withColumn(
         "rejected", F.coalesce(F.col("best_match"), F.lit(0.0)) >= 0.5
     )
     return gated.groupBy("lang").agg(
@@ -709,6 +709,8 @@ def pipe_ingest_neardup_gate_exact(spark: SparkSession, sf_dir: str) -> DataFram
     # Global gram order = (batch-df, total-df, gram): batch-absent grams
     # first (see docstring), rare-first within the batch-present tail.
     # Vocabulary-sized aggregate.
+    # Checkpointed: both prefix() legs join it — lazy, the full-corpus
+    # explode+aggregate (the dominant scan here) would run once per leg.
     gram_df = (
         sh_b.select(F.explode("sh_a").alias("g"), F.lit(1).alias("isb"))
         .unionAll(
@@ -716,6 +718,7 @@ def pipe_ingest_neardup_gate_exact(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .groupBy("g")
         .agg(F.sum("isb").alias("df_b"), F.count(F.lit(1)).alias("df_t"))
+        .localCheckpoint(eager=True)
     )
 
     def prefix(side: DataFrame, id_name: str, arr: str) -> DataFrame:
@@ -750,16 +753,20 @@ def pipe_ingest_neardup_gate_exact(spark: SparkSession, sf_dir: str) -> DataFram
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jacc = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    # Verify order keeps the corpus un-shuffled: the bare (id_a, id_b)
+    # candidate list broadcasts INTO the corpus scan first (ids only —
+    # no shingle arrays ride the broadcast), then the candidate-sized
+    # result picks up the batch arrays from a second small broadcast.
     verified = (
-        cand.join(F.broadcast(sh_b), "id_a")
-        .join(sh_c, "id_b")
+        sh_c.join(F.broadcast(cand), "id_b")
+        .join(F.broadcast(sh_b), "id_a")
         .select("id_a", jacc.alias("j"))
         .filter(F.col("j") >= t)
     )
     worst = verified.groupBy(F.col("id_a").alias("doc_id")).agg(
         F.max("j").alias("best_match")
     )
-    gated = batch.join(worst, "doc_id", "left_outer").withColumn(
+    gated = batch.join(F.broadcast(worst), "doc_id", "left_outer").withColumn(
         "rejected", F.coalesce(F.col("best_match"), F.lit(0.0)) >= 0.5
     )
     return gated.groupBy("lang").agg(

@@ -1576,10 +1576,13 @@ def test_semantic_dedup_prunes_subset_of_exact(spark, sf_small):
     cell_pruned = {
         r.vec_id for r in semantic_dedup_pruned_ids(assigned).collect()
     }
+    # multiprobe=3 matches semantic_dedup_report's own re-probe channel
+    # exactly (a 2-probe recompute can silently diverge from the report:
+    # the third probe finds real extra pairs on this fixture).
     lsh_pruned = {
         r.bid
         for r in embedding_neardup_pairs(
-            emb, threshold=0.46, approx=True, multiprobe=True
+            emb, threshold=0.46, approx=True, multiprobe=3
         ).collect()
     }
     pruned = cell_pruned | lsh_pruned
@@ -1777,11 +1780,11 @@ def test_multiprobe_budget_decays_with_band_width(spark, sf_small):
 
     emb = load_table(spark, sf_small, "embeddings").localCheckpoint(eager=True)
 
-    def pairset(**kw):
+    def pairset(threshold_override=0.46, **kw):
         return {
             (r.aid, r.bid)
             for r in embedding_neardup_pairs(
-                emb, threshold=0.46, approx=True, **kw
+                emb, threshold=threshold_override, approx=True, **kw
             ).collect()
         }
 
@@ -1793,3 +1796,11 @@ def test_multiprobe_budget_decays_with_band_width(spark, sf_small):
     narrow_probed = pairset(band_bits=4, multiprobe=3)
     assert narrow_probed >= narrow_plain  # probes live, candidates only grow
     assert len(narrow_probed) > len(narrow_plain)  # and do fire on this fixture
+
+    # The decay is THRESHOLD-GATED: below 0.4 (graph-analytics regime,
+    # where probes carry +41% true edges at sf1 — see the operator
+    # docstring) the full budget is honored even at wide bands.
+    low_plain = pairset(band_bits=8, multiprobe=False, threshold_override=0.35)
+    low_probed = pairset(band_bits=8, multiprobe=3, threshold_override=0.35)
+    assert low_probed >= low_plain
+    assert len(low_probed) > len(low_plain)

@@ -644,3 +644,15 @@ def test_tpch_q20_nested_semi_joins(spark, qs):
     assert "LeftSemi" in p
     assert "GreaterThanOrEqual(l_shipdate" in p  # year range pushed
     assert "CartesianProduct" not in p
+
+
+def test_ingest_gate_exact_corpus_never_repartitions(spark, qs):
+    """pipe_ingest_neardup_gate_exact: the id-only candidate list and the
+    batch shingle arrays broadcast into the verify joins — the corpus
+    side must not flow through a SortMergeJoin (the silent regression
+    would shuffle the whole corpus shingle table by id_b), and the
+    whole plan stays broadcast-joined at fixture scale."""
+    p = plan(qs["pipe_ingest_neardup_gate_exact"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
