@@ -392,11 +392,10 @@ def semantic_dedup_report(
     )
     if lsh_reprobe and dim is None:
         # Fallback width probe — one tiny job; callers that know their
-        # schema (queries/llm.py passes the fixture's 64) skip it. An
-        # empty input has no width and nothing to re-probe.
-        row = embeddings.select(F.size(vec_col)).first()
-        dim = None if row is None else row[0]
-    if lsh_reprobe and dim is not None:
+        # schema (queries/llm.py passes the fixture's 64) skip it. Empty
+        # input can't reach here: the k-means fit above already raised.
+        dim = embeddings.select(F.size(vec_col)).first()[0]
+    if lsh_reprobe:
         # Second candidate channel: multiprobe random-hyperplane LSH pairs
         # at the SAME threshold, exact-cosine re-checked — the recall
         # complement of cell sharing. Mid-similarity pairs (the 0.46
@@ -426,6 +425,14 @@ def semantic_dedup_report(
                 # see docstring; cost is one more index entry per band).
                 multiprobe=3,
                 dim=int(dim),
+                # n is already counted above — sizing the bands here hits
+                # embedding_neardup_pairs' explicit-width branch: no
+                # redundant sig.count() job, a 3·bits-plane signature
+                # instead of the 48-plane adaptive max, and no dead
+                # checkpointed margins column once the ≥0.4-threshold
+                # decay zeroes the probes (hyperplanes are prefix-stable,
+                # so the pair set is identical either way).
+                band_bits=adaptive_band_bits(n),
             )
             .select(F.col("bid").alias(id_col))
             .distinct()

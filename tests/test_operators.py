@@ -1767,11 +1767,13 @@ def test_fixture_text_is_single_space_separated(spark, sf_tiny):
 
 
 def test_multiprobe_budget_decays_with_band_width(spark, sf_small):
-    """The probe request is a budget, not a contract: at explicit 8-bit
-    bands (the sf1 adaptive regime) a 3-probe request decays to zero —
-    the pair set must equal plain banding's exactly — while at the
-    4-bit floor probes stay live and can only ADD pairs (superset).
-    Pins the probes_eff = req − (band_bits − 4) decay in
+    """The probe request is a budget, not a contract — but only at dedup
+    thresholds: at ≥0.4 with explicit 8-bit bands (the sf1 adaptive
+    regime) a 3-probe request decays to zero — the pair set must equal
+    plain banding's exactly — while at the 4-bit floor probes stay live
+    and can only ADD pairs (superset). Below 0.4 (graph analytics) the
+    decay is OFF and the full budget applies at every width. Pins the
+    THRESHOLD-GATED probes_eff = req − (band_bits − 4) decay in
     embedding_neardup_pairs."""
     from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
     from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
