@@ -46,7 +46,15 @@ def asof_join(
     # A right row with a NULL timestamp can never satisfy right.ts <=
     # left.ts, but ascending nulls-first ordering would sort it ahead of
     # everything and make it everyone's "most recent" match — drop it.
+    # Likewise a NULL join KEY: Window.partitionBy groups NULLs into one
+    # partition, so NULL-key left rows would match NULL-key right rows —
+    # but the documented semantics are DuckDB ASOF JOIN's equi-match,
+    # where NULL = NULL never holds. Dropping NULL-key right rows leaves
+    # NULL-key left rows alone in their partition → null match, exactly
+    # the equi-join behavior.
     right = right.filter(F.col(right_ts).isNotNull())
+    for key in on:
+        right = right.filter(F.col(key).isNotNull())
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),

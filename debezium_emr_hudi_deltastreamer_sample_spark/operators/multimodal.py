@@ -462,7 +462,13 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     n_frames = (
         ((F.col("media_meta.duration_ms") - 1) / every_ms).cast("int") + 1
     )
-    return df.filter(F.col("media_meta.media_type") == "video").select(
+    # duration 0 or NULL has no sampleable frames: (0−1)/every casts to 0
+    # → +1 would emit a phantom frame at ts 0, and NULL duration slips
+    # through greatest(NULL, 0) the same way — exclude both up front.
+    return df.filter(
+        (F.col("media_meta.media_type") == "video")
+        & (F.col("media_meta.duration_ms") > 0)
+    ).select(
         "media_id",
         F.explode(
             F.transform(

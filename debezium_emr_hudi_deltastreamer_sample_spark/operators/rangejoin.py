@@ -44,6 +44,15 @@ def binned_range_join(
         # non-ANSI Spark) and the join silently return zero rows.
         raise ValueError(f"bin_width must be positive, got {bin_width!r}")
 
+    for side, name in ((points, "points"), (intervals, "intervals")):
+        if "__bin" in side.columns:
+            # Same contract as merge.py's _reject_reserved: silently
+            # clobbering then dropping a user column destroys data.
+            raise ValueError(
+                f"binned_range_join {name} side carries reserved column "
+                "'__bin'; rename it before joining"
+            )
+
     def bin_of(c: Column) -> Column:
         return F.floor(c / F.lit(float(bin_width))).cast("long")
 
@@ -88,6 +97,12 @@ def binned_interval_join(
         )
     if not bin_width > 0:
         raise ValueError(f"bin_width must be positive, got {bin_width!r}")
+    for side, name in ((left, "left"), (right, "right")):
+        if "__bin" in side.columns:
+            raise ValueError(
+                f"binned_interval_join {name} side carries reserved column "
+                "'__bin'; rename it before joining"
+            )
 
     def bin_of(c) -> "F.Column":
         return F.floor(F.col(c) / F.lit(float(bin_width))).cast("long")

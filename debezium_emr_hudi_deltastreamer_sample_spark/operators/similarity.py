@@ -146,6 +146,7 @@ def _kmeans_fit_sample(
     seed: int,
     max_iter: int,
     sample_size: int = 50_000,
+    n: int | None = None,
 ) -> np.ndarray:
     """Coarse-quantizer training, the IVF way: k-means++ on a bounded
     driver-side sample, pure numpy. At 100 TB you never fit on the full
@@ -154,8 +155,10 @@ def _kmeans_fit_sample(
     loop instead of ``max_iter`` distributed jobs (the Spark ML KMeans
     version spent ~8 s of pure job-scheduling overhead on a 2000-row
     fixture). Returns (nlist, dim) centroids — tiny, shipped in UDF
-    closures."""
-    frac = min(1.0, sample_size / max(1, embeddings.count()))
+    closures. ``n``: pass the table's row count if the caller already
+    ran it (semantic_dedup_report sizes k from the same count) — saves a
+    full-table count job per fit."""
+    frac = min(1.0, sample_size / max(1, n if n is not None else embeddings.count()))
     # Arrow path (toPandas), not Row collect: same rows in the same
     # partition order, but the 64-float arrays cross as Arrow buffers
     # instead of per-element Python objects (~3x faster at the 50k cap).
@@ -247,7 +250,10 @@ def _multi_assign_udf(centroids: np.ndarray, na: int):
 
     @F.pandas_udf("struct<cells:array<int>,coss:array<double>>")
     def assign(vec: pd.Series) -> pd.DataFrame:
-        m = np.stack(vec.to_numpy())
+        # float64 like every other vector UDF here (_cosine_sim,
+        # _signature_udf): a float32-stored embedding column must see the
+        # same near-tie cell ranking the float64 driver-side fit saw.
+        m = np.stack(vec.to_numpy()).astype("float64")
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ centroids.T
         top = _topn_cells(sims, na)
@@ -292,6 +298,7 @@ def _semantic_cells(
     nassign: int,
     seed: int,
     max_iter: int = 8,
+    n: int | None = None,
 ) -> DataFrame:
     """One assignment scan for SemDeDup: adds ``cells`` (the ``nassign``
     nearest centroids, nearest first — cells[0] is the primary/reporting
@@ -300,7 +307,7 @@ def _semantic_cells(
     secondary member sorted by its primary-cell cosine would break
     near-identical adjacency in shared cells)."""
     centroids = _kmeans_fit_sample(
-        embeddings, vec_col, nlist=k, seed=seed, max_iter=max_iter
+        embeddings, vec_col, nlist=k, seed=seed, max_iter=max_iter, n=n
     )
     na = max(1, min(int(nassign), len(centroids)))
     assign = _multi_assign_udf(centroids, na)
@@ -382,7 +389,7 @@ def semantic_dedup_report(
     n = embeddings.count()
     k = max(2, min(n // target_cell, k_max))
     base = _semantic_cells(
-        embeddings, id_col, vec_col, k=k, nassign=nassign, seed=seed
+        embeddings, id_col, vec_col, k=k, nassign=nassign, seed=seed, n=n
     ).localCheckpoint(eager=True)
     # Checkpointed: the pruned-id set feeds BOTH the per-cluster count and
     # the survivor anti-join — lazy, the per-cell pairwise UDF would run
@@ -556,27 +563,29 @@ def ivf_topk(
     """
     centroids = _kmeans_fit_sample(embeddings, vec_col, nlist, seed, max_iter)
 
-    def cell_assigner(n_cells: int):
-        @pandas_udf(T.ArrayType(T.IntegerType()))
-        def cells(vec: pd.Series) -> pd.Series:
-            v = np.stack(vec.to_numpy()).astype("float64")  # (n, dim)
-            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            # Euclidean on unit vectors ≡ cosine ordering: (n, nlist).
-            d = ((v[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-            idx = np.argsort(d, axis=1)[:, :n_cells]
-            return pd.Series(list(idx.astype("int32")))
-
-        return cells
-
+    # _multi_assign_udf is the module's single assigner (kmeans_assign,
+    # SemDeDup, and IVF must rank cells identically): one BLAS matmul per
+    # Arrow batch with NO (n, nlist, dim) broadcast temporary — the naive
+    # pairwise-difference form this replaced re-allocated exactly the
+    # temporary _kmeans_fit_sample's dists() comment measures at 318 s
+    # once a caller scales nlist up, and its unstable argsort tie-break
+    # could drift from _topn_cells' first-occurrence rule. (Euclidean on
+    # unit vectors orders identically to cosine: d² = 2 − 2cos.)
+    nassign = max(1, min(int(nassign), len(centroids)))
+    nprobe = max(1, min(int(nprobe), len(centroids)))
     emb_cells = embeddings.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("ce"),
-        F.explode(cell_assigner(nassign)(F.col(vec_col))).alias("cell"),
+        F.explode(
+            _multi_assign_udf(centroids, nassign)(F.col(vec_col))["cells"]
+        ).alias("cell"),
     )
     q_cells = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qe"),
-        F.explode(cell_assigner(nprobe)(F.col(vec_col))).alias("cell"),
+        F.explode(
+            _multi_assign_udf(centroids, nprobe)(F.col(vec_col))["cells"]
+        ).alias("cell"),
     )
     cands = emb_cells.join(F.broadcast(q_cells), "cell").filter(
         F.col("qid") != F.col("cid")
@@ -795,6 +804,16 @@ def embedding_neardup_pairs(
         else:
             if n_planes is None:
                 n_planes = 3 * band_bits
+            if n_planes // band_bits < 1:
+                # Same hazard the adaptive branch clamps away: zero bands
+                # would mean zero candidate pairs and every duplicate
+                # silently kept — refuse loudly on explicit widths.
+                raise ValueError(
+                    f"band_bits={band_bits} exceeds n_planes={n_planes}: "
+                    "no bands would survive (n_bands = n_planes // "
+                    "band_bits = 0) and the candidate join would be "
+                    "silently empty"
+                )
             # Explicit width: the probe budget is decidable BEFORE the
             # signature, so a fully-decayed request skips the margins
             # column instead of checkpointing dead payload.
@@ -828,8 +847,17 @@ def embedding_neardup_pairs(
                 ).drop("be"),
                 ["band", "bucket"],
             )
-            .filter(F.col("aid") < F.col("bid"))
-            .select("aid", "bid")
+            .filter(F.col("aid") != F.col("bid"))
+            # Canonicalize with least/greatest instead of filtering
+            # aid < bid: probes fire on the a-side only, so a pair whose
+            # differing bit is low-margin only for the HIGHER id arrives
+            # as (aid=hi, bid=lo) — an aid<bid filter would discard that
+            # already-paid-for rescue (the lo-side probe need not fire).
+            # Identical join mass; the distinct collapses both routes.
+            .select(
+                F.least("aid", "bid").alias("aid"),
+                F.greatest("aid", "bid").alias("bid"),
+            )
             .distinct()
             .join(a, "aid")
             .join(b, "bid")

@@ -47,6 +47,14 @@ def salted_join(
             "the dim side is replicated per salt"
         )
     on = list(on)
+    for side, name in ((fact, "fact"), (dim, "dim")):
+        if "__salt" in side.columns:
+            # Same contract as merge.py's _reject_reserved: a silent
+            # clobber-and-drop of a user column destroys data — refuse.
+            raise ValueError(
+                f"salted_join {name} side carries reserved column "
+                "'__salt'; rename it before joining"
+            )
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn(

@@ -1806,3 +1806,93 @@ def test_multiprobe_budget_decays_with_band_width(spark, sf_small):
     low_probed = pairset(band_bits=8, multiprobe=3, threshold_override=0.35)
     assert low_probed >= low_plain
     assert len(low_probed) > len(low_plain)
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Equi-join semantics (DuckDB ASOF JOIN): NULL = NULL never holds.
+    Window.partitionBy would happily group NULL keys into one partition —
+    the operator must drop NULL-key right rows so a NULL-key left row
+    gets a null match, not another NULL-key row's value."""
+    left = spark.createDataFrame(
+        [(None, 5), ("k", 5)], "key string, ts int"
+    )
+    right = spark.createDataFrame(
+        [(None, 3, 7.0), ("k", 3, 9.0)], "key string, ts int, val double"
+    )
+    out = {
+        r.key: r.val_asof
+        for r in asof_join(
+            left, right, on=["key"], left_ts="ts", right_ts="ts",
+            right_values=["val"],
+        ).collect()
+    }
+    assert out["k"] == 9.0
+    assert out[None] is None  # NULL key matched nothing
+
+
+def test_frame_sample_zero_and_null_duration_emit_no_frames(spark):
+    """A clip with duration 0 (or NULL) has no sampleable frames — the
+    round-6 review caught a phantom ts-0 frame from the ceil arithmetic."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, None), (3, 2500)], "media_id long, d int"
+    ).select(
+        "media_id",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.col("d").alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+    rows = frame_sample_plan(df, every_ms=1000).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    assert 1 not in by_id and 2 not in by_id
+    assert sorted(by_id[3]) == [0, 1000, 2000]
+
+
+def test_reserved_working_columns_fail_loudly(spark):
+    """salted_join / binned range joins must refuse inputs that carry the
+    engine's reserved working columns instead of silently clobbering and
+    dropping user data (the merge.py _reject_reserved contract)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.rangejoin import (
+        binned_interval_join,
+        binned_range_join,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.skew import (
+        salted_join,
+    )
+
+    fact = spark.createDataFrame([(1, "x")], "k int, __salt string")
+    dim = spark.createDataFrame([(1, "d")], "k int, v string")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(fact, dim, on=["k"])
+
+    pts = spark.createDataFrame([(1.0, "x")], "p double, __bin string")
+    iv = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="__bin"):
+        binned_range_join(pts, iv, "p", "lo", "hi", bin_width=1.0)
+    with pytest.raises(ValueError, match="__bin"):
+        binned_interval_join(
+            pts.select(F.col("p").alias("a_lo"), F.col("p").alias("a_hi"),
+                       "__bin"),
+            iv, "a_lo", "a_hi", "lo", "hi", bin_width=1.0,
+        )
+
+
+def test_explicit_band_width_collapse_refused(spark, sf_tiny):
+    """band_bits wider than n_planes would yield zero bands and a silently
+    empty candidate join (every duplicate kept) — must raise instead."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_tiny, "embeddings")
+    with pytest.raises(ValueError, match="no bands would survive"):
+        embedding_neardup_pairs(
+            emb, threshold=0.9, approx=True, n_planes=12, band_bits=16
+        ).collect()
