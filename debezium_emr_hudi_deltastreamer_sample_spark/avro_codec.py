@@ -151,9 +151,20 @@ class EnvelopeAvro:
         # (avrolog writer) leaves it OFF — there NaN is a legitimate
         # non-null double and mapping it to null would silently corrupt
         # the value.
-        is_null = v is None or (
-            self.nan_is_null and isinstance(v, float) and v != v
-        )
+        # Null-likeness must cover every NaN the Arrow/pandas lane can
+        # deliver, not just python float: np.float32 NaN is NOT a float
+        # subclass (NULL would silently encode as an Avro NaN value) and
+        # a nullable Timestamp arrives as pd.NaT (int(NaT math) raises,
+        # killing the task). Both satisfy the IEEE self-inequality test;
+        # the try keeps exotic types (arrays, overloaded __ne__) from
+        # leaking through as crashes. Pure stdlib — no pandas import.
+        def _nan_like(x: Any) -> bool:
+            try:
+                return bool(x != x)
+            except Exception:
+                return False
+
+        is_null = v is None or (self.nan_is_null and _nan_like(v))
         for i, s in enumerate(union):
             if (s == "null") == is_null:
                 return i
@@ -163,10 +174,27 @@ class EnvelopeAvro:
     def decode(self, b: bytes) -> dict:
         return self._dec(self.schema, io.BytesIO(b))
 
+    @staticmethod
+    def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+        # Every fixed-width read validates its length: a truncated buffer
+        # must raise (the framing layer promises IOError on corruption),
+        # not silently decode EOF as False/empty/garbage.
+        b = buf.read(n)
+        if len(b) != n:
+            raise IOError(
+                f"truncated Avro payload: wanted {n} bytes, got {len(b)}"
+            )
+        return b
+
     def _dec(self, schema: Any, buf: io.BytesIO) -> Any:
         schema = _resolve(schema, self.registry)
         if isinstance(schema, list):
-            return self._dec(schema[_read_long(buf)], buf)
+            i = _read_long(buf)
+            if not 0 <= i < len(schema):
+                raise IOError(
+                    f"corrupt Avro union index {i} for {len(schema)}-branch union"
+                )
+            return self._dec(schema[i], buf)
         t = schema["type"] if isinstance(schema, dict) else schema
         logical = schema.get("logicalType") if isinstance(schema, dict) else None
         if t == "record":
@@ -174,7 +202,7 @@ class EnvelopeAvro:
         if t == "null":
             return None
         if t == "boolean":
-            return buf.read(1) == b"\x01"
+            return self._read_exact(buf, 1) == b"\x01"
         if t in ("int", "long"):
             n = _read_long(buf)
             if logical == "date":
@@ -187,11 +215,11 @@ class EnvelopeAvro:
                 ) + _dt.timedelta(microseconds=n)
             return n
         if t == "float":
-            return struct.unpack("<f", buf.read(4))[0]
+            return struct.unpack("<f", self._read_exact(buf, 4))[0]
         if t == "double":
-            return struct.unpack("<d", buf.read(8))[0]
+            return struct.unpack("<d", self._read_exact(buf, 8))[0]
         if t == "bytes":
-            return buf.read(_read_long(buf))
+            return self._read_exact(buf, _read_long(buf))
         if t == "string":
-            return buf.read(_read_long(buf)).decode("utf-8")
+            return self._read_exact(buf, _read_long(buf)).decode("utf-8")
         raise TypeError(f"unsupported Avro type {t!r}")

@@ -85,21 +85,38 @@ def parse_envelope(
     return project_envelope(parsed, "json")
 
 
-def project_envelope(parsed: DataFrame, env_col: str) -> DataFrame:
+def project_envelope(
+    parsed: DataFrame, env_col: str, payload_wrapped: bool = True
+) -> DataFrame:
     """Flatten an ALREADY-PARSED envelope struct column into change rows —
     the projection half of ``parse_envelope``, factored out so a caller
     that needs both the raw bytes and the parsed struct (e.g. dead-letter
     routing) can run ``from_json`` ONCE and reuse the result for the DLQ
-    split and the merge."""
+    split and the merge. ``payload_wrapped=False`` serves the Avro lane,
+    whose envelope has no ``payload`` wrapper (AvroConverter shape) —
+    ONE projection definition for both wire formats, so delete-awareness
+    and metadata columns cannot drift between them."""
+    base = f"{env_col}.payload" if payload_wrapped else env_col
     img = F.when(
-        F.col(f"{env_col}.payload.op") == "d", F.col(f"{env_col}.payload.before")
-    ).otherwise(F.col(f"{env_col}.payload.after"))
+        F.col(f"{base}.op") == "d", F.col(f"{base}.before")
+    ).otherwise(F.col(f"{base}.after"))
+    out = parsed.withColumn("_row", img)
+    # The projection prepends op/_lsn/_ts_ms next to `_row.*`: a row
+    # schema carrying one of those names would emit a duplicate column
+    # (AMBIGUOUS_REFERENCE downstream) — refuse loudly, like the
+    # merge-layer's _reject_reserved.
+    row_fields = {f.name for f in out.schema["_row"].dataType.fields}
+    clash = row_fields & {"op", "_lsn", "_ts_ms", "_row"}
+    if clash:
+        raise ValueError(
+            f"row schema carries reserved envelope column(s) "
+            f"{sorted(clash)}; rename them before ingesting"
+        )
     return (
-        parsed.withColumn("_row", img)
-        .select(
-            F.col(f"{env_col}.payload.op").alias("op"),
-            F.col(f"{env_col}.payload.source.lsn").alias("_lsn"),
-            F.col(f"{env_col}.payload.ts_ms").alias("_ts_ms"),
+        out.select(
+            F.col(f"{base}.op").alias("op"),
+            F.col(f"{base}.source.lsn").alias("_lsn"),
+            F.col(f"{base}.ts_ms").alias("_ts_ms"),
             F.col("_row.*"),
         )
         # Defensive: malformed JSON → from_json yields null payload; drop.
@@ -201,7 +218,6 @@ def avro_available(spark) -> bool:
     if app_id in _AVRO_PROBE_CACHE:
         return _AVRO_PROBE_CACHE[app_id]
     try:
-        from pyspark.sql import functions as F  # noqa: F401 (local import)
         from pyspark.sql.avro.functions import to_avro
 
         spark.range(1).select(
@@ -249,19 +265,7 @@ def parse_envelope_avro(
             F.col(value_col), avro_schema_json, {"mode": "PERMISSIVE"}
         ),
     )
-    img = F.when(F.col("env.op") == "d", F.col("env.before")).otherwise(
-        F.col("env.after")
-    )
-    return (
-        parsed.withColumn("_row", img)
-        .select(
-            F.col("env.op").alias("op"),
-            F.col("env.source.lsn").alias("_lsn"),
-            F.col("env.ts_ms").alias("_ts_ms"),
-            F.col("_row.*"),
-        )
-        .filter(F.col("op").isNotNull())
-    )
+    return project_envelope(parsed, "env", payload_wrapped=False)
 
 
 def parse_envelope_avro_py(
@@ -304,6 +308,15 @@ def parse_envelope_avro_py(
         ]
     )
     row_fields = [f.name for f in row_schema.fields]
+    clash = set(row_fields) & {"op", "_lsn", "_ts_ms"}
+    if clash:
+        # The output dict merge would silently OVERWRITE the envelope op
+        # with the row field's value (a delete mis-merged as an upsert) —
+        # same reserved-name contract as project_envelope.
+        raise ValueError(
+            f"row schema carries reserved envelope column(s) "
+            f"{sorted(clash)}; rename them before ingesting"
+        )
     cols = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

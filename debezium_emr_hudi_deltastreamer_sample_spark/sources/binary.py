@@ -48,7 +48,14 @@ def read_binary_media(
     df = reader.load(path)
     if max_bytes is not None:
         df = df.filter(F.col("length") <= max_bytes)
-    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    # Extension from the BASENAME's final dot only: a split of the whole
+    # path would hand back path fragments for extensionless files or
+    # dotted directory names ('/data.v2/clip' → 'v2/clip'). No match →
+    # empty string → NULL format, 'unknown' media type.
+    ext = F.nullif(
+        F.lower(F.regexp_extract(F.col("path"), r"\.([^./\\]+)$", 1)),
+        F.lit(""),
+    )
     media_type = F.coalesce(
         *[F.when(ext == e, F.lit(t)) for e, t in _MEDIA_TYPES.items()],
         F.lit("unknown"),

@@ -57,9 +57,18 @@ class ChangefeedReader(DataSourceReader):
     def pushFilters(self, filters):
         from pyspark.sql.datasource import EqualTo
 
+        # Consume at most ONE op equality. Claiming several and keeping
+        # only the last would be a wrong-results bug: Spark removes every
+        # consumed predicate from the plan, so `op = 'c' AND op = 'd'`
+        # (correct answer: zero rows) would scan with just op = 'd'. The
+        # extras stay unsupported and Spark re-applies them post-scan.
         unsupported = []
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("op",):
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("op",)
+                and self.op_filter is None
+            ):
                 self.op_filter = f.value
             else:
                 unsupported.append(f)

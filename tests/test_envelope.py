@@ -394,3 +394,70 @@ def test_avro_codec_roundtrip_property(rows):
         rec = {"a": a, "b": b, "c": c, "d": d, "e": e}
         back = codec.decode(codec.encode(rec))
         assert back == rec
+
+
+def test_avro_nan_like_nulls_and_corruption_guards():
+    """Round-6 review fixes: (1) nan_is_null must treat np.float32 NaN and
+    pd.NaT as null (float32 NaN is not a `float` subclass — NULL silently
+    encoded as an Avro NaN value; NaT crashed the timestamp math); (2) the
+    decoder must raise on truncation and corrupt union indexes instead of
+    decoding EOF as False/garbage."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.avro_codec import EnvelopeAvro
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "f", "type": ["null", "float"]},
+                {"name": "t", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+                {"name": "b", "type": "boolean"},
+            ],
+        }
+    )
+    codec = EnvelopeAvro(schema, nan_is_null=True)
+    back = codec.decode(
+        codec.encode({"f": np.float32("nan"), "t": pd.NaT, "b": True})
+    )
+    assert back["f"] is None and back["t"] is None and back["b"] is True
+    # A REAL float NaN with nan_is_null OFF stays a value (avrolog lane).
+    strict = EnvelopeAvro(schema, nan_is_null=False)
+    v = strict.decode(strict.encode({"f": float("nan"), "t": None, "b": False}))
+    assert v["f"] != v["f"]  # NaN round-trips as NaN, not null
+
+    full = codec.encode({"f": 1.5, "t": None, "b": True})
+    with pytest.raises(IOError):
+        codec.decode(full[:-1])  # truncated boolean
+    # Corrupt union index: first byte is the f-union branch varint; 0x04
+    # zigzag-decodes to 2, out of range for a 2-branch union.
+    with pytest.raises(IOError):
+        codec.decode(b"\x04" + full[1:])
+
+
+def test_envelope_reserved_row_columns_rejected(spark):
+    """A row schema carrying op/_lsn/_ts_ms would collide with the
+    envelope projection (duplicate columns in SQL lanes, silent op
+    overwrite in the Python lane) — both lanes must refuse loudly."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import (
+        parse_envelope,
+        parse_envelope_avro_py,
+    )
+
+    bad = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("op", T.StringType())]
+    )
+    raw = spark.createDataFrame([('{"payload": null}',)], "value string")
+    with pytest.raises(ValueError, match="reserved envelope column"):
+        parse_envelope(raw, row_schema=bad).collect()
+    braw = spark.createDataFrame([(b"",)], "value binary")
+    with pytest.raises(ValueError, match="reserved envelope column"):
+        parse_envelope_avro_py(braw, row_schema=bad)

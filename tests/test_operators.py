@@ -1896,3 +1896,52 @@ def test_explicit_band_width_collapse_refused(spark, sf_tiny):
         embedding_neardup_pairs(
             emb, threshold=0.9, approx=True, n_planes=12, band_bits=16
         ).collect()
+
+
+def test_read_binary_media_extensionless_in_dotted_dir(spark, tmp_path):
+    """Extension comes from the BASENAME's final dot only: an
+    extensionless file inside a dotted directory must get NULL format /
+    'unknown' type, not a path fragment (round-6 review fix)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.sources import (
+        read_binary_media,
+    )
+
+    d = tmp_path / "data.v2"
+    d.mkdir()
+    (d / "clip").write_bytes(b"rawbytes")
+    (d / "ok.wav").write_bytes(b"RIFF_fake")
+    got = {
+        r.media_id.rsplit("/", 1)[-1]: r
+        for r in read_binary_media(spark, str(d)).collect()
+    }
+    assert got["clip"].media_meta.format is None
+    assert got["clip"].media_meta.media_type == "unknown"
+    assert got["ok.wav"].media_meta.format == "wav"
+
+
+def test_changefeed_pushdown_conflicting_equalities(spark):
+    """pushFilters must consume at most ONE op equality: claiming both
+    sides of `op = 'c' AND op = 'd'` while applying only the last would
+    return op='d' rows where the correct answer is zero (round-6 review
+    fix — Spark drops every consumed predicate from the plan)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.sources.pydatasource import (
+        register_changefeed,
+    )
+
+    register_changefeed(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("changefeed")
+        .option("rows", "200")
+        .load()
+        .filter("op = 'c' AND op = 'd'")
+    )
+    assert df.count() == 0
+    # And a single pushed equality still filters correctly.
+    only_d = (
+        spark.read.format("changefeed")
+        .option("rows", "200")
+        .load()
+        .filter("op = 'd'")
+    )
+    assert only_d.count() == 20 and {r.op for r in only_d.collect()} == {"d"}
