@@ -49,3 +49,24 @@ def hadoop_fs(spark, path: str):
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, hpath
+
+
+def read_parquet_if_present(spark, path: str):
+    """Parquet read with the NARROW missing-vs-broken distinction used by
+    every bootstrap-or-merge decision (KeyedTable.exists, the SCD2 fold):
+    returns the DataFrame, or None iff the table is MISSING/EMPTY
+    (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA). Any other read failure
+    (transient FS error, corrupt footer, permissions) RAISES — treating a
+    blip as "missing" would let the caller's bootstrap-overwrite wipe the
+    table down to one batch. One definition so a Spark upgrade that
+    renames a condition is fixed in one place."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis so the probe happens HERE, not later
+        return df
+    except AnalysisException as e:
+        if e.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise

@@ -85,9 +85,14 @@ def upsert_batch_processor(
 
         if not df.head(1):
             return  # cheap raw-batch probe — skip the parse entirely
+        # Materialize the parsed batch once (the ivm.py pattern): lazy,
+        # the from_json/Avro parse would execute for the head-probe, then
+        # AGAIN inside the merge's upsert/delete branches — redundant CPU
+        # on every trigger of a hot stream. Batch-sized, blocks freed
+        # with the micro-batch.
         changes = (
             parser(df) if parser is not None else parse_envelope(df, row_schema)
-        )
+        ).localCheckpoint(eager=True)
         if not changes.head(1):
             return
         KeyedTable(
@@ -130,7 +135,8 @@ def mor_batch_processor(
 
         if not df.head(1):
             return  # cheap raw-batch probe — skip the parse entirely
-        changes = parse_envelope(df, row_schema)
+        # Same single-parse materialization as the COW processor above.
+        changes = parse_envelope(df, row_schema).localCheckpoint(eager=True)
         if not changes.head(1):
             return
         table = DeltaLogTable(
@@ -266,26 +272,28 @@ def scd2_batch_processor(
     def process(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
         w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
-        b = df.select(key, ts_col, tiebreak, attr).withColumn(
-            "_prev", F.lag(attr).over(w)
+        # First-row detection must be positional (row_number), not
+        # "_prev IS NULL": a previous row whose ATTR is NULL also lags
+        # NULL, which would mint a spurious version for an unchanged
+        # NULL→NULL pair. And change detection must be null-safe —
+        # attr != _prev is three-valued, so a real b→NULL transition
+        # evaluated NULL and was silently dropped.
+        b = (
+            df.select(key, ts_col, tiebreak, attr)
+            .withColumn("_prev", F.lag(attr).over(w))
+            .withColumn("_pos", F.row_number().over(w))
         )
         changes = b.filter(
-            F.col("_prev").isNull() | (F.col(attr) != F.col("_prev"))
-        ).drop("_prev")
+            (F.col("_pos") == 1) | ~F.col(attr).eqNullSafe(F.col("_prev"))
+        ).drop("_prev", "_pos")
         # Only a MISSING/EMPTY table means "first batch". Any other read
         # failure (transient FS error, corrupt footer, permissions) must
         # abort the batch so foreachBatch retries it — swallowing it
         # would fold this batch against nothing and the final overwrite
         # would replace the whole versioned history with it.
-        from pyspark.errors import AnalysisException
+        from ..fsutil import read_parquet_if_present
 
-        try:
-            hist = spark.read.parquet(table_path)
-        except AnalysisException as e:
-            if e.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-                hist = None
-            else:
-                raise
+        hist = read_parquet_if_present(spark, table_path)
         if hist is not None:
             open_rows = hist.filter("is_current").select(
                 key,
@@ -304,13 +312,18 @@ def scd2_batch_processor(
                     )
                 )
                 .withColumn("_rn", F.row_number().over(w))
-                # eqNullSafe: a key FIRST seen in this batch has NULL
-                # _open_attr; plain == makes the whole NOT(...) predicate
-                # NULL and the filter would silently drop that key's
-                # first version (three-valued logic).
+                # Suppress the no-op first change ONLY for keys that have
+                # an open row (_open_from IS NOT NULL): eqNullSafe keeps
+                # plain =='s three-valued logic from dropping first
+                # versions, but alone it over-matches the OTHER way — a
+                # key first seen with a NULL attr has NULL _open_attr, and
+                # eqNullSafe(NULL, NULL) is TRUE, so that key's first
+                # version vanished while the first-ever-batch branch
+                # recorded it (behavior diverged on identical input).
                 .filter(
                     ~(
                         (F.col("_rn") == 1)
+                        & F.col("_open_from").isNotNull()
                         & F.col(attr).eqNullSafe(F.col("_open_attr"))
                     )
                 )

@@ -12,8 +12,12 @@ bucket-count sized, not event-count sized.
 
 Crash-safety (the transactional-foreachBatch-sink contract): each applied
 batch becomes ONE immutable commit directory published with a single
-filesystem rename — the commit's name carries (sequence, batch id, run id),
-so there is no separate marker write that could diverge from the data. A
+filesystem rename. The commit NAME is the sequence number alone — the
+compare-and-swap property requires that any two writers publishing at the
+same seq collide on the name, whatever batch/run they carry — and the
+(batch id, run id) provenance rides INSIDE the directory as an empty
+marker file written into the stage BEFORE the rename, so there is still
+no separate marker write that could diverge from the data. A
 crash before the rename leaves only staging garbage (never visible to
 readers); after the rename the batch is durably applied. Rename is atomic
 on local filesystems and HDFS; on object stores without atomic rename this
@@ -43,7 +47,17 @@ from pyspark.sql import functions as F
 
 from ..fsutil import rename_commit
 
-_COMMIT_RE = re.compile(r"^c(\d{12})_b(\d{12})_(.+)$")
+# Current commit naming: seq-only directory name (true CAS — two writers
+# at the same seq MUST collide on the name, whatever batch/run they carry)
+# with the (batch, run) provenance as an empty marker FILE inside the
+# commit. The pre-round-6 naming carried (seq, batch, run) in the dir name
+# itself, which broke the compare-and-swap: two concurrent writers of
+# different batches built DIFFERENT names at the SAME seq, both renames
+# succeeded, and the next tip folded only one of them — permanent
+# undercount. Old-style names are still parsed for in-place upgrades.
+_COMMIT_RE = re.compile(r"^c(\d{12})$")
+_COMMIT_RE_LEGACY = re.compile(r"^c(\d{12})_b(\d{12})_(.+)$")
+_META_RE = re.compile(r"^_applied_b(\d{12})_(.+)$")
 
 
 class IncrementalRollup:
@@ -73,6 +87,18 @@ class IncrementalRollup:
         self.keys = list(keys)
         self.value_col = value_col
         self.keep_commits = max(1, keep_commits)
+        # Reserved partials-schema names: a key/ts/value column with one of
+        # these would emit duplicate columns inside _partials (opaque
+        # AMBIGUOUS_REFERENCE mid-apply) or be silently shadowed in read()
+        # — fail loudly at the boundary, like merge._reject_reserved.
+        reserved = {"w", "bucket_start", "n", "total", "vmin", "vmax", "mean"}
+        clash = reserved & ({ts_col, value_col} | set(self.keys))
+        if clash:
+            raise ValueError(
+                f"rollup column name(s) {sorted(clash)} collide with the "
+                "partials schema (w/bucket_start/n/total/vmin/vmax/mean); "
+                "rename them before building the rollup"
+            )
 
     def _partials(self, df: DataFrame) -> DataFrame:
         return (
@@ -110,18 +136,37 @@ class IncrementalRollup:
 
     def _commits(self) -> list[tuple[int, int, str, str]]:
         """Committed batches as (seq, batch_id, run_id, uri), seq-ascending.
-        One cheap directory listing — no data files are opened."""
+        One listing for the commit dirs plus one per RETAINED commit for
+        its provenance marker (retention keeps only keep_commits dirs, so
+        this stays O(keep_commits) namenode calls — no data files are
+        opened)."""
         fs, hpath = self._hadoop()
         d = hpath(self._commits_dir())
         if not fs.exists(d):
             return []
         out = []
         for st in fs.listStatus(d):
-            m = _COMMIT_RE.match(st.getPath().getName())
-            if m:
+            name = st.getPath().getName()
+            uri = str(st.getPath())
+            legacy = _COMMIT_RE_LEGACY.match(name)
+            if legacy:
                 out.append(
-                    (int(m.group(1)), int(m.group(2)), m.group(3), str(st.getPath()))
+                    (int(legacy.group(1)), int(legacy.group(2)), legacy.group(3), uri)
                 )
+                continue
+            m = _COMMIT_RE.match(name)
+            if not m:
+                continue
+            for member in fs.listStatus(st.getPath()):
+                meta = _META_RE.match(member.getPath().getName())
+                if meta:
+                    out.append(
+                        (int(m.group(1)), int(meta.group(1)), meta.group(2), uri)
+                    )
+                    break
+            # A seq-named dir with no marker would be a torn commit — the
+            # marker is written into the STAGE before the atomic rename,
+            # so it cannot happen; ignore rather than guess provenance.
         out.sort()
         return out
 
@@ -174,27 +219,42 @@ class IncrementalRollup:
             else:
                 merged = partial
             seq = commits[-1][0] + 1 if commits else 0
-            token = f"c{seq:012d}_b{batch_id:012d}_{run}"
+            token = f"c{seq:012d}"  # seq-ONLY: same-seq writers must collide
             stage = f"{self.path}__stage/{uuid.uuid4().hex}"
             # The staged write executes the merge plan exactly once (the
             # plan reads the PREVIOUS commit, the stage is fresh — no
             # read-under-overwrite), so no checkpoint materialization is
             # needed; retention keeps the read commit alive through the
             # write (keep_commits >= 2 and the per-run newest exemption).
-            merged.write.mode("overwrite").parquet(stage)
-
-            fs.mkdirs(hpath(self._commits_dir()))
-            committed = rename_commit(
-                fs, hpath, stage, f"{self._commits_dir()}/{token}"
-            )
+            # Any failure after staging deletes the stage (same
+            # BaseException contract as DeltaLogTable.compact) — a
+            # deterministically failing batch must not leak one uuid dir
+            # per foreachBatch retry forever.
+            try:
+                merged.write.mode("overwrite").parquet(stage)
+                # Provenance marker INSIDE the stage, before the atomic
+                # rename — data and applied-batch record publish together
+                # (underscore-prefixed: parquet readers ignore it).
+                fs.createNewFile(
+                    hpath(f"{stage}/_applied_b{batch_id:012d}_{run}")
+                )
+                fs.mkdirs(hpath(self._commits_dir()))
+                committed = rename_commit(
+                    fs, hpath, stage, f"{self._commits_dir()}/{token}"
+                )
+            except BaseException:
+                fs.delete(hpath(stage), True)
+                raise
             if committed:
                 self._trim(commits, run, fs, hpath)
                 return
-            # Rename lost a race: either a concurrent replay of THIS batch
-            # committed (detected by the high-water check on the next pass)
-            # or a different batch advanced seq, making our staged merge
-            # stale — re-list and rebuild from the new tip rather than
-            # publishing a merge that would drop the other batch's data.
+            # Rename lost a race: a concurrent writer published THIS seq
+            # first — a replay of this very batch (caught by the
+            # high-water check on the next pass) or a different batch,
+            # making our staged merge stale. Re-list and rebuild from the
+            # new tip rather than publishing a merge that would drop the
+            # other batch's data. With seq-only names this detection is
+            # total: ANY same-seq publication collides on the name.
             fs.delete(hpath(stage), True)
         raise RuntimeError(
             f"could not publish rollup commit for batch {batch_id} (run {run}) "

@@ -225,6 +225,21 @@ def running_totals_tws(df: DataFrame, key_col: str, value_col: str) -> DataFrame
             "absent in this container; use running_totals "
             "(applyInPandasWithState) instead"
         )
+    # The docstring promises a PRE-FLIGHT error for the RocksDB provider
+    # requirement too — without this check a protobuf-equipped session on
+    # the default HDFS provider still crashed deep in the streaming
+    # runner with an opaque state-store error.
+    provider = df.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDB" not in (provider or ""):
+        raise RuntimeError(
+            "transformWithStateInPandas requires the RocksDB state store "
+            "provider (spark.sql.streaming.stateStore.providerClass = "
+            "...RocksDBStateStoreProvider); the session is using "
+            f"{provider or 'the default HDFS-backed provider'} — use "
+            "running_totals (applyInPandasWithState) instead"
+        )
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     class _RunningTotals(StatefulProcessor):

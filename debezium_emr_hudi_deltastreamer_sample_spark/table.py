@@ -117,15 +117,9 @@ class KeyedTable:
         decide between bootstrap-overwrite and merge, and treating a blip
         as "missing" would let an upsert wipe the table down to one
         batch."""
-        from pyspark.errors import AnalysisException
+        from .fsutil import read_parquet_if_present
 
-        try:
-            self.spark.read.parquet(self.path)
-            return True
-        except AnalysisException as e:
-            if e.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-                return False
-            raise
+        return read_parquet_if_present(self.spark, self.path) is not None
 
     def read(self, as_of: int | None = None) -> DataFrame:
         """Current snapshot, or — with ``keep_history`` and ``as_of=n`` —

@@ -1249,3 +1249,123 @@ def test_join_view_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert {r.id: (r.full_name, r.label) for r in view.read().collect()} == {
         1: ("a2", "Info Tech"), 3: ("c", "Info Tech"), 4: ("d", "Info Tech"),
     }
+
+
+def test_scd2_null_attr_versions(spark, tmp_path):
+    """Round-6 review fixes for SCD2 three-valued logic: (1) a key FIRST
+    seen with a NULL attr while history exists for other keys must still
+    get a version (eqNullSafe(NULL, NULL) had suppressed it, diverging
+    from the first-ever-batch branch on identical input); (2) a real
+    b→NULL transition is a change (attr != _prev evaluated NULL and was
+    dropped); (3) NULL→NULL mints no spurious version."""
+    import datetime as dt
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+        scd2_batch_processor,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+
+    def ev(eid, uid, minutes, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ)
+
+    path = str(tmp_path / "scd2null")
+    proc = scd2_batch_processor(path)
+    # Batch 0 establishes history for key 1 only.
+    proc(spark.createDataFrame([ev(1, 1, 0, "view")], schema), 0)
+    # Batch 1: key 2 first appears with NULL attr (twice — the second NULL
+    # is not a change), then transitions NULL→"click"; key 1 transitions
+    # "view"→NULL.
+    proc(
+        spark.createDataFrame(
+            [ev(2, 2, 1, None), ev(3, 2, 2, None), ev(4, 2, 3, "click"),
+             ev(5, 1, 4, None)],
+            schema,
+        ),
+        1,
+    )
+    rows = spark.read.parquet(path).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    k2 = sorted(by_key[2], key=lambda r: r.valid_from_id)
+    assert [r.event_type for r in k2] == [None, "click"]  # no NULL→NULL dupe
+    assert k2[0].is_current is False and k2[1].is_current is True
+    k1 = sorted(by_key[1], key=lambda r: r.valid_from_id)
+    assert [r.event_type for r in k1] == ["view", None]  # b→NULL detected
+    assert k1[1].is_current is True
+
+
+def test_rollup_seq_only_cas_and_legacy_names(spark, tmp_path):
+    """Round-6 review fix for the rollup commit CAS: commit names are
+    seq-only (two writers at the same seq MUST collide on the name,
+    whatever batch/run they carry) with (batch, run) provenance as a
+    marker file inside the commit; pre-fix full-token names still parse
+    (in-place upgrade). A same-seq squatter forces the retry path and no
+    batch is lost."""
+    from pyspark.sql import functions as F
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "k string, ts string, v double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    path = str(tmp_path / "roll")
+    roll = IncrementalRollup(spark, path, "ts", "1 minute", ["k"], "v")
+    roll.apply_batch(mk([("a", "2024-01-01 00:00:05", 1.0)]), 0, run_id="r1")
+    commits = roll._commits()
+    assert [(s, b, r) for s, b, r, _ in commits] == [(0, 0, "r1")]
+    assert commits[0][3].rsplit("/", 1)[-1] == "c000000000000"
+
+    # Simulate a concurrent writer landing at the NEXT seq first: squat
+    # the seq-1 name, apply a batch (must retry past the squat), then
+    # remove the squat and verify the real commit carries BOTH batches.
+    fs, hpath = roll._hadoop()
+    squat = f"{roll._commits_dir()}/c000000000001"
+    # The racing writer's commit: batch 99 of another run, folded onto the
+    # same tip — real parquet content, as a genuine winner would publish.
+    squat_rows = spark.read.parquet(commits[0][3]).unionByName(
+        roll._partials(mk([("b", "2024-01-01 00:01:10", 5.0)]))
+    )
+    squat_rows.write.parquet(squat)
+    fs.createNewFile(hpath(f"{squat}/_applied_b000000000099_other"))
+    roll.apply_batch(mk([("a", "2024-01-01 00:00:30", 2.0)]), 1, run_id="r1")
+    # The loser retried past the squat: BOTH its batch and the racing
+    # writer's rows are in the new tip — nothing lost.
+    got = {r.k: (r.n, r.total) for r in roll.read().collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 5.0)}
+    assert max(s for s, _, _, _ in roll._commits()) == 2
+    fs.delete(hpath(squat), True)
+
+    # Legacy full-token name parses alongside (upgrade path).
+    legacy = f"{roll._commits_dir()}/c000000000050_b000000000007_oldrun"
+    fs.mkdirs(hpath(legacy))
+    seqs = {(s, b, r) for s, b, r, _ in roll._commits()}
+    assert (50, 7, "oldrun") in seqs
+    assert roll.last_applied_batch("oldrun") == 7
+    fs.delete(hpath(legacy), True)
+
+    # Reserved partials-schema names are refused at the boundary.
+    import pytest
+
+    with pytest.raises(ValueError, match="partials schema"):
+        IncrementalRollup(spark, path, "ts", "1 minute", ["n"], "v")
+
+
+def test_tws_provider_gate(spark, monkeypatch):
+    """running_totals_tws must pre-flight BOTH requirements: protobuf and
+    the RocksDB state store provider (a protobuf-equipped session on the
+    default HDFS provider crashed deep in the streaming runner)."""
+    import pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming import windows
+
+    monkeypatch.setattr(windows, "transform_with_state_available", lambda: True)
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(RuntimeError, match="RocksDB state store"):
+        windows.running_totals_tws(df, "value", "value")
