@@ -78,6 +78,12 @@ def connected_components(
     ``max_iter`` rounds (diameter bound exceeded — wrong algorithm for
     that graph, see module docstring).
     """
+    if batch_rounds < 1:
+        # Zero inner rounds would compare the labels against themselves,
+        # read changed == 0 as convergence, and return the IDENTITY
+        # labeling (every vertex its own component) — silently wrong on
+        # any connected graph.
+        raise ValueError(f"batch_rounds must be >= 1, got {batch_rounds}")
     p = _shuffle_partitions(vertices)
     bidir = _prehash(
         edges.select(F.col(src_col).alias("v"), F.col(dst_col).alias("n"))
@@ -158,8 +164,11 @@ def pagerank_fixed(
     those two shuffles (ReuseExchange / AQE stage reuse) and the only new
     shuffle per round is the inherent message-passing groupBy that moves
     contributions from u-partitioning to v-partitioning (plan pinned in
-    tests/test_plans.py). Degrees fold into the rank state (rank/deg
-    carried as ``share``) so rounds don't re-join ``deg``.
+    tests/test_plans.py). Each round re-joins the static ``deg`` frame to
+    rebuild ``share`` = rank/deg — that join is co-partitioned on u (no
+    exchange), so it adds join CPU but no shuffle; folding deg into the
+    state would not remove it, because the contrib aggregate arrives as
+    its own frame and needs the same join-back either way.
     """
     n = vertices.count()
     if n == 0:
@@ -194,12 +203,15 @@ def pagerank_fixed(
     # Exchange; join back to verts is likewise co-partitioned.
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     verts = _prehash(vertices.select(F.col(id_col).alias("u")), "u", p)
-    # State = (u, rank, share=rank/deg): dangling vertices get share 0 and
-    # contribute nothing, matching "teleport-only" semantics.
+    # State = (u, rank, share=rank/deg): dangling vertices get share 0.0
+    # (coalesced — NULL deg would otherwise make share NULL, which is only
+    # accidentally safe while dangling ids never appear in `both`; a
+    # future aggregate over share, e.g. a total-mass check, must not
+    # inherit NULL poison) and contribute nothing — "teleport-only".
     state = verts.join(deg, "u", "left_outer").select(
         "u",
         F.lit(1.0 / n).alias("rank"),
-        (F.lit(1.0 / n) / F.col("deg")).alias("share"),
+        F.coalesce(F.lit(1.0 / n) / F.col("deg"), F.lit(0.0)).alias("share"),
     )
     for _ in range(iterations):
         contrib = (
@@ -213,6 +225,10 @@ def pagerank_fixed(
         state = (
             verts.join(contrib, "u", "left_outer")
             .join(deg, "u", "left_outer")
-            .select("u", rank.alias("rank"), (rank / F.col("deg")).alias("share"))
+            .select(
+                "u",
+                rank.alias("rank"),
+                F.coalesce(rank / F.col("deg"), F.lit(0.0)).alias("share"),
+            )
         )
     return state.select(F.col("u").alias(id_col), "rank")

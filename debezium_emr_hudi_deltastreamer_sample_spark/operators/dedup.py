@@ -29,7 +29,19 @@ def exact_dedup(
     """Exact dedup by content digest: keep one representative row per
     distinct (cols) value, chosen deterministically as min/max id.
     Returns (digest, representative id, dup count)."""
-    digest = F.sha2(F.concat_ws("\x1f", *cols), 256)
+    # NULL-safe, injective encoding: concat_ws SKIPS nulls, so ("x", NULL)
+    # and (NULL, "x") would collide on the same digest and merge genuinely
+    # different rows; a raw separator is also forgeable by values that
+    # contain it. Each column encodes as "\x00" for NULL or
+    # "<len>:<value>" otherwise — the length prefix pins every value's
+    # span, so two digests match iff the column tuples match.
+    def _enc(c: str) -> F.Column:
+        v = F.col(c).cast("string")
+        return F.when(v.isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.length(v).cast("string"), F.lit(":"), v)
+        )
+
+    digest = F.sha2(F.concat_ws("\x1f", *[_enc(c) for c in cols]), 256)
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     return (
         df.withColumn("__digest", digest)
@@ -40,16 +52,24 @@ def exact_dedup(
 
 
 def shingles_col(n: int = 3) -> F.Column:
-    """Word n-gram shingles over a `tokens` array column (distinct)."""
+    """Word n-gram shingles over a `tokens` array column (distinct).
+    Safe on SHORT docs: fewer than n tokens yields an empty array —
+    without the guard, F.sequence(0, size−n) with size<n produces a
+    DESCENDING sequence whose positions feed element_at index ≤ 0, which
+    always throws (callers like with_shingles pre-filter for plan-shape
+    reasons, but the helper must not crash when used directly)."""
     t = F.col("tokens")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
-    )
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -179,6 +199,17 @@ def _banded_signatures(
     persist() would park them in the session cache manager and leak
     across repeated calls). Cross-set callers that consume each side ONCE
     pass False and skip the extra materialization pass."""
+    if bands < 1 or num_hashes % bands:
+        # A remainder would silently DROP the trailing num_hashes % bands
+        # minhashes from bucketing (the effective LSH recall curve shifts
+        # from the requested one, with no warning); bands > num_hashes
+        # yields rows_per_band=0 and an opaque zero-child xxhash64
+        # analysis error. The banding contract is divisibility — enforce
+        # it at the boundary.
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(LSH banding contract: num_hashes = bands x rows_per_band)"
+        )
     rows_per_band = num_hashes // bands
     out = (
         df.select(
@@ -374,8 +405,13 @@ def simhash_signatures(df: DataFrame, id_col: str, bits: int = 64) -> DataFrame:
 
 def with_simhash(df: DataFrame, bits: int = 64, id_col: str = "doc_id") -> DataFrame:
     """Back-compat wrapper: attach `simhash` to ``df`` by computing
-    signatures (aggregate shape) and joining them back on ``id_col``."""
-    return df.join(simhash_signatures(df, id_col, bits), id_col)
+    signatures (aggregate shape) and joining them back on ``id_col``.
+    LEFT join: a doc with no tokens has no signature row, and an inner
+    join would silently drop it from the annotated frame — it keeps a
+    NULL simhash instead. The input is checkpointed because it feeds
+    both join sides (lazy, the upstream would evaluate twice)."""
+    df = df.localCheckpoint(eager=True)
+    return df.join(simhash_signatures(df, id_col, bits), id_col, "left")
 
 
 def simhash_candidates(

@@ -1945,3 +1945,75 @@ def test_changefeed_pushdown_conflicting_equalities(spark):
         .filter("op = 'd'")
     )
     assert only_d.count() == 20 and {r.op for r in only_d.collect()} == {"d"}
+
+
+def test_exact_dedup_null_safe_digest(spark):
+    """Round-6 review fix: the content digest must be NULL-safe and
+    injective — concat_ws SKIPS nulls, so ('x', NULL) and (NULL, 'x')
+    collided on one digest (genuinely different rows merged), and a
+    literal separator inside a value could forge a collision."""
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, "a\x1fb", "c"), (4, "a", "b\x1fc"),
+         (5, "x", None)],
+        "id long, a string, b string",
+    )
+    out = exact_dedup(df, ["a", "b"], "id").collect()
+    groups = {r.id: r.dup_count for r in out}
+    # Only the true duplicate pair (1, 5) merges; 2/3/4 stay distinct.
+    assert groups == {1: 2, 2: 1, 3: 1, 4: 1}
+
+
+def test_shingles_and_simhash_short_doc_safety(spark):
+    """Round-6 review fixes: shingles_col must yield an EMPTY array (not
+    an element_at-index-0 crash) on docs shorter than n tokens, and
+    with_simhash must keep token-less docs with a NULL signature instead
+    of silently dropping them through an inner join."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.dedup import (
+        shingles_col,
+        with_simhash,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.text import (
+        tokens_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d"), (3, "")],
+        "doc_id long, text string",
+    ).withColumn("tokens", tokens_col("text"))
+    sh = {r.doc_id: r.s for r in df.select("doc_id", shingles_col(3).alias("s")).collect()}
+    assert sh[1] == [] and sh[3] == []
+    assert sh[2] == ["a b c", "b c d"]
+
+    anno = {r.doc_id: r.simhash for r in with_simhash(df).collect()}
+    assert set(anno) == {1, 2, 3}  # nothing dropped
+    assert anno[3] is None and anno[2] is not None
+
+
+def test_lsh_banding_contract_and_cc_rounds_guard(spark, sf_tiny):
+    """Round-6 review fixes: bands must divide num_hashes (a remainder
+    silently shifted the LSH recall curve by dropping trailing
+    minhashes), and connected_components(batch_rounds=0) must raise
+    instead of returning the identity labeling."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.components import (
+        connected_components,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_from_tokens,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.text import (
+        tokens_col,
+    )
+
+    docs = load_table(spark, sf_tiny, "documents").withColumn(
+        "tokens", tokens_col("text")
+    )
+    sigs = minhash_signatures_from_tokens(docs, "doc_id", num_hashes=32)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_candidates(sigs, "doc_id", num_hashes=32, bands=5)
+
+    verts = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="batch_rounds"):
+        connected_components(verts, edges, batch_rounds=0)
