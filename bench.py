@@ -14,12 +14,29 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Bench-harness I/O placement: the streaming replays' fixed cost is
+# checkpoint/state-store/staging I/O (mkdir + delta-file fsync per state
+# partition per micro-batch), not data volume — on this box /tmp is
+# disk-backed while /dev/shm is a 126 GB tmpfs. Point the harness's
+# ephemeral dirs (every queries/streaming.py `_tmp()` goes through TMPDIR)
+# and Spark's shuffle-spill dir at tmpfs. Harness-level only: production
+# checkpoints belong on durable storage, which is exactly why this lives in
+# bench.py and not in session.py.
+_SHM = os.environ.get("SPARK_GRAFT_BENCH_TMPFS", "/dev/shm")
+_BENCH_TMP: str | None = None
+if os.path.isdir(_SHM) and os.access(_SHM, os.W_OK):
+    _BENCH_TMP = tempfile.mkdtemp(prefix="spark_graft_bench_", dir=_SHM)
+    os.environ["TMPDIR"] = _BENCH_TMP
+    tempfile.tempdir = None  # re-resolve gettempdir() from the new TMPDIR
 
 #: Headline set: one per operator family (scan-agg, star join, top-k join,
 #: window, as-of, merge, dedup exact/fuzzy, ANN brute+LSH, text stats,
@@ -56,7 +73,12 @@ def main() -> None:
     from debezium_emr_hudi_deltastreamer_sample_spark.queries import all_queries
     from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    extra = (
+        {"spark.local.dir": os.path.join(_BENCH_TMP, "spark_local")}
+        if _BENCH_TMP
+        else None
+    )
+    spark = get_spark(app_name="bench", extra_conf=extra)
     qs = all_queries()
 
     # Warm the JVM + parquet footers outside the timed region.
@@ -91,6 +113,9 @@ def main() -> None:
             }
         )
     )
+    if _BENCH_TMP:
+        spark.stop()
+        shutil.rmtree(_BENCH_TMP, ignore_errors=True)
 
 
 if __name__ == "__main__":

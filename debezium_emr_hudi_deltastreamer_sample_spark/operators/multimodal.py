@@ -242,7 +242,10 @@ def decode_png(b: bytes) -> np.ndarray:
         elif f == 1:  # Sub — sequential left-neighbor recurrence
             cur = line
             for i in range(ch, stride):
-                cur[i] += cur[i - ch]
+                # Explicit int arithmetic: mod-256 wrap is the PNG semantic,
+                # but a uint8 scalar += raises numpy RuntimeWarning, which
+                # would mask real overflows elsewhere.
+                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
         elif f == 3:  # Average
             cur = line
             for i in range(stride):

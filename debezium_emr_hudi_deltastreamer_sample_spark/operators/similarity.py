@@ -21,12 +21,24 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+_LOG = logging.getLogger(__name__)
+
+# Cosine threshold at/above which `embedding_neardup_pairs` treats a
+# multiprobe request as a BUDGET and decays it with band width (dedup-regime
+# pairs are near-collinear, so plain banding already catches them); below it
+# (graph-analytics regime) the full requested budget is honored at every
+# width. Measured at sf1, 8-bit bands: probes bought +2.9% pairs at 0.46 for
+# 3.6× join mass, but +41% true edges at 0.35.
+DEDUP_PROBE_DECAY_THRESHOLD = 0.4
 
 
 def norm_col(vec: Column) -> Column:
@@ -205,6 +217,13 @@ def _kmeans_fit_sample(
                     for c in range(nlist)
                 ]
             )
+            # Spherical k-means proper: re-normalize the means every
+            # iteration. With unit-norm data AND unit-norm centroids,
+            # Euclidean argmin ≡ cosine argmax, so the fit's own
+            # assignment, kmeans_assign, and the IVF probe ranking all
+            # order cells identically — a non-unit Lloyd mean would make
+            # the |c|² term silently shift probe sets between consumers.
+            new = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
             if np.allclose(new, centroids):
                 break
             centroids = new
@@ -722,7 +741,7 @@ def embedding_neardup_pairs(
     band_bits: int | None = None,
     seed: int = 42,
     dim: int = 64,
-    multiprobe: bool | int = False,
+    multiprobe: bool | int | str = False,
 ) -> DataFrame:
     """(aid, bid, sim) pairs with aid < bid and cosine ≥ threshold — the
     edge set shared by near-dup filtering (`embedding_neardup_survivors`)
@@ -742,11 +761,16 @@ def embedding_neardup_pairs(
     band bit above 4 (see the inline rationale): there probes only pay
     on short bands, so a consumer can ask for 3 and get 3 at sf0.1-like
     densities but 0 once `adaptive_band_bits` reaches 7+ — the request
-    is a budget, not a contract. Below 0.4 (the graph-analytics regime,
+    is a budget, not a contract (an INFO log records any decay). Below
+    ``DEDUP_PROBE_DECAY_THRESHOLD`` (0.4 — the graph-analytics regime,
     where this function's own mid-similarity caveat applies) the full
     requested budget is honored at every band width — measured at sf1,
     8-bit bands: probes added 2.9% more pairs at threshold 0.46 but 41%
-    more TRUE edges at 0.35 (exact-verified recall 0.22 → 0.31)."""
+    more TRUE edges at 0.35 (exact-verified recall 0.22 → 0.31).
+    ``multiprobe='ring'`` opts into the historical full Hamming-1 ring
+    per band (band_bits probes, never decayed, no margins column) for
+    callers that want guaranteed probe width at its full candidate
+    cost."""
     a = embeddings.select(F.col(id_col).alias("aid"), F.col(vec_col).alias("ae"))
     b = embeddings.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("be"))
     if approx:
@@ -766,10 +790,21 @@ def embedding_neardup_pairs(
         # at every width (sf1, threshold 0.35: +41% true edges, recall
         # 0.22 → 0.31 exact-verified) — so the decay is gated on the
         # threshold, not applied globally.
-        probes_req = (2 if multiprobe is True else int(multiprobe)) if multiprobe else 0
+        # multiprobe='ring' keeps the historical full Hamming-1 ring
+        # reachable as an EXPLICIT opt-in (band_bits probes per band, no
+        # decay, no margins column) — callers that want guaranteed-width
+        # probing pay its 4× candidate mass knowingly instead of getting
+        # it silently.
+        ring = multiprobe == "ring"
+        if ring:
+            probes_req = 0
+        elif multiprobe:
+            probes_req = 2 if multiprobe is True else int(multiprobe)
+        else:
+            probes_req = 0
 
         def effective_probes(bits: int) -> int:
-            if threshold < 0.4:
+            if threshold < DEDUP_PROBE_DECAY_THRESHOLD:
                 return probes_req
             return max(0, probes_req - max(0, bits - 4))
 
@@ -826,6 +861,20 @@ def embedding_neardup_pairs(
                 margins=effective_probes(band_bits) > 0,
             ).localCheckpoint(eager=True)
         probes_eff = effective_probes(band_bits)
+        if probes_eff < probes_req:
+            # The request is a budget, not a contract (docstring) — but
+            # say so at runtime, so a consumer watching recall can see
+            # the probe channel thinned/vanished instead of guessing.
+            _LOG.info(
+                "embedding_neardup_pairs: multiprobe budget decayed "
+                "%d -> %d (band_bits=%d, threshold=%.2f >= "
+                "DEDUP_PROBE_DECAY_THRESHOLD=%.2f)",
+                probes_req,
+                probes_eff,
+                band_bits,
+                threshold,
+                DEDUP_PROBE_DECAY_THRESHOLD,
+            )
         pairs = (
             _explode_bands(
                 sig,
@@ -834,6 +883,7 @@ def embedding_neardup_pairs(
                 "a",
                 n_planes,
                 band_bits,
+                probe=ring,
                 probe_lowmargin=probes_eff,
             )
             .drop("ae")

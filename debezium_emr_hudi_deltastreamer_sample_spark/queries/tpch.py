@@ -1021,7 +1021,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT partkey, round(CAST(val_exact AS DOUBLE), 2) AS value
     FROM val, tot
-    WHERE 2 * val_exact * cnt > 3 * total
+    WHERE CAST(val_exact AS DECIMAL(24,6)) * CAST(2 * cnt AS DECIMAL(13,0))
+        > CAST(total AS DECIMAL(34,6)) * CAST(3 AS DECIMAL(2,0))
     """,
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,7 +1039,14 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     double products are bit-identical in both engines, cast to
     DECIMAL(18,6), summed order-insensitively) — a part sitting exactly
     at 1.5× mean can't flip on summation order. Only the display column
-    rounds back through double.
+    rounds back through double. The compare's operand types are PINNED so
+    no engine hits its 38-digit cap (a naive ``2*val_exact*cnt`` is
+    precision 49 in Spark — scale-truncated or NULL under
+    allowPrecisionLoss): val_exact → DECIMAL(24,6) × 2·cnt →
+    DECIMAL(13,0) gives a 38,6 product in Spark (37 in DuckDB), and
+    total → DECIMAL(34,6) × 3 gives 37,6 (36) — all exact with verified
+    headroom (at TPC-H sf100k: per-part value ~1e7 vs 1e18 cap, part
+    count ~2e10 vs 5e12, total ~1e17 vs 1e28).
 
     Scale: ONE fact aggregate keyed by partkey (supplier/nation/part
     broadcast); the total is a second tiny aggregate over part-count rows
@@ -1064,9 +1072,13 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = val.agg(
         F.sum("val_exact").alias("total"), F.count(F.lit(1)).alias("cnt")
     )
+    lhs = F.col("val_exact").cast("decimal(24,6)") * (
+        F.lit(2) * F.col("cnt")
+    ).cast("decimal(13,0)")
+    rhs = F.col("total").cast("decimal(34,6)") * F.lit(3).cast("decimal(2,0)")
     return (
         val.crossJoin(F.broadcast(tot))
-        .filter(2 * F.col("val_exact") * F.col("cnt") > 3 * F.col("total"))
+        .filter(lhs > rhs)
         .select(
             "partkey",
             dround(F.col("val_exact").cast("double"), 2).alias("value"),

@@ -994,6 +994,7 @@ def test_ppm_bmp_codec_roundtrip():
     assert (decode_ppm(blob) == arr).all()
 
 
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 def test_png_codec_roundtrip_and_filters():
     """Stdlib-only PNG codec: encode→decode identity for gray/RGB/RGBA at
     odd sizes; decode handles every scanline filter (Sub/Up/Average/Paeth
