@@ -100,6 +100,22 @@ JOIN_GRAPH: list[tuple[str, str, str]] = [
     ("nation", "region", "n_regionkey = r_regionkey"),
 ]
 
+#: Unique row key per table (single column, or a column pair for lineitem)
+#: — the deterministic final tiebreak for ORDER BY ... LIMIT and window
+#: ordering (without it, top-k and rank results are tie-dependent and the
+#: engines may legitimately disagree).
+UNIQUE_KEYS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": ["n_nationkey"],
+    "region": ["r_regionkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+}
+
 #: Literal pools per string column family so predicates actually select —
 #: random strings would make every LIKE/= predicate empty (fuzzing nothing).
 STR_LITERALS: dict[str, list[str]] = {
@@ -245,7 +261,7 @@ class Gen:
         if r.random() < 0.75:
             where = f" WHERE {self.bool_expr(int_cols, str_cols, 2)}"
 
-        shape = r.randrange(10)
+        shape = r.randrange(12)
         if shape < 5:
             # grouped aggregation (the workhorse shape)
             keys = []
@@ -262,8 +278,15 @@ class Gen:
             keys = list(dict.fromkeys(keys))
             aggs = ["count(*) AS cnt"]
             for i in range(r.randint(1, 3)):
-                k = r.randrange(6)
-                if k == 0 and int_cols:
+                k = r.randrange(7)
+                if k == 6 and int_cols:
+                    # conditional aggregate — NULL/three-valued logic
+                    # inside the CASE meets the aggregate's null-skipping
+                    cond = self.bool_expr(int_cols, str_cols, 1)
+                    aggs.append(
+                        f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS s{i}"
+                    )
+                elif k == 0 and int_cols:
                     aggs.append(
                         f"sum(CAST({r.choice(int_cols)} AS BIGINT)) AS s{i}"
                     )
@@ -307,7 +330,27 @@ class Gen:
                 else:
                     exprs.append(f"'x' AS e{i}")
             distinct = "DISTINCT " if r.random() < 0.3 else ""
-            return f"SELECT {distinct}{', '.join(exprs)} FROM {from_sql}{where}"
+            tail = ""
+            if not distinct and len(scope) == 1 and r.random() < 0.5:
+                # ORDER BY every output column with pinned null placement
+                # (Spark defaults NULLS FIRST asc, DuckDB NULLS LAST — an
+                # unpinned ORDER BY...LIMIT legitimately diverges), plus
+                # the table's unique key as final tiebreak so the LIMIT
+                # cut is deterministic; the key rides along as a column so
+                # both engines cut the same rows AND the canon can see it.
+                t0 = scope[0][0]
+                ukey = [f"{t0}.{c}" for c in UNIQUE_KEYS[t0]]
+                exprs += [f"{k} AS uk{j}" for j, k in enumerate(ukey)]
+                n_out = len(exprs)
+                direction = r.choice(["ASC", "DESC"])
+                nulls = r.choice(["NULLS FIRST", "NULLS LAST"])
+                order = ", ".join(
+                    f"{j + 1} {direction} {nulls}" for j in range(n_out)
+                )
+                tail = f" ORDER BY {order} LIMIT {r.randint(1, 40)}"
+            return (
+                f"SELECT {distinct}{', '.join(exprs)} FROM {from_sql}{where}{tail}"
+            )
         if shape < 8:
             # global (ungrouped) aggregate
             aggs = ["count(*) AS cnt"]
@@ -342,6 +385,25 @@ class Gen:
                     f"SELECT count(*) AS cnt FROM {t} WHERE {mine} "
                     f"{neg}IN (SELECT {theirs} FROM {other}{sub_where})"
                 )
+        if shape < 11 and len(scope) == 1:
+            # window function over a deterministic full ordering: the
+            # table's unique key breaks every tie, so rank/row_number/
+            # running sums are engine-independent
+            t0 = scope[0][0]
+            ukey = ", ".join(f"{t0}.{c}" for c in UNIQUE_KEYS[t0])
+            part = ""
+            if str_cols and r.random() < 0.7:
+                part = f"PARTITION BY {r.choice(str_cols)} "
+            elif int_cols:
+                part = f"PARTITION BY (abs({r.choice(int_cols)}) % {r.randint(2, 5)}) "
+            fn = r.choice(
+                ["row_number()", "rank()", "dense_rank()", "count(*)"]
+            )
+            direction = r.choice(["ASC", "DESC"])
+            win = f"{fn} OVER ({part}ORDER BY {ukey} {direction})"
+            sel = [f"{k} AS uk{j}" for j, k in enumerate(UNIQUE_KEYS[t0])]
+            sel.append(f"{win} AS w0")
+            return f"SELECT {', '.join(sel)} FROM {t0}{where}"
         # UNION ALL of two single-column selects
         t1 = r.choice(list(TABLES))
         t2 = r.choice(list(TABLES))
