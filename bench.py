@@ -70,6 +70,16 @@ HEADLINE = [
 
 
 def main() -> None:
+    # finally-guarded: a failed run must not leak RAM-backed checkpoint/
+    # shuffle state in tmpfs (it survives the process until reboot).
+    try:
+        _run()
+    finally:
+        if _BENCH_TMP:
+            shutil.rmtree(_BENCH_TMP, ignore_errors=True)
+
+
+def _run() -> None:
     from debezium_emr_hudi_deltastreamer_sample_spark.queries import all_queries
     from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
 
@@ -114,8 +124,9 @@ def main() -> None:
         )
     )
     if _BENCH_TMP:
+        # Stop the session before main()'s finally removes its
+        # spark.local.dir out from under it.
         spark.stop()
-        shutil.rmtree(_BENCH_TMP, ignore_errors=True)
 
 
 if __name__ == "__main__":

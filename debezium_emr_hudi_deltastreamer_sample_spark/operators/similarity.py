@@ -796,6 +796,15 @@ def embedding_neardup_pairs(
         # probing pay its 4× candidate mass knowingly instead of getting
         # it silently.
         ring = multiprobe == "ring"
+        if isinstance(multiprobe, str) and not ring:
+            # Fail loudly: int('Ring') would raise a baffling ValueError,
+            # and a numeric string would silently become a decayable
+            # budget the caller may not have meant.
+            raise ValueError(
+                f"multiprobe={multiprobe!r}: the only string mode is "
+                "'ring' (full Hamming-1 ring); pass an int for a "
+                "margin-aware probe budget"
+            )
         if ring:
             probes_req = 0
         elif multiprobe:

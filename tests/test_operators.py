@@ -405,6 +405,38 @@ def test_embed_neardup_lsh_subset_of_exact(spark):
     assert min(all_ids) in exact
 
 
+def test_embed_neardup_multiprobe_ring_and_string_guard(spark):
+    """multiprobe='ring' (explicit full Hamming-1 ring) must be containment
+    -safe like every candidate channel — its pairs ⊆ the exact pair set and
+    ⊇ the plain-banding pairs (a strictly wider probe set can only add).
+    Any OTHER string is a loud ValueError, not int()-coercion."""
+    import pytest as _pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+    def pairs(**kw):
+        return {
+            (r.aid, r.bid)
+            for r in embedding_neardup_pairs(
+                emb, threshold=0.46, **kw
+            ).collect()
+        }
+
+    exact = pairs()
+    plain = pairs(approx=True)
+    ring = pairs(approx=True, multiprobe="ring")
+    assert plain <= ring <= exact
+    with _pytest.raises(ValueError, match="'ring'"):
+        embedding_neardup_pairs(
+            emb, threshold=0.46, approx=True, multiprobe="rings", band_bits=4
+        )
+
+
 def test_read_binary_media(spark, tmp_path):
     """binaryFile ingestion: glob pushes down to the listing, size filter
     uses the length metadata column, bytes round-trip exactly."""

@@ -41,7 +41,6 @@ import random
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, "/root/repo")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_FUZZ_SF_DIR", "/root/testdata/sf0.001")
 
@@ -134,7 +133,7 @@ STR_LITERALS: dict[str, list[str]] = {
 class Gen:
     """One random query, reproducible from its seed."""
 
-    def __init__(self, seed: int, max_rows_hint: int = 1_000_000):
+    def __init__(self, seed: int):
         self.rng = random.Random(seed)
         self.seed = seed
 
@@ -404,17 +403,26 @@ class Gen:
             sel = [f"{k} AS uk{j}" for j, k in enumerate(UNIQUE_KEYS[t0])]
             sel.append(f"{win} AS w0")
             return f"SELECT {', '.join(sel)} FROM {t0}{where}"
-        # UNION ALL of two single-column selects
+        # set op of two single-column selects, each with its OWN predicate
+        # (the outer `where` is scoped to `from_sql`'s tables, so each set-op
+        # side generates one from its own columns — predicates under set ops
+        # are part of the corner space this shape exists to fuzz)
         t1 = r.choice(list(TABLES))
         t2 = r.choice(list(TABLES))
-        c1 = self.cols(t1, t1, "int")
-        c2 = self.cols(t2, t2, "int")
-        e1 = self.int_expr(c1, 1) if c1 else "1"
-        e2 = self.int_expr(c2, 1) if c2 else "2"
+
+        def side(t: str) -> str:
+            ic = self.cols(t, t, "int")
+            sc = self.cols(t, t, "str")
+            e = self.int_expr(ic, 1) if ic else "1"
+            w = (
+                f" WHERE {self.bool_expr(ic, sc, 1)}"
+                if r.random() < 0.7
+                else ""
+            )
+            return f"SELECT {e} AS u FROM {t}{w}"
+
         op = r.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
-        return (
-            f"SELECT {e1} AS u FROM {t1} {op} SELECT {e2} AS u FROM {t2}"
-        )
+        return f"{side(t1)} {op} {side(t2)}"
 
 
 # ---------------------------------------------------------------------------
@@ -437,9 +445,12 @@ def make_duck(sf_dir: str):
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # Directory fixtures (the synthesized sf1 decade is Spark-written
+        # part-file dirs) need a glob; DuckDB errors on a bare dir path.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
