@@ -156,7 +156,13 @@ class Gen:
             if int_cols and r.random() < 0.8:
                 return r.choice(int_cols)
             return str(r.randint(0, 50))
-        kind = r.randrange(5)
+        kind = r.randrange(6)
+        if kind == 5:
+            # NULLIF injects NULLs into downstream arithmetic/aggregates —
+            # null-propagation and null-skipping are prime corner space
+            a = self.int_expr(int_cols, depth - 1)
+            b = self.int_expr(int_cols, depth - 1)
+            return f"nullif({a}, {b})"
         if kind == 0:
             a = self.int_expr(int_cols, depth - 1)
             b = self.int_expr(int_cols, depth - 1)
@@ -360,7 +366,8 @@ class Gen:
                 aggs.append(f"min({r.choice(float_cols)}) AS s2")
             return f"SELECT {', '.join(aggs)} FROM {from_sql}{where}"
         if shape < 9 and len(scope) == 1:
-            # IN / NOT IN subquery over an FK edge
+            # subquery over an FK edge: IN / NOT IN, correlated EXISTS /
+            # NOT EXISTS, or a scalar-aggregate threshold
             t = scope[0][0]
             edges = [e for e in JOIN_GRAPH if e[0] == t or e[1] == t]
             if edges:
@@ -376,13 +383,36 @@ class Gen:
                     if r.random() < 0.8
                     else ""
                 )
-                # NOT IN only when the subquery column is a non-null FK
-                # (three-valued logic makes NOT IN with NULLs a trap both
-                # engines agree on, but empty-by-NULL results fuzz nothing)
-                neg = "NOT " if r.random() < 0.3 else ""
+                kind = r.randrange(3)
+                if kind == 0:
+                    # NOT IN only when the subquery column is a non-null FK
+                    # (three-valued logic makes NOT IN with NULLs a trap
+                    # both engines agree on, but empty-by-NULL results
+                    # fuzz nothing)
+                    neg = "NOT " if r.random() < 0.3 else ""
+                    return (
+                        f"SELECT count(*) AS cnt FROM {t} WHERE {mine} "
+                        f"{neg}IN (SELECT {theirs} FROM {other}{sub_where})"
+                    )
+                if kind == 1:
+                    # correlated EXISTS — the correlation predicate is the
+                    # FK equality; extra uncorrelated filter inside
+                    glue = "AND" if sub_where else "WHERE"
+                    neg = "NOT " if r.random() < 0.4 else ""
+                    return (
+                        f"SELECT count(*) AS cnt FROM {t} WHERE {neg}EXISTS "
+                        f"(SELECT 1 FROM {other}{sub_where} {glue} "
+                        f"{theirs} = {mine})"
+                    )
+                # scalar-aggregate threshold: exact aggregates only
+                # (min/max/count — an avg would reintroduce float-boundary
+                # compares INSIDE the predicate where tolerance can't help)
+                okeys = oint or [f"1"]
+                agg = r.choice(["min", "max"])
                 return (
                     f"SELECT count(*) AS cnt FROM {t} WHERE {mine} "
-                    f"{neg}IN (SELECT {theirs} FROM {other}{sub_where})"
+                    f"{r.choice(['<=', '>', '<>'])} (SELECT "
+                    f"{agg}({r.choice(okeys)}) FROM {other}{sub_where})"
                 )
         if shape < 11 and len(scope) == 1:
             # window function over a deterministic full ordering: the
