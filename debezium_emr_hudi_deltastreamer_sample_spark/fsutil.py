@@ -32,10 +32,31 @@ def rename_commit(fs, hpath, stage: str, target: str) -> bool:
     if fs.exists(hpath(nested)):
         # POSIX move-INTO: a concurrent writer created target between the
         # exists-probe and the rename. Undo our nested copy; the stage is
-        # consumed, so report failure with nothing left to clean.
+        # consumed, so report failure with nothing left to clean. Residual
+        # window: a crash BETWEEN the rename and this delete leaves the
+        # stage nested inside the winner's commit — readers heal that via
+        # heal_nested_dirs on the listing path (commit dirs are flat by
+        # protocol, so any directory member is crash garbage).
         fs.delete(hpath(nested), True)
         return False
     return True
+
+
+def heal_nested_dirs(fs, hpath, commit_uri: str) -> None:
+    """Delete DIRECTORY members of a published commit dir.
+
+    Both commit protocols (KeyedTable snapshots, rollup commits) publish
+    FLAT directories — parquet parts, _SUCCESS, provenance markers; never
+    subdirectories. The one way a subdirectory appears is the
+    rename_commit move-INTO undo dying between its rename and its delete
+    (loser's staged uuid dir nested inside the winner's commit), which
+    breaks subsequent parquet reads of that commit with conflicting
+    directory structures. In-flight stages live under ``<path>__stage/``,
+    a sibling tree — never inside a commit — so deleting directory
+    members here can only remove crash garbage."""
+    for st in fs.listStatus(hpath(commit_uri)):
+        if st.isDirectory():
+            fs.delete(st.getPath(), True)
 
 
 def hadoop_fs(spark, path: str):

@@ -17,10 +17,20 @@ def dround(col: Column | str, scale: int = 0) -> Column:
     are common, not measure-zero — every oracle-compared rounding in
     queries/ must go through this helper (verified exhaustively against
     DuckDB on all 600k sf0.1 disc-price products at 2dp and 4dp).
+
+    Implementation note: NOT the ``floor(x + 0.5)`` trick — that
+    double-rounds when the add itself rounds up (floor(0.49999999999999994
+    + 0.5) == 1 while C round() == 0). ``frac = a - floor(a)`` is exact in
+    IEEE (both operands share a grid, the difference < 1 needs no extra
+    significand bits), so ``frac >= 0.5`` reproduces C/DuckDB
+    half-away-from-zero on the true binary product, boundary included.
     """
     c = F.col(col) if isinstance(col, str) else col
     p = F.lit(float(10**scale))
-    return F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p
+    a = F.abs(c) * p
+    fl = F.floor(a)
+    up = F.when(a - fl >= F.lit(0.5), F.lit(1)).otherwise(F.lit(0))
+    return F.signum(c) * (fl + up) / p
 
 
 def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:

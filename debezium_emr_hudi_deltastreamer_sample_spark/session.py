@@ -64,6 +64,11 @@ def get_spark(
     )
     if master is not None:
         builder = builder.master(master)
+    elif os.environ.get("SPARK_MASTER"):
+        # Use the value, not just its presence — SPARK_MASTER=spark://h:7077
+        # must actually configure that master (an empty value means
+        # "spark-submit supplies spark.master", the historical opt-out).
+        builder = builder.master(os.environ["SPARK_MASTER"])
     elif "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "48g")
     for k, v in (extra_conf or {}).items():

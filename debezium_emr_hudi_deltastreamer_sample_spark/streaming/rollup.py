@@ -157,13 +157,19 @@ class IncrementalRollup:
             m = _COMMIT_RE.match(name)
             if not m:
                 continue
+            marker = None
             for member in fs.listStatus(st.getPath()):
+                if member.isDirectory():
+                    # Crash garbage from a torn move-INTO undo (see
+                    # fsutil.heal_nested_dirs) — commits are flat by
+                    # protocol; heal before a reader trips on it.
+                    fs.delete(member.getPath(), True)
+                    continue
                 meta = _META_RE.match(member.getPath().getName())
-                if meta:
-                    out.append(
-                        (int(m.group(1)), int(meta.group(1)), meta.group(2), uri)
-                    )
-                    break
+                if meta and marker is None:
+                    marker = (int(m.group(1)), int(meta.group(1)), meta.group(2), uri)
+            if marker is not None:
+                out.append(marker)
             # A seq-named dir with no marker would be a torn commit — the
             # marker is written into the STAGE before the atomic rename,
             # so it cannot happen; ignore rather than guess provenance.

@@ -140,8 +140,12 @@ class KeyedTable:
         )
 
     def snapshots(self) -> list[tuple[int, str]]:
-        """Available (commit_seq, uri) snapshots, oldest first."""
-        from .fsutil import hadoop_fs
+        """Available (commit_seq, uri) snapshots, oldest first. Snapshot
+        commits are FLAT parquet dirs, so any directory member is crash
+        garbage from a torn rename_commit undo — healed here (one member
+        listing per retained snapshot; keep_history bounds the count)
+        before a time-travel read trips on conflicting structures."""
+        from .fsutil import hadoop_fs, heal_nested_dirs
 
         fs, hpath = hadoop_fs(self.spark, self.path)
         d = hpath(f"{self.path}__snapshots")
@@ -151,6 +155,7 @@ class KeyedTable:
         for st in fs.listStatus(d):
             name = st.getPath().getName()
             if name.startswith("s") and name[1:].isdigit():
+                heal_nested_dirs(fs, hpath, str(st.getPath()))
                 out.append((int(name[1:]), str(st.getPath())))
         out.sort()
         return out
@@ -788,6 +793,15 @@ class DeltaLogTable:
             return
         through = max(batches)
         versions = self._base_versions()
+        # Heal crash garbage (a torn rename_commit undo nests the loser's
+        # stage inside the winner's version dir — see
+        # fsutil.heal_nested_dirs). Done here, not in _base_versions: reads
+        # are hot and pin a one-listing contract; compaction is rare and
+        # already walking the timeline.
+        from .fsutil import heal_nested_dirs
+
+        for _, _, uri in versions:
+            heal_nested_dirs(fs, hpath, uri)
         if versions and through <= versions[-1][1]:
             return  # every live delta dir is already folded — nothing to do
         seq = versions[-1][0] + 1 if versions else 0

@@ -647,6 +647,67 @@ def test_rollup_replayed_batch_is_skipped(spark, tmp_path):
     assert roll.last_applied_batch() == 1
 
 
+def test_rollup_heals_nested_crash_garbage(spark, tmp_path):
+    """A writer dying between rename_commit's move-INTO rename and its
+    undo delete nests its staged uuid dir inside the winner's commit —
+    the listing path must heal it (commits are flat by protocol) so later
+    reads/merges don't hit conflicting directory structures."""
+    import datetime
+    import os
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "rh"), "ts", "1 minute", ["k"], "v"
+    )
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    roll.apply_batch(df, 0)
+    # Simulate the torn undo: a foreign staged dir (with a parquet-looking
+    # file) nested inside the committed dir.
+    [commit] = [
+        p for p in (tmp_path / "rh__commits").iterdir() if p.name.startswith("c")
+    ]
+    garbage = commit / "deadbeefcafe"
+    garbage.mkdir()
+    (garbage / "part-00000.parquet").write_bytes(b"not a parquet file")
+    # Next batch lists commits (healing), merges, and the final read works.
+    roll.apply_batch(df, 1)
+    assert not garbage.exists()
+    [r] = roll.read().collect()
+    assert (r.n, r.total) == (2, 4.0)
+
+
+def test_snapshot_timeline_heals_nested_crash_garbage(spark, tmp_path):
+    """Same torn-undo garbage in a KeyedTable snapshot commit: snapshots()
+    heals it and time travel still reads the snapshot."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable
+
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "kt"),
+        keys=["id"],
+        ordering=["_lsn"],
+        op_col=None,
+        keep_history=3,
+    )
+    df = spark.createDataFrame([(1, "a", 1)], "id int, val string, _lsn long")
+    t.upsert(df)
+    snaps = t.snapshots()
+    assert snaps
+    commit_dir = tmp_path / "kt__snapshots" / f"s{snaps[-1][0]:012d}"
+    garbage = commit_dir / "deadbeefcafe"
+    garbage.mkdir()
+    (garbage / "part-00000.parquet").write_bytes(b"junk")
+    snaps2 = t.snapshots()  # the listing heals
+    assert not garbage.exists()
+    assert [r.id for r in spark.read.parquet(snaps2[-1][1]).collect()] == [1]
+
+
 def test_rollup_new_run_not_skipped(spark, tmp_path):
     """Batch-id dedup is scoped per run: a fresh checkpoint restarts ids at
     0, which must NOT be silently dropped because an earlier run reached a

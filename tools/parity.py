@@ -28,14 +28,22 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}" if v == v and abs(v) < 1e15 else repr(v)
+        # %.6g for EVERY finite magnitude — a >=1e15 cutover to repr()
+        # would make the tolerance cliff scale-dependent (a sum crossing
+        # 1e15 at a bigger fixture suddenly compares exact ULPs).
+        return f"{v:.6g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
 
 
 def canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    # Case-insensitive name order (original as tiebreak) — the schema gate
+    # compares names case-insensitively, so the value alignment must use
+    # the same collation or mixed-case aliases would pair wrong columns.
+    order = sorted(
+        range(len(colnames)), key=lambda i: (colnames[i].lower(), colnames[i])
+    )
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return out
@@ -81,6 +89,15 @@ def driver_hostile_problems(scols, stypes, ocols, otypes):
 
 def main(names=None):
     import time
+
+    # Pin the host timezone: PySpark materializes TimestampType through
+    # datetime.fromtimestamp (system-local tz) while DuckDB returns stored
+    # naive values — on a non-UTC host every timestamp-emitting query
+    # would false-FAIL on isoformat. The session conf alone does not reach
+    # this Python-side conversion.
+    os.environ["TZ"] = "UTC"
+    if hasattr(time, "tzset"):
+        time.tzset()
 
     import __spark_entry__ as e
 
@@ -128,9 +145,28 @@ def main(names=None):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if names:
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            # A typo'd name would otherwise KeyError inside the Spark try
+            # and masquerade as an engine failure.
+            print(f"unknown query name(s): {unknown}", file=sys.stderr)
+            return 2
     todo = names or list(qs)
     if sf1:
+        skipped = [n for n in todo if n in SF1_EXCLUDED]
         todo = [n for n in todo if n not in SF1_EXCLUDED]
+        if skipped:
+            print(
+                f"sf1: skipping O(n²) oracle companions by contract: {skipped}",
+                file=sys.stderr,
+            )
+        if names and not todo:
+            # Every explicitly requested name was excluded — a green
+            # '0/0 pass' exit would claim a check that never ran.
+            print("sf1: nothing to run (all requested names excluded)",
+                  file=sys.stderr)
+            return 2
     failures = []
     timings = {}
     for name in todo:
@@ -142,6 +178,7 @@ def main(names=None):
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
+            timings[name] = time.perf_counter() - _t0
             continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(srows)} rows)")
@@ -157,6 +194,7 @@ def main(names=None):
         except Exception as ex:
             failures.append((name, f"DUCKDB ERROR: {ex}"))
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
+            timings[name] = time.perf_counter() - _t0
             continue
         problems = driver_hostile_problems(
             scols, [f.dataType.simpleString() for f in sdf.schema], ocols, otypes
