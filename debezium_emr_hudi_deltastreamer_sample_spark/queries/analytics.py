@@ -17,18 +17,9 @@ from pyspark.sql import functions as F
 from ..catalog import load_table as _t
 from ..functions import dround
 
-QUERIES = {}
-ORACLES = {}
+from ._registry import make_registry
 
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = make_registry()
 
 
 @_q(

@@ -20,20 +20,11 @@ from ..functions import dround
 from ..operators.asof import asof_join
 from ..operators.merge import apply_deletes, latest_by_key, merge_upsert
 
-QUERIES = {}
-ORACLES = {}
+from ._registry import make_registry
+
+QUERIES, ORACLES, _q = make_registry()
 
 _CUTOVER = "2024-01-15 00:00:00"
-
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
 
 
 @_q(

@@ -20,18 +20,9 @@ from ..catalog import load_table as _t
 from ..functions import dround
 from ..operators.multimodal import decode_images, frame_sample_plan, make_fake_media
 
-QUERIES = {}
-ORACLES = {}
+from ._registry import make_registry
 
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = make_registry()
 
 
 def _view(spark: SparkSession, sf_dir: str, name: str) -> str:

@@ -37,18 +37,9 @@ from ..operators.text import (
     with_token_stats,
 )
 
-QUERIES = {}
-ORACLES = {}
+from ._registry import make_registry
 
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = make_registry()
 
 
 @_q(

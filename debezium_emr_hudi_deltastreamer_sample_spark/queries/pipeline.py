@@ -16,18 +16,9 @@ from pyspark.sql import functions as F
 from ..catalog import load_table as _t
 from ..functions import dround
 
-QUERIES = {}
-ORACLES = {}
+from ._registry import make_registry
 
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = make_registry()
 
 
 # Knuth's multiplicative constant: cheap, engine-agnostic integer mixing.
@@ -824,17 +815,18 @@ def pipe_right_to_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     req = docs.filter(F.col("doc_id") % 23 == 0).select("doc_id")
     survivors = docs.join(F.broadcast(req), "doc_id", "left_anti")
-    purged = (
-        docs.join(F.broadcast(req), "doc_id", "left_semi")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_purged"))
-    )
-    # The broadcastable set is the request-sized (vec_id, source)
-    # projection of the purged docs — joining the FULL docs table here
-    # would be a corpus-vs-corpus shuffle at scale; embeddings stay a
-    # single scan against the broadcast.
+    # ONE semi-join materializes the request-sized (vec_id, source)
+    # projection of the purged docs; both the per-source doc count and the
+    # embedding purge derive from it (a second docs ⋉ req expression would
+    # plan as a second full corpus scan — distinct expression ids defeat
+    # reuse). Joining the FULL docs table into embeddings would likewise
+    # be a corpus-vs-corpus shuffle; embeddings stay a single scan against
+    # the broadcast.
     purged_docs = docs.join(F.broadcast(req), "doc_id", "left_semi").select(
         F.col("doc_id").alias("vec_id"), "source"
+    ).localCheckpoint(eager=True)
+    purged = purged_docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_purged")
     )
     vec_purged = (
         emb.join(F.broadcast(purged_docs), "vec_id")

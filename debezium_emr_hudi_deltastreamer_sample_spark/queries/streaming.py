@@ -30,18 +30,9 @@ from ..streaming.pipeline import (
 from ..streaming.sources import file_envelope_source
 from ..streaming.windows import session_counts, tumbling_counts
 
-QUERIES = {}
-ORACLES = {}
+from ._registry import make_registry
 
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = make_registry()
 
 
 def _tmp(prefix: str) -> str:

@@ -57,18 +57,9 @@ from pyspark.sql import functions as F
 from ..catalog import load_table as _t
 from ..functions import dround
 
-QUERIES = {}
-ORACLES = {}
+from ._registry import make_registry
 
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = make_registry()
 
 
 @_q(
@@ -477,10 +468,16 @@ def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q22_idle_customers",
     """
-    WITH rich AS (
-        SELECT * FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0)
+    WITH c AS (
+        SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    s AS (
+        SELECT sum(cents) AS total_cents, count(*) AS cnt
+        FROM c WHERE cents > 0
+    ),
+    rich AS (
+        SELECT c.* FROM c, s WHERE cents * cnt > total_cents
     )
     SELECT c_mktsegment,
            count(*) AS numcust,
@@ -498,15 +495,25 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     2000), counted per market segment — uncorrelated scalar subquery +
     anti join.
 
-    Scale: the average is one scalar (broadcast); the NOT EXISTS is a
-    LEFT ANTI join against just the DISTINCT o_custkey projection of
-    date-filtered orders — the filter pushes to the orders scan and the
-    projection collapses to its key set before shuffling; at real scale
-    AQE broadcasts the filtered customer side. Never a row-per-order
-    probe."""
-    cu = _t(spark, sf_dir, "customer")
-    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    Determinism: the membership threshold is NOT a raw float average —
+    a double avg differs by ULPs between engines (summation order), so a
+    boundary customer could flip. Balances are 2dp-quantized, so the
+    compare runs in exact integer cents: ``cents·cnt > total_cents`` is
+    precisely ``c_acctbal > avg(positive balances)`` with no division and
+    no float (cents ≤ 1e6, count ≤ ~1e10 at sf100k → product ≤ 1e16,
+    far under int64). Same rewrite discipline as Q11/Q15/Q17.
+
+    Scale: the (total, count) pair is one broadcast scalar row; the NOT
+    EXISTS is a LEFT ANTI join against just the DISTINCT o_custkey
+    projection of date-filtered orders — the filter pushes to the orders
+    scan and the projection collapses to its key set before shuffling; at
+    real scale AQE broadcasts the filtered customer side. Never a
+    row-per-order probe."""
+    cu = _t(spark, sf_dir, "customer").withColumn(
+        "cents", dround(F.col("c_acctbal") * 100, 0).cast("long")
+    )
+    stats = cu.filter(F.col("cents") > 0).agg(
+        F.sum("cents").alias("total_cents"), F.count(F.lit(1)).alias("cnt")
     )
     buyers = (
         _t(spark, sf_dir, "orders")
@@ -515,8 +522,8 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        cu.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        cu.join(F.broadcast(stats))
+        .filter(F.col("cents") * F.col("cnt") > F.col("total_cents"))
         .join(buyers, F.col("c_custkey") == F.col("buyer_key"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
