@@ -115,7 +115,8 @@ def window_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
-             round(avg(value), 3) AS v
+             round(sum(CAST(round(value * 1000) AS BIGINT))
+                   / (1000.0 * count(value)), 3) AS v
       FROM events GROUP BY 1, 2),
     bounds AS (SELECT min(time_bucket(INTERVAL 1 HOUR, ts)) AS lo,
                       max(time_bucket(INTERVAL 1 HOUR, ts)) AS hi

@@ -159,6 +159,8 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on the group key; group size must fit a worker's
     memory (event types are low-cardinality but huge — for skewed groups
     prefer the window-function form the oracle uses)."""
+    import numpy as np
+
     events = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -170,7 +172,14 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pandas NaN — singleton / constant-valued groups must agree.
             pdf["z"] = None
         else:
-            pdf["z"] = ((v - v.mean()) / std).round(3)
+            z = (v - v.mean()) / std
+            # Half-away-from-zero on the binary value (dround's contract)
+            # — pandas Series.round is half-to-even, the exact rounding
+            # mode the repo banned for oracle-compared output. Same exact
+            # frac >= 0.5 form as functions.dround (no +0.5 double-round).
+            a = (z.abs() * 1000).to_numpy()
+            fl = np.floor(a)
+            pdf["z"] = np.sign(z.to_numpy()) * (fl + (a - fl >= 0.5)) / 1000.0
         return pdf[["event_id", "event_type", "z"]]
 
     return events.groupBy("event_type").applyInPandas(
@@ -1046,7 +1055,8 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, count(*) AS n,
            round(sum(l_extendedprice), 2) AS total_price,
-           round(avg(l_discount), 4) AS avg_disc
+           round(sum(CAST(round(l_discount * 100) AS BIGINT))
+                 / (100.0 * count(l_discount)), 4) AS avg_disc
     FROM lineitem WHERE l_quantity >= 25
     GROUP BY l_returnflag
     """,
@@ -1064,10 +1074,17 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li.write.mode("overwrite").orc(out)
     back = spark.read.orc(out).filter(F.col("l_quantity") >= 25)
+    # ×100-integer sum for the 2dp-quantized discount: a rounded plain
+    # double avg is partial-sum-order sensitive at the 4dp half-boundary
+    # (the documented "quantized avg" class); sum(int)/(100·count) is one
+    # float division on exact integers, identical in both engines.
+    dint = dround(F.col("l_discount") * 100, 0).cast("long")
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         dround(F.sum("l_extendedprice"), 2).alias("total_price"),
-        dround(F.avg("l_discount"), 4).alias("avg_disc"),
+        dround(
+            F.sum(dint) / (F.lit(100.0) * F.count(F.col("l_discount"))), 4
+        ).alias("avg_disc"),
     )
 
 
@@ -1118,8 +1135,17 @@ def _hourly_type_grid(spark: SparkSession, sf_dir: str):
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
     )
+    # ×1000-integer sum, not avg(double): value is 3dp-quantized, and a
+    # rounded plain avg is partial-sum-order sensitive — measured 294 of
+    # 3385 (type, hour) groups at sf0.01 land EXACTLY on the 3-decimal
+    # half-boundary, so an AQE re-partition could flip dround(avg) against
+    # the oracle. sum(int)/(1000·count) is one float division on exact
+    # integers — identical operands in both engines, then dround matches.
+    vint = dround(F.col("value") * 1000, 0).cast("long")
     b = ev.groupBy("event_type", "h").agg(
-        dround(F.avg("value"), 3).alias("v")
+        dround(
+            F.sum(vint) / (F.lit(1000.0) * F.count(F.col("value"))), 3
+        ).alias("v")
     ).localCheckpoint(eager=False)
     bounds = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = (
@@ -1139,7 +1165,8 @@ def _hourly_type_grid(spark: SparkSession, sf_dir: str):
     """
     WITH b AS (
       SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
-             round(avg(value), 3) AS v
+             round(sum(CAST(round(value * 1000) AS BIGINT))
+                   / (1000.0 * count(value)), 3) AS v
       FROM events GROUP BY 1, 2),
     bounds AS (SELECT min(time_bucket(INTERVAL 1 HOUR, ts)) AS lo,
                       max(time_bucket(INTERVAL 1 HOUR, ts)) AS hi
@@ -1580,12 +1607,10 @@ def sink_python_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per part file and a DECLARED schema, and aggregated. The oracle reads
     the original table — exactness through the engine's own wire format
     and the custom-format machinery is the check."""
-    import tempfile as _tf
-
     from ..sources.pydatasource import register_avrolog
 
     register_avrolog(spark)
-    out = _tf.mkdtemp(prefix="spark_graft_avrolog_")
+    out = tempfile.mkdtemp(prefix="spark_graft_avrolog_")
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000).select(
         "event_id", "event_type", "value"
     )
@@ -1705,7 +1730,8 @@ def obs_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ps_pandas_on_spark",
     """
     SELECT c_mktsegment, count(*) AS n,
-           round(avg(c_acctbal), 3) AS avg_bal,
+           round((CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                  / count(*)) / 100.0, 3) AS avg_bal,
            round(max(c_acctbal), 2) AS max_bal
     FROM customer GROUP BY c_mktsegment
     """,
@@ -1721,18 +1747,28 @@ def ps_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     same engine, same plan, pandas spelling."""
     import pyspark.pandas as ps
 
-    cust = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    # The mean runs over exact integer CENTS (2dp-quantized balances):
+    # every partial sum of integers < 2^53 is exact in float64 regardless
+    # of aggregation order, so mean = exact_sum / n is engine- and
+    # partitioning-independent — a rounded plain double avg is the
+    # repo's documented "quantized avg" parity flake class. The /100
+    # descale and the round happen after, mirrored in the oracle.
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_acctbal",
+        dround(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
     psdf = cust.pandas_api()
     agg = (
         psdf.groupby("c_mktsegment")
-        .agg({"c_acctbal": ["count", "mean", "max"]})
+        .agg({"cents": ["count", "mean"], "c_acctbal": ["max"]})
         .reset_index()
     )
     out = agg.to_spark()  # multi-level pandas columns flatten to "(col, fn)"
     return out.select(
         F.col("`(c_mktsegment, )`").alias("c_mktsegment"),
-        F.col("`(c_acctbal, count)`").cast("long").alias("n"),
-        dround(F.col("`(c_acctbal, mean)`"), 3).alias("avg_bal"),
+        F.col("`(cents, count)`").cast("long").alias("n"),
+        dround(F.col("`(cents, mean)`") / 100.0, 3).alias("avg_bal"),
         dround(F.col("`(c_acctbal, max)`"), 2).alias("max_bal"),
     )
 
@@ -2049,8 +2085,6 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; the corrupt column is projected only when referenced (here) and
     prunes away otherwise. At 100 TB the quarantine rows would stream to
     a dead-letter sink off the same scan."""
-    import tempfile
-
     cust = _t(spark, sf_dir, "customer")
     line = F.when(
         F.col("c_custkey") % 13 == 0,

@@ -180,9 +180,12 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: at 100 TB with URL/hash-polluted vocabularies, a full groupBy
     shuffles billions of distinct keys; here the shuffle carries only
-    ~K·partitions candidates. K=400 here; production sizes K so the
-    k-th-heaviest frequency stays above n/K (the completeness
-    condition — if it breaks, candidates widen, never silently drop)."""
+    ~K·partitions candidates. K=400 here; production MUST size K so the
+    k-th-heaviest frequency stays above n/K — if that completeness
+    condition breaks, a true heavy hitter can fail the per-batch bar in
+    every batch and be SILENTLY DROPPED from the candidate set (the
+    failure mode is omission, not widening); fixture margin is 888 vs
+    n/K = 67.9, asserted-by-construction rather than at runtime."""
     from collections.abc import Iterator
 
     K = 400
@@ -1926,12 +1929,17 @@ def llm_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    # Threshold the UNROUNDED value and round only the output — the same
+    # contract as the exact twin (operators/dedup.py ngram_jaccard_pairs):
+    # filtering on round(jac) would admit a 0.49997 pair the exact variant
+    # drops, breaking the pinned results-⊆-exact containment; and dround,
+    # not F.round, so the displayed values can't diverge from the twin's
+    # on decimal-repr rounding ties.
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", dround(jac, 4).alias("jaccard"))
     )
 
 
@@ -2076,7 +2084,16 @@ def llm_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ng"),
         ).distinct()
 
-    idx = f"{tempfile.mkdtemp(prefix='spark_graft_gramidx_')}/index"
+    # The returned DataFrame lazily reads the final index, so the dir
+    # cannot be removed before the caller collects — register process-exit
+    # cleanup instead (this query writes the full index 4× per call; bench
+    # loops and driver sampling would otherwise accumulate them in /tmp).
+    import atexit
+    import shutil as _shutil
+
+    idx_root = tempfile.mkdtemp(prefix="spark_graft_gramidx_")
+    atexit.register(_shutil.rmtree, idx_root, ignore_errors=True)
+    idx = f"{idx_root}/index"
     batches = [
         gram_sets(docs.filter(F.col("doc_id") % 3 == i)).withColumn(
             "w", F.lit(1)

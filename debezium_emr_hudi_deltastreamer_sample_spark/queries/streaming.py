@@ -902,13 +902,11 @@ def stream_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back for the aggregate the oracle replays from the content contract.
     Four custom components (stream read, stream write, batch read, the
     wire codec) and zero JVM connector code."""
-    import tempfile as _tf
-
     from ..sources.pydatasource import register_avrolog, register_changefeed
 
     register_changefeed(spark)
     register_avrolog(spark)
-    out = _tf.mkdtemp(prefix="spark_graft_avrolog_stream_")
+    out = tempfile.mkdtemp(prefix="spark_graft_avrolog_stream_")
     ddl = "op string, lsn bigint, key bigint, amount double"
     q = (
         spark.readStream.format("changefeed")
