@@ -2170,9 +2170,19 @@ def llm_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bench-side collect JOB (scan + filter + toPandas dispatch), not the
 #: corpus scan; the fixture is immutable within a bench/sweep run, so the
 #: derived matrix is safely memoized (mtime+size invalidate on rewrite).
-#: Bounded: each entry ≤ ~100 MB by the 200k-row cap, and a bench/sweep
-#: touches a handful of sf dirs.
+#: Bounded STRUCTURALLY, not by usage pattern: a 2-entry LRU (insertion
+#: -order evict in _sem_bench_matrix) — a sweep alternates at most two
+#: fixture dirs, and churning paths must not grow a process-lifetime dict.
 _SEM_BENCH_CACHE: dict[tuple[str, float, int], object] = {}
+_SEM_BENCH_CACHE_MAX = 2
+
+#: The held-out benchmark set is vec_id % 13 == 0 AND vec_id < this cap —
+#: a FIXED eval suite (39 vectors in the driver fixtures), constant across
+#: scale factors. Real decontamination has this shape: the benchmark is a
+#: frozen eval set while the corpus grows, so scale sweeps must measure
+#: the corpus scan, not a fixture artifact where the bench side grows with
+#: the corpus (that artifact was the 2.33x sf1 growth in BASELINE.md).
+SEM_BENCH_MAX_VEC_ID = 500
 
 
 def _sem_bench_matrix(spark: SparkSession, sf_dir: str):
@@ -2199,7 +2209,10 @@ def _sem_bench_matrix(spark: SparkSession, sf_dir: str):
         return _SEM_BENCH_CACHE[key]
     emb = _t(spark, sf_dir, "embeddings")
     bench = (
-        emb.filter(F.col("vec_id") % 13 == 0)
+        emb.filter(
+            (F.col("vec_id") % 13 == 0)
+            & (F.col("vec_id") < SEM_BENCH_MAX_VEC_ID)
+        )
         .select("embedding")
         .limit(200_001)
         .toPandas()
@@ -2207,7 +2220,8 @@ def _sem_bench_matrix(spark: SparkSession, sf_dir: str):
     if len(bench) == 0:
         raise ValueError(
             "semantic decontamination needs a non-empty benchmark set; "
-            "the vec_id % 13 == 0 filter selected zero rows"
+            "the vec_id % 13 == 0 AND vec_id < "
+            f"{SEM_BENCH_MAX_VEC_ID} filter selected zero rows"
         )
     if len(bench) > 200_000:
         raise ValueError(
@@ -2220,6 +2234,8 @@ def _sem_bench_matrix(spark: SparkSession, sf_dir: str):
     )
     b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
     if key is not None:
+        while len(_SEM_BENCH_CACHE) >= _SEM_BENCH_CACHE_MAX:
+            _SEM_BENCH_CACHE.pop(next(iter(_SEM_BENCH_CACHE)))
         _SEM_BENCH_CACHE[key] = b
     return b
 
@@ -2227,7 +2243,8 @@ def _sem_bench_matrix(spark: SparkSession, sf_dir: str):
 @_q(
     "llm_semantic_decontaminate",
     """
-    WITH b AS (SELECT embedding AS be FROM embeddings WHERE vec_id % 13 = 0),
+    WITH b AS (SELECT embedding AS be FROM embeddings
+               WHERE vec_id % 13 = 0 AND vec_id < 500),
     c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id % 13 <> 0)
     SELECT c.vec_id,
            count(b.be) AS n_hits
@@ -2242,14 +2259,16 @@ def _sem_bench_matrix(spark: SparkSession, sf_dir: str):
 )
 def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC benchmark decontamination: for every corpus vector, count
-    the held-out benchmark vectors (vec_id % 13 == 0) within cosine 0.46
-    — paraphrased/near-duplicate eval contamination that the n-gram
-    decontaminers (llm_decontaminate / llm_bloom_decontaminate) cannot
-    see because no 4-gram survives a paraphrase. n_hits > 0 is the drop
-    signal; the count itself grades HOW contaminated (multi-benchmark
-    overlap). Threshold float-safety: min |cos − 0.46| over the
-    bench×corpus pairs is 1.2e-3 at sf0.01 and 7.3e-4 at sf0.1 — several
-    orders above cross-engine float64 noise, so no hit can flip.
+    the held-out benchmark vectors (vec_id % 13 == 0 AND vec_id <
+    SEM_BENCH_MAX_VEC_ID — a FIXED 39-vector eval suite, constant across
+    scale factors) within cosine 0.46 — paraphrased/near-duplicate eval
+    contamination that the n-gram decontaminers (llm_decontaminate /
+    llm_bloom_decontaminate) cannot see because no 4-gram survives a
+    paraphrase. n_hits > 0 is the drop signal; the count itself grades HOW
+    contaminated (multi-benchmark overlap). Threshold float-safety: min
+    |cos − 0.46| over the bench×corpus pairs is 1.2e-3 at sf0.01 and
+    7.3e-4 at sf0.1 for the uncapped set; capping only REMOVES pairs, so
+    the margin can only grow.
 
     Scale (the decontamination asymmetry): the benchmark side is SMALL by
     nature (eval suites, not corpora) — it collects once to the driver

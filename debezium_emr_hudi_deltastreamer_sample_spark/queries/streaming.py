@@ -39,21 +39,83 @@ def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_")
 
 
-#: State-store instance count for the bounded streaming replays below. A
-#: stateful query opens/commits one state store per shuffle partition per
-#: stateful operator per micro-batch; the count is FROZEN into the
-#: checkpoint at first start, and inheriting the session's batch-sized
-#: shuffle fan-out (32-200) makes tiny replays commit-overhead-bound
-#: (measured ~2x on stream_stream_join: 64 instances -> 16). Size it to
-#: expected STATE volume, not CPU count: these fixture replays hold a few
-#: thousand keys, so 4 is plenty (same-window A/B vs 8: join 2.99->2.46 s,
-#: rollup 2.66->2.09, cdc upsert 2.04->1.57 — commit overhead still
-#: dominates at this state size); an unbounded 100 TB stream wants
-#: hundreds, set via this env or the checkpoint's own recorded value.
-_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4"))
+#: State-store sizing for the bounded streaming replays below. A stateful
+#: query opens/commits one state store per shuffle partition per stateful
+#: operator per micro-batch; the count is FROZEN into the checkpoint at
+#: first start, and inheriting the session's batch-sized shuffle fan-out
+#: (32-200) makes tiny replays commit-overhead-bound (measured ~2x on
+#: stream_stream_join: 64 instances -> 16). Size it to expected STATE
+#: volume, not CPU count: the count is DERIVED from the source's on-disk
+#: bytes (one partition per _STATE_TARGET_BYTES of input, floor 4) so the
+#: fixture replays stay at the measured-optimal 4 (same-window A/B vs 8:
+#: join 2.99->2.46 s, rollup 2.66->2.09, cdc upsert 2.04->1.57) while a
+#: large source scales the fan-out instead of serializing state on 4
+#: partitions. SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides everything
+#: (the production knob — see USAGE.md; a restarted checkpoint keeps its
+#: own recorded value regardless).
+_STATE_PARTITIONS_FLOOR = 4
+#: Input bytes per state partition. Compressed parquet bytes understate
+#: in-memory state, but state volume correlates with input volume for
+#: these replay shapes (windows/joins/dedup keyed off the source), and a
+#: conservative 32 MiB/partition target reaches hundreds of partitions by
+#: the time the source is tens of GB — the "real cluster" regime.
+_STATE_TARGET_BYTES = 32 << 20
+#: More state partitions than this helps nothing on any plausible single
+#: stream (Spark's own default fan-out is 200); bounds a corrupt/huge
+#: size probe.
+_STATE_PARTITIONS_CAP = 2048
 
 
-def _stream_session(spark: SparkSession, final_flush: bool = True) -> SparkSession:
+def _state_partitions_for_bytes(nbytes: int) -> int:
+    """Pure heuristic core (unit-pinned in tests/test_streaming.py):
+    ceil(bytes / target) clamped to [floor, cap]."""
+    want = -(-int(nbytes) // _STATE_TARGET_BYTES)
+    return max(_STATE_PARTITIONS_FLOOR, min(_STATE_PARTITIONS_CAP, want))
+
+
+def _local_path_bytes(path: str) -> int | None:
+    """Total file bytes under a local path (file or directory), None when
+    the path is missing or not a local filesystem path (production sources
+    on object stores use the env override or the checkpoint's recorded
+    value — this probe is deliberately cheap and local-only)."""
+    p = path[len("file:"):] if path.startswith("file:") else path
+    if "://" in p:
+        return None
+    try:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        if os.path.isdir(p):
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+    except OSError:
+        return None
+    return None
+
+
+def _state_partitions(input_path: str | None = None) -> int:
+    """State-store fan-out for one streaming replay: env override first,
+    else derived from the source's size, else the floor."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env is not None:
+        return int(env)
+    if input_path is not None:
+        nbytes = _local_path_bytes(input_path)
+        if nbytes is not None:
+            return _state_partitions_for_bytes(nbytes)
+    return _STATE_PARTITIONS_FLOOR
+
+
+def _stream_session(
+    spark: SparkSession,
+    final_flush: bool = True,
+    input_path: str | None = None,
+) -> SparkSession:
     """An isolated child session for one streaming replay.
 
     ``newSession()`` shares the SparkContext (executors, caches) but owns
@@ -66,8 +128,10 @@ def _stream_session(spark: SparkSession, final_flush: bool = True) -> SparkSessi
     inheriting a batch-sized fan-out (32-200) makes tiny replays
     commit-overhead-bound (measured ~2x on stream_stream_join: 64
     instances -> 16). Size it to expected STATE volume, not CPU count —
-    these fixture replays hold a few thousand keys, so 4 is plenty; an
-    unbounded 100 TB stream wants hundreds, via the env override.
+    derived from ``input_path``'s on-disk bytes (``_state_partitions``):
+    these fixture replays hold a few thousand keys so they land on the
+    floor of 4, while a genuinely large source scales the fan-out. The
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS env is the production override.
 
     ``final_flush=False`` disables no-data micro-batches — ONLY valid for
     queries whose final no-data batch provably emits nothing: complete-mode
@@ -78,7 +142,9 @@ def _stream_session(spark: SparkSession, final_flush: bool = True) -> SparkSessi
     append-mode event-time query (windows, dedup, OUTER joins) NEEDS the
     flush to emit watermark-gated rows — keep the default there."""
     child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
+    child.conf.set(
+        "spark.sql.shuffle.partitions", str(_state_partitions(input_path))
+    )
     if not final_flush:
         child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     ensure_read_confs(child)
@@ -143,7 +209,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_flush=False: _drain runs this in complete mode, which re-emits
     the FULL state every data batch — the trailing no-data batch adds
     nothing and its state-commit round is pure cost."""
-    spark = _stream_session(spark, final_flush=False)
+    spark = _stream_session(spark, final_flush=False, input_path=f"{sf_dir}/events.parquet")
     agg = tumbling_counts(
         _events_stream(spark, sf_dir), "ts", "1 day", keys=["event_type"],
         watermark="1 day",
@@ -168,7 +234,7 @@ def stream_sliding_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2-day/1-day window sums per type as a streaming agg — an
     event at time t lands in the two windows starting at bucket(t) and
     bucket(t)-1d, which is exactly what the oracle unnests."""
-    spark = _stream_session(spark)
+    spark = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 day")
@@ -205,7 +271,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged session set — the same contract stream_tumbling_counts uses.
     The oracle rebuilds sessions with a lag/cumsum break detector
     (sessions merge while consecutive gaps < 30 min)."""
-    spark = _stream_session(spark)
+    spark = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     sess = session_counts(
         _events_stream(spark, sf_dir), "ts", "30 minutes",
         keys=["user_id"], watermark="30 minutes",
@@ -425,7 +491,7 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle exact."""
     from pyspark.sql import Window as W
 
-    spark = _stream_session(spark)
+    spark = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     agg = tumbling_counts(
         _events_stream(spark, sf_dir), "ts", "1 day", keys=["event_type"],
         watermark="1 day",
@@ -489,7 +555,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriches against a static broadcast dimension — stateless, no
     watermark; the per-micro-batch join plan is the same broadcast-hash
     join a batch query gets."""
-    spark = _stream_session(spark)
+    spark = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     stream = _events_stream(spark, sf_dir)
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
@@ -523,7 +589,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     output either way at sf0.1) — its full commit round is pure cost
     here. The OUTER join variants below keep the flush (their
     null-padded rows emit only when the watermark passes)."""
-    spark = _stream_session(spark, final_flush=False)
+    spark = _stream_session(spark, final_flush=False, input_path=f"{sf_dir}/events.parquet")
     # ONE streaming source split by filter into both join sides (a
     # streaming self-join): a second _events_stream would register a
     # second file source with its own offset log and scan — measured 12%
@@ -637,7 +703,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-window + delay. The bounded replay needs the sentinel flush
     (``_events_stream_with_flush``) so tail unmatched rows emit; the
     oracle is the plain batch left interval join."""
-    spark = _stream_session(spark)
+    spark = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     # One flush-source split by filter (self-join): a second helper call
     # would stage the files and register a second source needlessly.
     ev = _events_stream_with_flush(spark, sf_dir)
@@ -678,7 +744,7 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-padded exactly once (left- AND right-side eviction, the complete
     outer-join state machine). Same sentinel-flush mechanics as the left
     join; sentinels are dropped by the coalesced-key filter."""
-    spark = _stream_session(spark)
+    spark = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     ev = _events_stream_with_flush(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -722,7 +788,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.windows import running_totals
 
-    spark = _stream_session(spark)
+    spark = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     emitted = _drain(
         running_totals(_events_stream(spark, sf_dir), "user_id", "value"),
         output_mode="update",
@@ -751,7 +817,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once-per-key viable on an unbounded 100 TB stream."""
     from ..streaming.windows import dedup_stream
 
-    spark = _stream_session(spark)
+    spark = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     dedup = dedup_stream(
         _events_stream(spark, sf_dir),
         keys=["user_id", "event_type"],
@@ -954,7 +1020,7 @@ def stream_scd2_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import scd2_batch_processor
     from .cdc import _ts_terciles
 
-    sess = _stream_session(spark)
+    sess = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     ev = _t(sess, sf_dir, "events")
     src = _tmp("scd2_src")
     for i, (lo, hi) in enumerate(_ts_terciles(ev)):
@@ -1043,7 +1109,7 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     are few, so the residual fan-out is bounded. The events fixture makes
     every event match EXACTLY one version (versions partition each key's
     timeline from its first event), which the oracle's join reproduces."""
-    sess = _stream_session(spark)
+    sess = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     from .cdc import cdc_scd2_history
 
     dim = cdc_scd2_history(sess, sf_dir).select(
@@ -1089,7 +1155,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     WithinWatermark emits the FIRST arrival's payload, and arrival order
     across file-source partitions is not deterministic, so non-key
     payload columns are not contract."""
-    spark = _stream_session(spark)
+    spark = _stream_session(spark, input_path=f"{sf_dir}/events.parquet")
     deduped = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "3650 days")

@@ -2050,3 +2050,30 @@ def test_lsh_banding_contract_and_cc_rounds_guard(spark, sf_tiny):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="batch_rounds"):
         connected_components(verts, edges, batch_rounds=0)
+
+
+def test_sem_bench_matrix_cache_bounded_and_capped(spark, tmp_path):
+    """_SEM_BENCH_CACHE is a structural 2-entry LRU (VERDICT r7 task 7) and
+    the benchmark selection is pinned to a FIXED eval suite
+    (vec_id % 13 == 0 AND vec_id < SEM_BENCH_MAX_VEC_ID) so it stays
+    constant-size across scale factors (task 4)."""
+    import shutil
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries import llm
+
+    llm._SEM_BENCH_CACHE.clear()
+    b1 = llm._sem_bench_matrix(spark, "/root/testdata/sf0.001")
+    b2 = llm._sem_bench_matrix(spark, "/root/testdata/sf0.01")
+    # sf0.1's bench set is the SAME fixed suite despite a 4x corpus.
+    b3 = llm._sem_bench_matrix(spark, "/root/testdata/sf0.1")
+    assert b1.shape == b2.shape == b3.shape == (39, 64)
+    assert len(llm._SEM_BENCH_CACHE) <= llm._SEM_BENCH_CACHE_MAX
+    # A third distinct fixture evicts the oldest, never grows the dict.
+    alt = tmp_path / "sfalt"
+    alt.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        alt / "embeddings.parquet",
+    )
+    llm._sem_bench_matrix(spark, str(alt))
+    assert len(llm._SEM_BENCH_CACHE) <= llm._SEM_BENCH_CACHE_MAX
