@@ -114,6 +114,7 @@ def mor_batch_processor(
     ordering: Sequence[str] = ("_lsn",),
     auto_compact_deltas: int | None = None,
     async_compact: bool = False,
+    merge_schema: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Per-micro-batch MERGE_ON_READ ingest (Hudi's other
     ``write.table.type`` next to `upsert_batch_processor`'s COW): parse
@@ -147,6 +148,7 @@ def mor_batch_processor(
             op_col="op",
             auto_compact_deltas=auto_compact_deltas,
             async_compact=async_compact,
+            merge_schema=merge_schema,
         )
         table.append_changes(changes, batch_id)
 

@@ -231,7 +231,13 @@ class KeyedTable:
     def init(self, df: DataFrame) -> None:
         """Create/replace the table from a snapshot."""
         self._write(df, "overwrite")
-        self._publish_snapshot(self.read())
+        # Publish from the DF just written, NOT a re-read: an EMPTY
+        # partitioned write leaves a footer-less dir that read() cannot
+        # infer a schema from — the re-read crashed the write path on any
+        # batch that emptied the table (found by tools/fuzz_cdc.py), and
+        # eagerly evaluating read() as the argument crashed even with
+        # keep_history=0 where the publish is a no-op.
+        self._publish_snapshot(df)
 
     def upsert(self, changes: DataFrame) -> None:
         """Apply a CDC change batch (B5/B6/B8/B11).
@@ -253,11 +259,12 @@ class KeyedTable:
             latest = latest_by_key(changes, self.keys, self.ordering)
             if self.op_col and self.op_col in changes.columns:
                 latest = latest.filter(F.col(self.op_col) != "d")
-            self._write(
-                latest.select(*self._row_columns(changes)),
-                "overwrite",
-            )
-            self._publish_snapshot(self.read())
+            bootstrap = latest.select(*self._row_columns(changes))
+            self._write(bootstrap, "overwrite")
+            # `bootstrap` IS the full table here — publish it directly
+            # (see init: a re-read crashes when a first batch whose newest
+            # changes are all deletes writes an empty, footer-less table).
+            self._publish_snapshot(bootstrap)
             return
 
         current = self.read()
@@ -298,10 +305,25 @@ class KeyedTable:
                     self.spark.conf.set(
                         "spark.sql.sources.partitionOverwriteMode", "dynamic"
                     )
-                self._publish_snapshot(self.read())
+                # The static rewrite's `merged` is untouched ∪ merged —
+                # the full table; publishing it directly survives the
+                # all-rows-deleted batch (empty write = no footers to
+                # re-read) that crashed the re-read form.
+                self._publish_snapshot(merged)
                 return
         self._write(merged, "overwrite")
-        self._publish_snapshot(self.read())
+        if self.partition_by:
+            # Dynamic partial overwrite: `merged` holds only the touched
+            # partitions, so the snapshot must re-read the full table.
+            # Safe here by construction: this branch requires merged to
+            # cover every touched partition (the vanished check above), so
+            # the table has at least merged's footers. keep_history guard
+            # keeps the read()'s footer-inference off the keep_history=0
+            # hot path.
+            if self.keep_history:
+                self._publish_snapshot(self.read())
+        else:
+            self._publish_snapshot(merged)
 
     def compact(
         self,
@@ -402,6 +424,7 @@ class DeltaLogTable:
         auto_compact_deltas: int | None = None,
         compact_target_files: int | None = None,
         async_compact: bool = False,
+        merge_schema: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -411,6 +434,20 @@ class DeltaLogTable:
         self.auto_compact_deltas = auto_compact_deltas
         self.compact_target_files = compact_target_files
         self.async_compact = async_compact
+        #: Read the DELTA LOG with parquet schema merging — required when
+        #: change batches can gain columns (B11 schema drift): the delta
+        #: dir holds one directory per batch, each with its own footer
+        #: schema, and WITHOUT merging Spark infers the union read's
+        #: schema from ONE arbitrary footer, so a drifted column
+        #: nondeterministically VANISHES from the merge-on-read view (and
+        #: from the next compaction's folded base — permanent loss). The
+        #: COW sibling (KeyedTable.merge_schema) has the same knob for
+        #: the same reason; both default off because the footer-read cost
+        #: is per file and stable-schema feeds shouldn't pay it. The base
+        #: snapshot never needs merging (each version is written by one
+        #: job with one schema); base ∪ delta reconciliation is handled
+        #: by merge_upsert's unionByName.
+        self.merge_schema = merge_schema
 
     def _base(self) -> str:
         # Legacy (pre-MVCC) single-dir base layout; still readable.
@@ -460,20 +497,27 @@ class DeltaLogTable:
             pass
         return None
 
-    def _read_dir(self, p: str, strict: bool = False) -> DataFrame | None:
+    def _read_dir(
+        self, p: str, strict: bool = False, merge: bool = False
+    ) -> DataFrame | None:
         """``strict`` distinguishes MISSING (→ None) from BROKEN (→ raise):
         the compaction path must never treat a transient read failure as
         an empty directory — swallowing it would publish a base whose
         version name claims deltas it silently dropped, and the
         ``ingest_batch > through`` filter would mask those committed rows
-        forever (the same missing-vs-broken probe the COW upsert uses)."""
+        forever (the same missing-vs-broken probe the COW upsert uses).
+        ``merge``: parquet schema merging (delta-log reads under
+        ``merge_schema`` — see __init__)."""
+        reader = self.spark.read
+        if merge:
+            reader = reader.option("mergeSchema", "true")
         if strict:
             fs, hpath = self._fs()
             if not fs.exists(hpath(p)):
                 return None
-            return self.spark.read.parquet(p)
+            return reader.parquet(p)
         try:
-            return self.spark.read.parquet(p)
+            return reader.parquet(p)
         except Exception:
             return None
 
@@ -687,7 +731,9 @@ class DeltaLogTable:
                     "base (run compact() first)"
                 )
             return base
-        deltas = self._read_dir(self._delta(), strict=_strict)
+        deltas = self._read_dir(
+            self._delta(), strict=_strict, merge=self.merge_schema
+        )
         if deltas is not None and through >= 0:
             # A version records the batch id it compacted THROUGH; delta
             # dirs at or below it are already folded into this base (they
@@ -732,7 +778,7 @@ class DeltaLogTable:
         bounded by compaction cadence — compaction retires delta dirs, so
         consumers must keep ``since_batch`` within the uncompacted window
         (exactly Hudi's incremental-read-vs-cleaner contract)."""
-        deltas = self._read_dir(self._delta())
+        deltas = self._read_dir(self._delta(), merge=self.merge_schema)
         if deltas is None:
             raise FileNotFoundError(
                 f"no delta log at {self.path} (compacted or empty table)"

@@ -1,0 +1,35 @@
+"""CDC differential fuzz gate (tools/fuzz_cdc.py): 90 seeded random
+envelope-sequence scenarios (30 per lane) replayed through the COW, MOR,
+and SCD2 lanes against pure-Python dict-replay oracles. Gate sizing: a
+fuzz case costs ~40 tiny Spark jobs (~2-6 s wall each depending on box
+load), so the always-on gate stays at a few minutes while multi-seed CLI
+hunts carry the volume — 500+ cases per lane per round, tallies recorded
+in COVERAGE.md / BASELINE.md. Covers the stateful
+corners no curated test enumerates: out-of-order LSNs across batch
+boundaries, all-delete bootstrap batches, schema-drift mid-stream,
+at-least-once batch replays, async-compaction races, old-batch redelivery.
+
+A red case replays standalone with its printed case seed:
+  python tools/fuzz_cdc.py --lane <lane> --count 1 --seed <case_seed>
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.fuzz_cdc import run_many
+
+COUNT = 30
+WORKERS = 12
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    ("lane", "seed"),
+    [("cow", 42), ("mor", 1042), ("scd2", 2042)],
+)
+def test_fuzz_cdc_lane(spark, lane, seed):
+    failures = run_many(spark, lane, COUNT, seed, workers=WORKERS)
+    assert not failures, (
+        f"{len(failures)} {lane} divergences; first 3: {failures[:3]}"
+    )

@@ -1,0 +1,600 @@
+"""CDC differential fuzzer: seeded random Debezium-envelope event sequences
+replayed through the engine's three CDC lanes, each compared against a
+pure-Python dict-replay oracle (the 15-line reference semantics SURVEY.md §5
+describes). The batch-SQL fuzzer (tools/fuzz_parity.py) covers expressions;
+THIS one covers the stateful merge semantics where 70+ hand-found bugs have
+lived across rounds:
+
+- COW lane  — streaming/pipeline.upsert_batch_processor → KeyedTable.upsert
+  (bootstrap path, partition-pruned dynamic overwrite, vanished-partition
+  static rewrite, schema drift via unionByName, MVCC snapshots/time travel)
+- MOR lane  — streaming/pipeline.mor_batch_processor → DeltaLogTable
+  (delta-log append, merge-on-read precedence (ingest_batch, _lsn), inline +
+  async compaction, read-optimized staleness contract, schema drift)
+- SCD2 lane — streaming/pipeline.scd2_batch_processor (incremental type-2
+  fold vs a batch fold over the full event set)
+
+Scenario space per seed: insert/update/delete/snapshot-read op mixes,
+out-of-order _lsn within AND across batches, duplicate keys per batch,
+NULL field values, all-delete batches, deletes of absent keys, empty
+batches, malformed JSON and null-op envelopes (must be dropped), random
+micro-batch boundaries, schema-drift batches (a new column appears
+mid-stream), and random mid-replay restarts (foreachBatch's at-least-once
+contract: a batch re-applies immediately after itself — final state must
+not change; for SCD2 also redelivery of an arbitrary OLD batch, which the
+monotone-feed guard must no-op).
+
+Determinism: every event gets a globally unique _lsn (two changes to one
+key with EQUAL _lsn make the precombine pick nondeterministic by contract —
+the reference's precombine has the same property, so the generator never
+emits that); SCD2 tiebreak ids are unique per event for the same reason.
+No float columns anywhere — comparisons are exact.
+
+Usage:
+  python tools/fuzz_cdc.py --lane all --count 50 --seed 42 --workers 8
+  python tools/fuzz_cdc.py --lane cow --count 1 --seed <case_seed>  # replay
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import types as T  # noqa: E402
+
+BASE_FIELDS = [
+    ("id", T.IntegerType()),
+    ("full_name", T.StringType()),
+    ("email", T.StringType()),
+    ("phone", T.StringType()),
+    ("department", T.StringType()),
+    ("salary", T.IntegerType()),
+    ("created_at", T.DateType()),
+]
+DRIFT_FIELD = ("bonus", T.IntegerType())
+
+NAMES = ["ada", "grace", "alan", "edsger", "barbara", "märta", 'o"quote', ""]
+DEPTS = ["eng", "ops", "sales"]
+DATES = [None, "2023-07-01", "2023-07-15", "2024-02-29"]
+
+
+def _schema(drift: bool) -> T.StructType:
+    fields = BASE_FIELDS + ([DRIFT_FIELD] if drift else [])
+    return T.StructType([T.StructField(n, t) for n, t in fields])
+
+
+class CdcGen:
+    """Seeded scenario generator for the COW/MOR lanes."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+
+    def row(self, key: int, drift: bool, dept_of: dict[int, str]) -> dict:
+        r = self.rng
+        row = {
+            "id": key,
+            "full_name": r.choice(NAMES) if r.random() > 0.1 else None,
+            "email": f"u{key}@x.io" if r.random() > 0.2 else None,
+            "phone": str(r.randint(10**6, 10**7)) if r.random() > 0.3 else None,
+            "department": dept_of.get(key, r.choice(DEPTS)),
+            "salary": r.randint(10, 999) * 100 if r.random() > 0.15 else None,
+            "created_at": r.choice(DATES),
+        }
+        if drift:
+            row["bonus"] = r.randint(0, 50) if r.random() > 0.3 else None
+        return row
+
+    def scenario(self) -> dict:
+        r = self.rng
+        n_keys = r.randint(1, 10)
+        n_batches = r.randint(1, 5)
+        partitioned = r.random() < 0.30
+        # Drift and partitioning compose only on the merge_schema lanes;
+        # the COW processor lane keeps them exclusive (see run_cow_case).
+        drift_at = r.randint(1, n_batches - 1) if (
+            n_batches > 1 and r.random() < 0.35
+        ) else None
+        if partitioned:
+            drift_at = None
+        dept_of = (
+            {k: r.choice(DEPTS) for k in range(n_keys)} if partitioned else {}
+        )
+        lsn_pool = list(range(1, 1000))
+        r.shuffle(lsn_pool)  # out-of-order LSNs, unique per event
+        batches = []
+        for b in range(n_batches):
+            drift = drift_at is not None and b >= drift_at
+            kind = r.random()
+            if kind < 0.08:
+                batches.append({"drift": drift, "events": []})  # empty batch
+                continue
+            n_ev = r.randint(1, 12)
+            events = []
+            for _ in range(n_ev):
+                key = r.randrange(n_keys)
+                if kind < 0.18:  # all-delete batch
+                    op = "d"
+                else:
+                    op = r.choices(
+                        ["c", "u", "d", "r", None, "malformed"],
+                        weights=[30, 28, 20, 10, 4, 3],
+                    )[0]
+                events.append(
+                    {
+                        "op": op,
+                        "lsn": lsn_pool.pop(),
+                        "row": self.row(key, drift, dept_of),
+                    }
+                )
+            batches.append({"drift": drift, "events": events})
+        # Replay script: positions after which the just-applied batch
+        # re-applies immediately (at-least-once restart).
+        replays = {b for b in range(n_batches) if r.random() < 0.25}
+        return {
+            "n_keys": n_keys,
+            "batches": batches,
+            "replays": replays,
+            "partitioned": partitioned,
+            "drift_at": drift_at,
+            "keep_history": (not partitioned and drift_at is None
+                             and r.random() < 0.25),
+        }
+
+
+def envelope_json(ev: dict) -> str:
+    """One Debezium-shaped JSON envelope (the reference's wire format:
+    payload.{before,after,source{lsn,ts_ms,table},op,ts_ms})."""
+    if ev["op"] == "malformed":
+        return '{"payload": {"op": "c", "after": '  # truncated JSON
+    row = ev["row"]
+    return json.dumps(
+        {
+            "payload": {
+                "before": row if ev["op"] == "d" else None,
+                "after": None if ev["op"] == "d" else row,
+                "source": {
+                    "lsn": ev["lsn"],
+                    "ts_ms": 1700000000000 + ev["lsn"],
+                    "table": "employees",
+                },
+                "op": ev["op"],
+                "ts_ms": 1700000000000 + ev["lsn"],
+            }
+        }
+    )
+
+
+def oracle_replay(batches: list[dict]) -> tuple[dict, list[str], list[dict]]:
+    """The dict-replay oracle: per batch take each key's max-LSN event
+    (precombine), then apply — delete drops the key, anything else upserts
+    the row image. Later batches outrank earlier ones regardless of LSN
+    (exactly the engine's changes-outrank-snapshot contract). Returns
+    (final_state, final_columns, per-batch state history including
+    skipped/empty batches as unchanged entries)."""
+    state: dict[int, dict] = {}
+    cols = [n for n, _ in BASE_FIELDS]
+    history = []
+    for batch in batches:
+        events = [e for e in batch["events"] if e["op"] in ("c", "u", "d", "r")]
+        if events:
+            # Schema extension happens when a batch with >=1 parsed row
+            # reaches the merge under the extended declared schema.
+            if batch["drift"] and DRIFT_FIELD[0] not in cols:
+                cols = cols + [DRIFT_FIELD[0]]
+            latest: dict[int, dict] = {}
+            for e in events:
+                k = e["row"]["id"]
+                if k not in latest or e["lsn"] > latest[k]["lsn"]:
+                    latest[k] = e
+            for k, e in latest.items():
+                if e["op"] == "d":
+                    state.pop(k, None)
+                else:
+                    state[k] = dict(e["row"])
+        history.append({k: dict(v) for k, v in state.items()})
+    return state, cols, history
+
+
+def _norm(v):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _spark_state(df, cols) -> dict:
+    out = {}
+    for row in df.collect():
+        d = row.asDict()
+        out[d["id"]] = {c: _norm(d.get(c)) for c in cols if c != "id"}
+    return out
+
+
+def _oracle_state(state: dict, cols) -> dict:
+    return {
+        k: {c: v.get(c) for c in cols if c != "id"} for k, v in state.items()
+    }
+
+
+def _diff(got: dict, want: dict) -> str:
+    keys = sorted(set(got) | set(want))
+    lines = []
+    for k in keys:
+        if got.get(k) != want.get(k):
+            lines.append(f"key {k}: engine={got.get(k)!r} oracle={want.get(k)!r}")
+    return "; ".join(lines[:5])
+
+
+def _raw_batch(spark, batch: dict):
+    vals = [(envelope_json(e),) for e in batch["events"]]
+    # coalesce(1): createDataFrame parallelizes a tiny local list into
+    # defaultParallelism (32) slices — 32 near-empty tasks per job, the
+    # dominant cost of a fuzz case.
+    return spark.createDataFrame(vals or [], "value string").coalesce(1)
+
+
+def _case_session(spark):
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "2")
+    return child
+
+
+def _wrap(body):
+    """Own the case tmp dir: removed on pass, kept (and named in the
+    failure detail) on fail so a red seed replays against its artifacts."""
+
+    def run(spark, seed: int) -> tuple[bool, str]:
+        # tmpfs when available: a fuzz case is ~40 tiny parquet
+        # write/commit rounds, and their fsync-bound latency on disk-backed
+        # /tmp dominates the case wall time (same placement rationale as
+        # bench.py's state-store dirs).
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        case_dir = tempfile.mkdtemp(
+            prefix=f"fuzz_cdc_{body.__name__}_", dir=base
+        )
+        try:
+            ok, detail = body(spark, seed, case_dir)
+        except Exception:
+            shutil.rmtree(case_dir, ignore_errors=True)
+            raise
+        if ok:
+            shutil.rmtree(case_dir, ignore_errors=True)
+            return ok, detail
+        return ok, f"{detail} [kept {case_dir}]"
+
+    run.__name__ = f"run_{body.__name__}_case"
+    return run
+
+
+def _cow(spark, seed: int, case_dir: str) -> tuple[bool, str]:
+    """COW lane: raw JSON envelopes → upsert_batch_processor (the exact
+    foreachBatch surface) → KeyedTable; final table vs dict replay. The
+    keep_history variant drives KeyedTable directly and also checks every
+    published MVCC snapshot against the oracle's per-apply history."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import parse_envelope
+    from debezium_emr_hudi_deltastreamer_sample_spark.fsutil import (
+        read_parquet_if_present,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+        upsert_batch_processor,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable
+
+    sc = CdcGen(seed).scenario()
+    spark = _case_session(spark)
+    path = f"{case_dir}/table"
+    if True:
+        if sc["keep_history"]:
+            table = KeyedTable(
+                spark, path, keys=["id"], ordering=["_lsn"],
+                op_col="op", keep_history=24,
+            )
+            snap_states = []  # oracle state per PUBLISHED snapshot commit
+            state: dict[int, dict] = {}
+            for i, batch in enumerate(sc["batches"]):
+                reps = 2 if i in sc["replays"] else 1
+                for _ in range(reps):
+                    raw = _raw_batch(spark, batch)
+                    if not raw.head(1):
+                        continue
+                    changes = parse_envelope(raw, _schema(batch["drift"]))
+                    if not changes.head(1):
+                        continue
+                    table.upsert(changes)
+                    _, _, hist = oracle_replay(sc["batches"][: i + 1])
+                    snap_states.append(hist[-1])
+            final, cols, _ = oracle_replay(sc["batches"])
+            if snap_states:
+                cur = read_parquet_if_present(spark, path)
+                got = _spark_state(cur, cols) if cur is not None else {}
+                want = _oracle_state(final, cols)
+                if got != want:
+                    return False, f"cow[hist] final mismatch: {_diff(got, want)}"
+                for seq, _uri in table.snapshots():
+                    got = _spark_state(table.read(as_of=seq), cols)
+                    want = _oracle_state(snap_states[seq], cols)
+                    if got != want:
+                        return (
+                            False,
+                            f"cow[hist] snapshot {seq} mismatch: "
+                            f"{_diff(got, want)}",
+                        )
+            return True, ""
+
+        partition_by = ["department"] if sc["partitioned"] else []
+        for i, batch in enumerate(sc["batches"]):
+            process = upsert_batch_processor(
+                path,
+                keys=["id"],
+                row_schema=_schema(batch["drift"]),
+                ordering=["_lsn"],
+                partition_by=partition_by,
+            )
+            reps = 2 if i in sc["replays"] else 1
+            for _ in range(reps):
+                process(_raw_batch(spark, batch), i)
+        final, cols, _ = oracle_replay(sc["batches"])
+        # EMPTY ≡ MISSING is the table contract (KeyedTable.exists): a
+        # partitioned table whose rows were all deleted has no parquet
+        # footers left, so the readable-state compare maps None → {}.
+        cur = read_parquet_if_present(spark, path)
+        got = _spark_state(cur, cols) if cur is not None else {}
+        want = _oracle_state(final, cols)
+        if got != want:
+            return False, f"cow final mismatch: {_diff(got, want)}"
+        return True, ""
+
+
+def _mor(spark, seed: int, case_dir: str) -> tuple[bool, str]:
+    """MOR lane: raw envelopes → mor_batch_processor → DeltaLogTable with
+    randomized inline/async/manual compaction; final merge-on-read view vs
+    dict replay, read-optimized view vs the oracle state at the published
+    compacted-through batch, and newest read_version == optimized view."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+        mor_batch_processor,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    gen = CdcGen(seed)
+    sc = gen.scenario()
+    r = gen.rng
+    if not any(
+        e["op"] in ("c", "u", "d", "r")
+        for b in sc["batches"]
+        for e in b["events"]
+    ):
+        sc["batches"][0]["events"] = [
+            {"op": "c", "lsn": 1, "row": gen.row(0, False, {})}
+        ]
+        sc["batches"][0]["drift"] = False
+    auto = r.choice([None, 1, 2, 3])
+    use_async = auto is not None and r.random() < 0.4
+    target_files = r.choice([None, 1, 2])
+    manual_compact_prob = 0.3 if auto is None else 0.1
+    drift = sc["drift_at"] is not None
+
+    spark = _case_session(spark)
+    path = f"{case_dir}/mor"
+    if True:
+        table = DeltaLogTable(
+            spark, path, keys=["id"], ordering=["_lsn"], op_col="op",
+            compact_target_files=target_files, merge_schema=drift,
+        )
+        for i, batch in enumerate(sc["batches"]):
+            process = mor_batch_processor(
+                path,
+                keys=["id"],
+                row_schema=_schema(batch["drift"]),
+                ordering=["_lsn"],
+                auto_compact_deltas=auto,
+                async_compact=use_async,
+                merge_schema=drift,
+            )
+            reps = 2 if i in sc["replays"] else 1
+            for _ in range(reps):
+                process(_raw_batch(spark, batch), i)
+            if r.random() < manual_compact_prob:
+                table.await_compaction(60)
+                table.compact()
+        table.await_compaction(60)
+        err = table.last_compaction_error()
+        if err is not None:
+            return False, f"mor async compaction error: {err!r}"
+        final, cols, history = oracle_replay(sc["batches"])
+        got = _spark_state(table.read(), cols)
+        want = _oracle_state(final, cols)
+        if got != want:
+            return False, f"mor final mismatch: {_diff(got, want)}"
+        ver = table._latest_base()
+        if ver is not None and ver[0] >= 0:
+            through = ver[1]
+            # Columns as of the compacted-through prefix (drift may land
+            # after the fold).
+            _, pcols, _ = oracle_replay(sc["batches"][: through + 1])
+            got = _spark_state(table.read(optimized=True), pcols)
+            want = _oracle_state(history[through], pcols)
+            if got != want:
+                return (
+                    False,
+                    f"mor read-optimized@{through} mismatch: {_diff(got, want)}",
+                )
+            got_v = _spark_state(table.read_version(ver[0]), pcols)
+            if got_v != want:
+                return (
+                    False,
+                    f"mor read_version({ver[0]}) mismatch: {_diff(got_v, want)}",
+                )
+        return True, ""
+
+
+ATTRS = ["a", "b", "c", None]
+
+
+def gen_scd2(seed: int) -> dict:
+    """SCD2 scenario: per-key globally ordered (ts, eid) event feed split at
+    random batch boundaries — ts ties across AND within keys, NULL attrs,
+    immediate batch replays, and old-batch redeliveries (both must no-op
+    under the fold's monotone-feed guard)."""
+    r = random.Random(seed)
+    n_keys = r.randint(1, 6)
+    n_events = r.randint(1, 30)
+    events = []
+    for eid in range(n_events):
+        events.append(
+            {
+                "k": r.randrange(n_keys),
+                "ts": r.randint(0, 12),
+                "eid": eid,
+                "a": r.choice(ATTRS),
+            }
+        )
+    events.sort(key=lambda e: (e["ts"], e["eid"]))
+    n_batches = r.randint(1, 5)
+    cuts = sorted(r.randint(0, n_events) for _ in range(n_batches - 1))
+    batches, prev = [], 0
+    for c in cuts + [n_events]:
+        batches.append(events[prev:c])
+        prev = c
+    replays = {b for b in range(len(batches)) if r.random() < 0.25}
+    redeliver = [
+        (i, r.randint(0, i - 1))
+        for i in range(1, len(batches))
+        if r.random() < 0.2
+    ]
+    return {"batches": batches, "replays": replays,
+            "redeliver": dict(redeliver)}
+
+
+def oracle_scd2(events: list[dict]) -> set[tuple]:
+    """Batch SCD2 fold over the full event set: per key in (ts, eid) order,
+    keep position-1 and attr-changed rows (null-safe compare), then version
+    ranges [valid_from, next_valid_from) with the last version open."""
+    out = set()
+    by_key: dict[int, list[dict]] = {}
+    for e in sorted(events, key=lambda e: (e["ts"], e["eid"])):
+        by_key.setdefault(e["k"], []).append(e)
+    for k, evs in by_key.items():
+        changes = []
+        sentinel = object()
+        prev = sentinel
+        for e in evs:
+            if prev is sentinel or e["a"] != prev:
+                changes.append(e)
+            prev = e["a"]
+        for i, c in enumerate(changes):
+            nxt = changes[i + 1] if i + 1 < len(changes) else None
+            out.add(
+                (
+                    k,
+                    c["a"],
+                    c["ts"],
+                    c["eid"],
+                    nxt["ts"] if nxt else None,
+                    nxt is None,
+                )
+            )
+    return out
+
+
+def _scd2(spark, seed: int, case_dir: str) -> tuple[bool, str]:
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+        scd2_batch_processor,
+    )
+
+    sc = gen_scd2(seed)
+    spark = _case_session(spark)
+    path = f"{case_dir}/dim"
+    process = scd2_batch_processor(
+        path, key="k", attr="a", ts_col="ts", tiebreak="eid"
+    )
+    schema = "k int, a string, ts int, eid int"
+
+    def df_of(batch):
+        return spark.createDataFrame(
+            [(e["k"], e["a"], e["ts"], e["eid"]) for e in batch], schema
+        ).coalesce(1)
+
+    for i, batch in enumerate(sc["batches"]):
+        if i in sc["redeliver"]:
+            process(df_of(sc["batches"][sc["redeliver"][i]]), 100 + i)
+        process(df_of(batch), i)
+        if i in sc["replays"]:
+            process(df_of(batch), i)
+    want = oracle_scd2([e for b in sc["batches"] for e in b])
+    if not want:
+        return True, ""
+    got = {
+        (
+            r["k"], r["a"], r["valid_from"], r["valid_from_id"],
+            r["valid_to"], r["is_current"],
+        )
+        for r in spark.read.parquet(path).collect()
+    }
+    if got != want:
+        missing = sorted(want - got, key=repr)[:3]
+        extra = sorted(got - want, key=repr)[:3]
+        return False, f"scd2 mismatch: missing={missing} extra={extra}"
+    return True, ""
+
+
+run_cow_case = _wrap(_cow)
+run_mor_case = _wrap(_mor)
+run_scd2_case = _wrap(_scd2)
+
+LANES = {"cow": run_cow_case, "mor": run_mor_case, "scd2": run_scd2_case}
+
+
+def run_many(spark, lane: str, count: int, seed: int, workers: int = 8):
+    """Run `count` seeded cases of one lane, thread-parallel (each case owns
+    a child session + tmp dir, so cases are isolated). Returns failures as
+    (case_seed, detail) tuples."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    fn = LANES[lane]
+    # count == 1 replays the given CASE seed exactly (failure output prints
+    # case seeds); larger counts derive a seed stream.
+    seeds = [seed] if count == 1 else [
+        seed * 1_000_003 + i for i in range(count)
+    ]
+
+    def one(s):
+        try:
+            ok, detail = fn(spark, s)
+        except Exception as e:  # noqa: BLE001 — a crash IS a finding
+            ok, detail = False, f"error: {type(e).__name__}: {str(e)[:400]}"
+        return None if ok else (s, detail)
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return [f for f in ex.map(one, seeds) if f is not None]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lane", default="all", choices=[*LANES, "all"])
+    ap.add_argument("--count", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--workers", type=int, default=8)
+    args = ap.parse_args()
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
+
+    spark = get_spark(app_name="fuzz_cdc", shuffle_partitions=4)
+    lanes = list(LANES) if args.lane == "all" else [args.lane]
+    total_fail = 0
+    for lane in lanes:
+        fails = run_many(spark, lane, args.count, args.seed, args.workers)
+        total_fail += len(fails)
+        print(f"{lane}: {args.count - len(fails)}/{args.count} pass")
+        for s, d in fails[:10]:
+            print(f"  FAIL seed={s}: {d}")
+    sys.exit(1 if total_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

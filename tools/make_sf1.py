@@ -23,7 +23,14 @@ Output: $SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1), parquet per
 table, idempotent (skips if the marker file exists). Sizes at sf1:
 ~6 M lineitem, 1 M events, 500 k documents, 500 k embeddings (64-dim).
 
-Usage: python tools/make_sf1.py
+``--sf3`` synthesizes the FIFTH sweep point for the graph/dedup family
+(the only ops still >2x in the sf1 sweep): documents + embeddings ONLY at
+30 replicas (~150 k docs / 60 k vectors from the driver fixtures) into
+$SPARK_GRAFT_SF3_DIR (default /tmp/spark_graft_sf3). Star/event tables are
+deliberately omitted — the sf3 sweep targets llm_graph_*/llm_*dedup*/
+pipe_ingest_neardup_gate, which read only these two tables.
+
+Usage: python tools/make_sf1.py [--sf3]
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+DST3 = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3")
 REPLICAS = 10
 
 #: key columns to shift, per table (offset = replica * (max+1) of the
@@ -61,9 +69,12 @@ def main() -> None:
     from debezium_emr_hudi_deltastreamer_sample_spark.catalog import load_table
     from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
 
-    marker = os.path.join(DST, "_DONE")
+    sf3 = "--sf3" in sys.argv[1:]
+    dst = DST3 if sf3 else DST
+    replicas = 30 if sf3 else REPLICAS
+    marker = os.path.join(dst, "_DONE")
     if os.path.exists(marker):
-        print(f"sf1 fixture already present at {DST}")
+        print(f"fixture already present at {dst}")
         return
     spark = get_spark(app_name="make_sf1")
 
@@ -94,7 +105,7 @@ def main() -> None:
     def replicate(name, extra=None):
         df = tables[name]
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             r = df
             for col in df.columns:
                 if col in KEY_OWNERS:
@@ -120,9 +131,13 @@ def main() -> None:
     def embeddings_extra(r, i):
         if i == 0:
             return r
-        # Deterministic tiny perturbation: bump two coordinates by i/100 —
+        # Deterministic tiny perturbation: bump two coordinates by i/100
+        # (mod 10 so the 30-replica sf3 build keeps the SAME eps range as
+        # sf1 — replica similarity structure must not change with scale) —
         # cosine to the original stays ~1 (near-dup) but not exactly 1.
-        eps = i / 100.0
+        # Replicas 10/20 reuse eps of replica 0 offset by +0.005 to stay
+        # distinct from the base vector.
+        eps = (i % 10) / 100.0 + (i // 10) * 0.005
         return r.withColumn(
             "embedding",
             F.transform(
@@ -131,24 +146,30 @@ def main() -> None:
             ),
         )
 
-    os.makedirs(DST, exist_ok=True)
-    writes = {
-        "region": tables["region"],
-        "nation": tables["nation"],
-        "customer": replicate("customer"),
-        "supplier": replicate("supplier"),
-        "part": replicate("part"),
-        "orders": replicate("orders"),
-        "lineitem": replicate("lineitem"),
-        "events": replicate("events", events_extra),
-        "documents": replicate("documents", documents_extra),
-        "embeddings": replicate("embeddings", embeddings_extra),
-    }
+    os.makedirs(dst, exist_ok=True)
+    if sf3:
+        writes = {
+            "documents": replicate("documents", documents_extra),
+            "embeddings": replicate("embeddings", embeddings_extra),
+        }
+    else:
+        writes = {
+            "region": tables["region"],
+            "nation": tables["nation"],
+            "customer": replicate("customer"),
+            "supplier": replicate("supplier"),
+            "part": replicate("part"),
+            "orders": replicate("orders"),
+            "lineitem": replicate("lineitem"),
+            "events": replicate("events", events_extra),
+            "documents": replicate("documents", documents_extra),
+            "embeddings": replicate("embeddings", embeddings_extra),
+        }
     for name, df in writes.items():
-        df.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
         print(f"wrote {name}")
     open(marker, "w").write("ok\n")
-    print(f"sf1 fixture at {DST}")
+    print(f"fixture at {dst}")
 
 
 if __name__ == "__main__":

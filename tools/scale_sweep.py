@@ -31,6 +31,18 @@ SFS = ["sf0.001", "sf0.01", "sf0.1"]
 #: the 100x design claims because fixed overheads no longer dominate.
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 
+#: Fifth sweep point (3x sf1, documents/embeddings only): the graph/dedup
+#: family, the only ops whose sf1 growth stayed >2x. make_sf1.py --sf3.
+SF3_DIR = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3")
+SF3_QUERIES = [
+    "llm_graph_triangles",
+    "llm_graph_triangles_count",
+    "llm_pagerank",
+    "llm_dedup_clusters",
+    "llm_semantic_dedup",
+    "pipe_ingest_neardup_gate",
+]
+
 #: Batch-only subset (streaming queries carry state-store setup noise that
 #: swamps the scaling signal at these sizes).
 QUERIES = [
@@ -133,6 +145,7 @@ def main(argv: list[str] | None = None) -> None:
 
     argv = argv if argv is not None else sys.argv[1:]
     sf1_only = "--sf1" in argv
+    sf3_only = "--sf3" in argv
 
     if sf1_only and not os.path.exists(os.path.join(SF1_DIR, "_DONE")):
         print(
@@ -141,21 +154,38 @@ def main(argv: list[str] | None = None) -> None:
             file=sys.stderr,
         )
         raise SystemExit(2)
+    if sf3_only and not (
+        os.path.exists(os.path.join(SF1_DIR, "_DONE"))
+        and os.path.exists(os.path.join(SF3_DIR, "_DONE"))
+    ):
+        print(
+            f"--sf3 requires BOTH {SF1_DIR} and {SF3_DIR}; run "
+            "`python tools/make_sf1.py` then `python tools/make_sf1.py "
+            "--sf3` first",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
 
     spark = get_spark(app_name="scale_sweep")
     qs = all_queries()
     spark.range(1).count()
 
-    if sf1_only:
+    if sf3_only:
+        # Fifth point, graph/dedup family only: sf1 -> sf3 growth on 3x
+        # data (documents/embeddings fixtures).
+        points = [("sf1", SF1_DIR), ("sf3", SF3_DIR)]
+    elif sf1_only:
         # Targeted fourth-decade run: just the sf0.1 -> sf1 growth factors.
         points = [("sf0.1", "/root/testdata/sf0.1")]
+        points.append(("sf1", SF1_DIR))
     else:
         points = [(sf, f"/root/testdata/{sf}") for sf in SFS]
-    if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
-        points.append(("sf1", SF1_DIR))
+        if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
+            points.append(("sf1", SF1_DIR))
 
+    queries = SF3_QUERIES if sf3_only else QUERIES
     out: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in queries:
         out[name] = {}
         for sf, sf_dir in points:
             best = None
@@ -169,11 +199,21 @@ def main(argv: list[str] | None = None) -> None:
             out[name]["growth_01_to_1"] = round(
                 out[name]["sf0.1"] / max(out[name]["sf0.01"], 1e-9), 2
             )
-        if "sf1" in out[name]:
+        if "sf1" in out[name] and "sf0.1" in out[name]:
             out[name]["growth_1_to_10"] = round(
                 out[name]["sf1"] / max(out[name]["sf0.1"], 1e-9), 2
             )
-    worst_key = "growth_1_to_10" if "sf1" in out[QUERIES[0]] else "growth_01_to_1"
+        if "sf3" in out[name]:
+            # 3x data — a linear plan grows <= ~3x.
+            out[name]["growth_sf1_to_sf3"] = round(
+                out[name]["sf3"] / max(out[name]["sf1"], 1e-9), 2
+            )
+    if sf3_only:
+        worst_key = "growth_sf1_to_sf3"
+    elif "sf1" in out[queries[0]]:
+        worst_key = "growth_1_to_10"
+    else:
+        worst_key = "growth_01_to_1"
     worst = max(v.get(worst_key, 0.0) for v in out.values())
     print(json.dumps({"queries": out, "worst_growth": worst}))
 
