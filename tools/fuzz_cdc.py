@@ -143,8 +143,12 @@ class CdcGen:
             "replays": replays,
             "partitioned": partitioned,
             "drift_at": drift_at,
-            "keep_history": (not partitioned and drift_at is None
-                             and r.random() < 0.25),
+            # keep_history composes with partitioning (the dynamic
+            # partial-overwrite publish path is only reachable that way);
+            # drift stays off the history variant (the direct-KeyedTable
+            # lane would need merge_schema choreography the processor
+            # lane already covers).
+            "keep_history": drift_at is None and r.random() < 0.25,
         }
 
 
@@ -294,6 +298,7 @@ def _cow(spark, seed: int, case_dir: str) -> tuple[bool, str]:
             table = KeyedTable(
                 spark, path, keys=["id"], ordering=["_lsn"],
                 op_col="op", keep_history=24,
+                partition_by=["department"] if sc["partitioned"] else [],
             )
             snap_states = []  # oracle state per PUBLISHED snapshot commit
             state: dict[int, dict] = {}

@@ -30,6 +30,17 @@ $SPARK_GRAFT_SF3_DIR (default /tmp/spark_graft_sf3). Star/event tables are
 deliberately omitted — the sf3 sweep targets llm_graph_*/llm_*dedup*/
 pipe_ingest_neardup_gate, which read only these two tables.
 
+Scaling model at sf3: replicas form GROUPS of 10, and groups are mutated
+apart (documents: every 5th word gets a group marker, killing ~60% of
+cross-group shingles; embeddings: a per-group deterministic sign-flip of
+one third of the coordinates pushes cross-group cosine to ~1/3). Within a
+group the sf1 near-dup construction is unchanged. This keeps near-dup
+CLUSTER SIZE constant (~10) while cluster COUNT grows with scale — the
+realistic 100 TB model (corpus growth adds new content at a constant dup
+rate). The naive 30-replica alternative grows 30-member cliques whose
+triangle mass explodes cubically — a fixture artifact, not an engine
+property (measured: the sf3 triangle sweep would not finish).
+
 Usage: python tools/make_sf1.py [--sf3]
 """
 
@@ -126,24 +137,49 @@ def main() -> None:
 
     def documents_extra(r, i):
         # Per-replica prefix token -> near-dup (not exact-dup) clusters.
-        return r.withColumn("text", F.concat(F.lit(f"rep{i} "), F.col("text")))
+        out = r.withColumn("text", F.concat(F.lit(f"rep{i} "), F.col("text")))
+        g = i // 10
+        if g > 0:
+            # Group mutation (sf3 replicas 10+): marking every 5th word
+            # kills ~60% of cross-group shingles, so groups are NOT
+            # near-dups of each other — cluster size stays ~10 at every
+            # scale. Helper closes over g (a bare lambda default would
+            # bind to the HOF's index parameter).
+            def mark(w, j):
+                return F.when(
+                    j % 5 == 2, F.concat(F.lit(f"g{g}_"), w)
+                ).otherwise(w)
+
+            out = out.withColumn(
+                "text",
+                F.array_join(F.transform(F.split("text", " "), mark), " "),
+            )
+        return out
 
     def embeddings_extra(r, i):
         if i == 0:
             return r
         # Deterministic tiny perturbation: bump two coordinates by i/100
         # (mod 10 so the 30-replica sf3 build keeps the SAME eps range as
-        # sf1 — replica similarity structure must not change with scale) —
-        # cosine to the original stays ~1 (near-dup) but not exactly 1.
-        # Replicas 10/20 reuse eps of replica 0 offset by +0.005 to stay
-        # distinct from the base vector.
+        # sf1) — cosine to the original stays ~1 (near-dup) but not
+        # exactly 1. Replicas 10/20 get +0.005 to stay distinct from the
+        # base vector. Groups of 10 (sf3) are then pushed APART: a
+        # per-group sign-flip of HALF the coordinates drops cross-group
+        # cosine to ~0 (a one-third flip landed at ~1/3 — exactly on the
+        # graph queries' 0.35 edge threshold, densifying the graph) while
+        # within-group near-dups keep the identical flip pattern —
+        # constant cluster size at every scale.
         eps = (i % 10) / 100.0 + (i // 10) * 0.005
+        g = i // 10
+
+        def perturb(x, j):
+            bumped = F.when(j < 2, x + F.lit(eps)).otherwise(x)
+            if g == 0:
+                return bumped
+            return F.when((j + g) % 2 == 0, -bumped).otherwise(bumped)
+
         return r.withColumn(
-            "embedding",
-            F.transform(
-                F.col("embedding"),
-                lambda x, j: F.when(j < 2, x + F.lit(eps)).otherwise(x),
-            ),
+            "embedding", F.transform(F.col("embedding"), perturb)
         )
 
     os.makedirs(dst, exist_ok=True)

@@ -184,6 +184,16 @@ def main(argv: list[str] | None = None) -> None:
             points.append(("sf1", SF1_DIR))
 
     queries = SF3_QUERIES if sf3_only else QUERIES
+    for a in argv:
+        # --only=a,b,c : sweep a subset (chunked runs under a wall clock).
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+            unknown = only - set(queries)
+            if unknown:
+                print(f"--only names not in this sweep: {unknown}",
+                      file=sys.stderr)
+                raise SystemExit(2)
+            queries = [q for q in queries if q in only]
     out: dict[str, dict[str, float]] = {}
     for name in queries:
         out[name] = {}
