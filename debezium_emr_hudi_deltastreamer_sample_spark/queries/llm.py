@@ -2242,9 +2242,13 @@ def _sem_bench_matrix(spark: SparkSession, sf_dir: str):
 
 @_q(
     "llm_semantic_decontaminate",
-    """
+    # f-string: the bench-set cap must be THE constant the engine path
+    # uses (SEM_BENCH_MAX_VEC_ID) — a hand-copied literal here would let
+    # the two selections drift apart and redden parity for a non-engine
+    # reason.
+    f"""
     WITH b AS (SELECT embedding AS be FROM embeddings
-               WHERE vec_id % 13 = 0 AND vec_id < 500),
+               WHERE vec_id % 13 = 0 AND vec_id < {SEM_BENCH_MAX_VEC_ID}),
     c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id % 13 <> 0)
     SELECT c.vec_id,
            count(b.be) AS n_hits

@@ -230,6 +230,12 @@ class KeyedTable:
 
     def init(self, df: DataFrame) -> None:
         """Create/replace the table from a snapshot."""
+        if self.keep_history:
+            # The snapshot publish re-executes this plan; materialize it
+            # so a nondeterministic input (rand(), unordered limit,
+            # equal-ordering precombine ties upstream) cannot publish a
+            # snapshot that diverges from the table just written.
+            df = df.localCheckpoint(eager=True)
         self._write(df, "overwrite")
         # Publish from the DF just written, NOT a re-read: an EMPTY
         # partitioned write leaves a footer-less dir that read() cannot
@@ -260,6 +266,13 @@ class KeyedTable:
             if self.op_col and self.op_col in changes.columns:
                 latest = latest.filter(F.col(self.op_col) != "d")
             bootstrap = latest.select(*self._row_columns(changes))
+            if self.keep_history:
+                # Same materialize-before-publish contract as init(): the
+                # publish re-executes the plan, and a precombine with
+                # equal-ordering ties picks nondeterministically per
+                # execution — the snapshot must be the rows the table
+                # actually holds.
+                bootstrap = bootstrap.localCheckpoint(eager=True)
             self._write(bootstrap, "overwrite")
             # `bootstrap` IS the full table here — publish it directly
             # (see init: a re-read crashes when a first batch whose newest
@@ -295,7 +308,17 @@ class KeyedTable:
                 untouched = self.read().join(
                     F.broadcast(parts), self.partition_by, "left_anti"
                 )
-                merged = untouched.unionByName(merged).localCheckpoint(eager=True)
+                # allowMissingColumns: when the batch that emptied a
+                # partition ALSO carries schema drift, `merged` has the
+                # new column but the untouched partitions (all still on
+                # the old schema — nothing is rewritten yet) do not; a
+                # strict unionByName crashed this fallback with
+                # NUM_COLUMNS_MISMATCH (found by tools/fuzz_cdc.py).
+                # Old rows null-fill, matching merge_upsert's own B11
+                # reconciliation.
+                merged = untouched.unionByName(
+                    merged, allowMissingColumns=True
+                ).localCheckpoint(eager=True)
                 self.spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", "static"
                 )

@@ -1350,3 +1350,33 @@ def test_upsert_emptying_batch_never_poisons_the_stream(spark, tmp_path):
     assert [s for s, _ in t3.snapshots()] == [0, 1]
     assert t3.read(as_of=0).count() == 1
     assert t3.read(as_of=1).count() == 0
+
+
+def test_upsert_drift_batch_emptying_a_partition(spark, tmp_path):
+    """fuzz_cdc find (round 8, third engine bug): a change batch that
+    BOTH carries schema drift (new column) AND empties a partition
+    crashed the vanished-partition static-rewrite fallback — untouched
+    partitions are still on the old schema, so the strict unionByName
+    raised NUM_COLUMNS_MISMATCH. Old rows must null-fill instead (B11)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable
+
+    t = KeyedTable(
+        spark, str(tmp_path / "t"), keys=["id"], ordering=["_lsn"],
+        op_col="op", partition_by=["dept"], merge_schema=True,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "eng", "a", "c", 1), (2, "ops", "b", "c", 2)],
+            "id int, dept string, name string, op string, _lsn long",
+        )
+    )
+    # Drift batch: adds `bonus`, deletes the only row of dept=ops (the
+    # partition vanishes), updates dept=eng.
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "ops", "b", 0, "d", 3), (1, "eng", "a2", 7, "u", 4)],
+            "id int, dept string, name string, bonus int, op string, _lsn long",
+        )
+    )
+    got = {r["id"]: (r["dept"], r["name"], r["bonus"]) for r in t.read().collect()}
+    assert got == {1: ("eng", "a2", 7)}

@@ -96,13 +96,14 @@ class CdcGen:
         n_keys = r.randint(1, 10)
         n_batches = r.randint(1, 5)
         partitioned = r.random() < 0.30
-        # Drift and partitioning compose only on the merge_schema lanes;
-        # the COW processor lane keeps them exclusive (see run_cow_case).
+        # Drift composes with partitioning: the COW processor lane passes
+        # merge_schema=True for drift scenarios (partitioned drift is THE
+        # case that needs it — untouched partitions keep old-schema
+        # footers), and the MOR lane always reads its delta log merged
+        # under drift.
         drift_at = r.randint(1, n_batches - 1) if (
             n_batches > 1 and r.random() < 0.35
         ) else None
-        if partitioned:
-            drift_at = None
         dept_of = (
             {k: r.choice(DEPTS) for k in range(n_keys)} if partitioned else {}
         )
@@ -293,67 +294,67 @@ def _cow(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     sc = CdcGen(seed).scenario()
     spark = _case_session(spark)
     path = f"{case_dir}/table"
-    if True:
-        if sc["keep_history"]:
-            table = KeyedTable(
-                spark, path, keys=["id"], ordering=["_lsn"],
-                op_col="op", keep_history=24,
-                partition_by=["department"] if sc["partitioned"] else [],
-            )
-            snap_states = []  # oracle state per PUBLISHED snapshot commit
-            state: dict[int, dict] = {}
-            for i, batch in enumerate(sc["batches"]):
-                reps = 2 if i in sc["replays"] else 1
-                for _ in range(reps):
-                    raw = _raw_batch(spark, batch)
-                    if not raw.head(1):
-                        continue
-                    changes = parse_envelope(raw, _schema(batch["drift"]))
-                    if not changes.head(1):
-                        continue
-                    table.upsert(changes)
-                    _, _, hist = oracle_replay(sc["batches"][: i + 1])
-                    snap_states.append(hist[-1])
-            final, cols, _ = oracle_replay(sc["batches"])
-            if snap_states:
-                cur = read_parquet_if_present(spark, path)
-                got = _spark_state(cur, cols) if cur is not None else {}
-                want = _oracle_state(final, cols)
-                if got != want:
-                    return False, f"cow[hist] final mismatch: {_diff(got, want)}"
-                for seq, _uri in table.snapshots():
-                    got = _spark_state(table.read(as_of=seq), cols)
-                    want = _oracle_state(snap_states[seq], cols)
-                    if got != want:
-                        return (
-                            False,
-                            f"cow[hist] snapshot {seq} mismatch: "
-                            f"{_diff(got, want)}",
-                        )
-            return True, ""
-
-        partition_by = ["department"] if sc["partitioned"] else []
+    if sc["keep_history"]:
+        table = KeyedTable(
+            spark, path, keys=["id"], ordering=["_lsn"],
+            op_col="op", keep_history=24,
+            partition_by=["department"] if sc["partitioned"] else [],
+        )
+        snap_states = []  # oracle state per PUBLISHED snapshot commit
+        state: dict[int, dict] = {}
         for i, batch in enumerate(sc["batches"]):
-            process = upsert_batch_processor(
-                path,
-                keys=["id"],
-                row_schema=_schema(batch["drift"]),
-                ordering=["_lsn"],
-                partition_by=partition_by,
-            )
             reps = 2 if i in sc["replays"] else 1
             for _ in range(reps):
-                process(_raw_batch(spark, batch), i)
+                raw = _raw_batch(spark, batch)
+                if not raw.head(1):
+                    continue
+                changes = parse_envelope(raw, _schema(batch["drift"]))
+                if not changes.head(1):
+                    continue
+                table.upsert(changes)
+                _, _, hist = oracle_replay(sc["batches"][: i + 1])
+                snap_states.append(hist[-1])
         final, cols, _ = oracle_replay(sc["batches"])
-        # EMPTY ≡ MISSING is the table contract (KeyedTable.exists): a
-        # partitioned table whose rows were all deleted has no parquet
-        # footers left, so the readable-state compare maps None → {}.
-        cur = read_parquet_if_present(spark, path)
-        got = _spark_state(cur, cols) if cur is not None else {}
-        want = _oracle_state(final, cols)
-        if got != want:
-            return False, f"cow final mismatch: {_diff(got, want)}"
+        if snap_states:
+            cur = read_parquet_if_present(spark, path)
+            got = _spark_state(cur, cols) if cur is not None else {}
+            want = _oracle_state(final, cols)
+            if got != want:
+                return False, f"cow[hist] final mismatch: {_diff(got, want)}"
+            for seq, _uri in table.snapshots():
+                got = _spark_state(table.read(as_of=seq), cols)
+                want = _oracle_state(snap_states[seq], cols)
+                if got != want:
+                    return (
+                        False,
+                        f"cow[hist] snapshot {seq} mismatch: "
+                        f"{_diff(got, want)}",
+                    )
         return True, ""
+
+    partition_by = ["department"] if sc["partitioned"] else []
+    for i, batch in enumerate(sc["batches"]):
+        process = upsert_batch_processor(
+            path,
+            keys=["id"],
+            row_schema=_schema(batch["drift"]),
+            ordering=["_lsn"],
+            partition_by=partition_by,
+            merge_schema=sc["drift_at"] is not None,
+        )
+        reps = 2 if i in sc["replays"] else 1
+        for _ in range(reps):
+            process(_raw_batch(spark, batch), i)
+    final, cols, _ = oracle_replay(sc["batches"])
+    # EMPTY ≡ MISSING is the table contract (KeyedTable.exists): a
+    # partitioned table whose rows were all deleted has no parquet
+    # footers left, so the readable-state compare maps None → {}.
+    cur = read_parquet_if_present(spark, path)
+    got = _spark_state(cur, cols) if cur is not None else {}
+    want = _oracle_state(final, cols)
+    if got != want:
+        return False, f"cow final mismatch: {_diff(got, want)}"
+    return True, ""
 
 
 def _mor(spark, seed: int, case_dir: str) -> tuple[bool, str]:
@@ -386,56 +387,55 @@ def _mor(spark, seed: int, case_dir: str) -> tuple[bool, str]:
 
     spark = _case_session(spark)
     path = f"{case_dir}/mor"
-    if True:
-        table = DeltaLogTable(
-            spark, path, keys=["id"], ordering=["_lsn"], op_col="op",
-            compact_target_files=target_files, merge_schema=drift,
+    table = DeltaLogTable(
+        spark, path, keys=["id"], ordering=["_lsn"], op_col="op",
+        compact_target_files=target_files, merge_schema=drift,
+    )
+    for i, batch in enumerate(sc["batches"]):
+        process = mor_batch_processor(
+            path,
+            keys=["id"],
+            row_schema=_schema(batch["drift"]),
+            ordering=["_lsn"],
+            auto_compact_deltas=auto,
+            async_compact=use_async,
+            merge_schema=drift,
         )
-        for i, batch in enumerate(sc["batches"]):
-            process = mor_batch_processor(
-                path,
-                keys=["id"],
-                row_schema=_schema(batch["drift"]),
-                ordering=["_lsn"],
-                auto_compact_deltas=auto,
-                async_compact=use_async,
-                merge_schema=drift,
-            )
-            reps = 2 if i in sc["replays"] else 1
-            for _ in range(reps):
-                process(_raw_batch(spark, batch), i)
-            if r.random() < manual_compact_prob:
-                table.await_compaction(60)
-                table.compact()
-        table.await_compaction(60)
-        err = table.last_compaction_error()
-        if err is not None:
-            return False, f"mor async compaction error: {err!r}"
-        final, cols, history = oracle_replay(sc["batches"])
-        got = _spark_state(table.read(), cols)
-        want = _oracle_state(final, cols)
+        reps = 2 if i in sc["replays"] else 1
+        for _ in range(reps):
+            process(_raw_batch(spark, batch), i)
+        if r.random() < manual_compact_prob:
+            table.await_compaction(60)
+            table.compact()
+    table.await_compaction(60)
+    err = table.last_compaction_error()
+    if err is not None:
+        return False, f"mor async compaction error: {err!r}"
+    final, cols, history = oracle_replay(sc["batches"])
+    got = _spark_state(table.read(), cols)
+    want = _oracle_state(final, cols)
+    if got != want:
+        return False, f"mor final mismatch: {_diff(got, want)}"
+    ver = table._latest_base()
+    if ver is not None and ver[0] >= 0:
+        through = ver[1]
+        # Columns as of the compacted-through prefix (drift may land
+        # after the fold).
+        _, pcols, _ = oracle_replay(sc["batches"][: through + 1])
+        got = _spark_state(table.read(optimized=True), pcols)
+        want = _oracle_state(history[through], pcols)
         if got != want:
-            return False, f"mor final mismatch: {_diff(got, want)}"
-        ver = table._latest_base()
-        if ver is not None and ver[0] >= 0:
-            through = ver[1]
-            # Columns as of the compacted-through prefix (drift may land
-            # after the fold).
-            _, pcols, _ = oracle_replay(sc["batches"][: through + 1])
-            got = _spark_state(table.read(optimized=True), pcols)
-            want = _oracle_state(history[through], pcols)
-            if got != want:
-                return (
-                    False,
-                    f"mor read-optimized@{through} mismatch: {_diff(got, want)}",
-                )
-            got_v = _spark_state(table.read_version(ver[0]), pcols)
-            if got_v != want:
-                return (
-                    False,
-                    f"mor read_version({ver[0]}) mismatch: {_diff(got_v, want)}",
-                )
-        return True, ""
+            return (
+                False,
+                f"mor read-optimized@{through} mismatch: {_diff(got, want)}",
+            )
+        got_v = _spark_state(table.read_version(ver[0]), pcols)
+        if got_v != want:
+            return (
+                False,
+                f"mor read_version({ver[0]}) mismatch: {_diff(got_v, want)}",
+            )
+    return True, ""
 
 
 ATTRS = ["a", "b", "c", None]

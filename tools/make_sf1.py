@@ -33,13 +33,22 @@ pipe_ingest_neardup_gate, which read only these two tables.
 Scaling model at sf3: replicas form GROUPS of 10, and groups are mutated
 apart (documents: every 5th word gets a group marker, killing ~60% of
 cross-group shingles; embeddings: a per-group deterministic sign-flip of
-one third of the coordinates pushes cross-group cosine to ~1/3). Within a
-group the sf1 near-dup construction is unchanged. This keeps near-dup
-CLUSTER SIZE constant (~10) while cluster COUNT grows with scale — the
-realistic 100 TB model (corpus growth adds new content at a constant dup
-rate). The naive 30-replica alternative grows 30-member cliques whose
-triangle mass explodes cubically — a fixture artifact, not an engine
-property (measured: the sf3 triangle sweep would not finish).
+HALF the coordinates — verified cross-group cosine ~0; a one-third flip
+was tried and rejected because its ~1/3 cosine lands exactly on the graph
+queries' 0.35 edge threshold). Within a group the sf1 near-dup
+construction is unchanged. This keeps near-dup CLUSTER SIZE constant
+(~10) while cluster COUNT grows with scale — the realistic 100 TB model
+(corpus growth adds new content at a constant dup rate). The naive
+30-replica alternative grows 30-member cliques whose triangle mass
+explodes cubically — a fixture artifact, not an engine property
+(measured: the sf3 triangle sweep would not finish).
+
+Replica ceiling: the (j+g)%2 flip admits only two distinct non-base
+patterns, so groups repeat every 20 non-base replicas — main() asserts
+replicas <= 30 (g in {0,1,2}: base, odd-flip, even-flip; cross-group
+cosine ~0 / ~-1, both far below every similarity threshold). Scaling the
+fixture further needs a per-group pattern family (hash-based flips), not
+a bigger replica count.
 
 Usage: python tools/make_sf1.py [--sf3]
 """
@@ -83,6 +92,9 @@ def main() -> None:
     sf3 = "--sf3" in sys.argv[1:]
     dst = DST3 if sf3 else DST
     replicas = 30 if sf3 else REPLICAS
+    # See "Replica ceiling" in the module docstring: g=3 would reuse g=1's
+    # flip pattern and silently merge cross-group near-dup clusters.
+    assert replicas <= 30, "replica groups repeat past 30 (flip patterns)"
     marker = os.path.join(dst, "_DONE")
     if os.path.exists(marker):
         print(f"fixture already present at {dst}")
