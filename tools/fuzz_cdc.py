@@ -548,11 +548,91 @@ def _scd2(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     return True, ""
 
 
+def _routed(spark, seed: int, case_dir: str) -> tuple[bool, str]:
+    """ROUTED lane: one mixed-topic stream fanned out to two tables by
+    routed_upsert_processor (B2 relation filter + B14 topic→table naming)
+    — each table's final state vs its own dict replay. Adds
+    unknown-topic events (must be ignored: the subscribe pattern may
+    match unregistered tables) and per-batch interleaving of the two
+    tables' change feeds; replays re-apply the whole mixed batch."""
+    import json as _json
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.fsutil import (
+        read_parquet_if_present,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+        routed_upsert_processor,
+    )
+
+    gen_a, gen_b = CdcGen(seed), CdcGen(seed ^ 0x5DEECE66D)
+    sc_a, sc_b = gen_a.scenario(), gen_b.scenario()
+    # The routed processor constructs fixed-schema, non-partitioned
+    # upserts per table — normalize both scenarios to that shape.
+    for sc in (sc_a, sc_b):
+        for b in sc["batches"]:
+            b["drift"] = False
+            for e in b["events"]:
+                e["row"].pop("bonus", None)
+    spark = _case_session(spark)
+    rng = random.Random(seed * 31 + 7)
+    tables = {
+        "t_alpha": (f"{case_dir}/t_alpha", ["id"], _schema(False)),
+        "t_beta": (f"{case_dir}/t_beta", ["id"], _schema(False)),
+    }
+    process = routed_upsert_processor(tables, ordering=["_lsn"])
+    n_batches = max(len(sc_a["batches"]), len(sc_b["batches"]))
+
+    def rows_for(sc, name, i):
+        if i >= len(sc["batches"]):
+            return []
+        return [
+            (f"debezium1.public.{name}", envelope_json(e))
+            for e in sc["batches"][i]["events"]
+        ]
+
+    for i in range(n_batches):
+        rows = rows_for(sc_a, "t_alpha", i) + rows_for(sc_b, "t_beta", i)
+        if rng.random() < 0.3:
+            # Unknown topic: matched by the subscribe regex but not
+            # registered — must be ignored, not crash or cross-route.
+            rows.append(
+                (
+                    "debezium1.public.t_gamma",
+                    envelope_json(
+                        {"op": "c", "lsn": 999000 + i,
+                         "row": gen_a.row(0, False, {})}
+                    ),
+                )
+            )
+        rng.shuffle(rows)
+        df = spark.createDataFrame(
+            rows or [], "topic string, value string"
+        ).coalesce(1)
+        reps = 2 if (i in sc_a["replays"] or i in sc_b["replays"]) else 1
+        for _ in range(reps):
+            process(df, i)
+
+    for name, sc in (("t_alpha", sc_a), ("t_beta", sc_b)):
+        final, cols, _ = oracle_replay(sc["batches"])
+        cur = read_parquet_if_present(spark, f"{case_dir}/{name}")
+        got = _spark_state(cur, cols) if cur is not None else {}
+        want = _oracle_state(final, cols)
+        if got != want:
+            return False, f"routed[{name}] mismatch: {_diff(got, want)}"
+    return True, ""
+
+
 run_cow_case = _wrap(_cow)
 run_mor_case = _wrap(_mor)
 run_scd2_case = _wrap(_scd2)
+run_routed_case = _wrap(_routed)
 
-LANES = {"cow": run_cow_case, "mor": run_mor_case, "scd2": run_scd2_case}
+LANES = {
+    "cow": run_cow_case,
+    "mor": run_mor_case,
+    "scd2": run_scd2_case,
+    "routed": run_routed_case,
+}
 
 
 def run_many(spark, lane: str, count: int, seed: int, workers: int = 8):
