@@ -72,6 +72,34 @@ def hadoop_fs(spark, path: str):
     return fs, hpath
 
 
+def write_small_file(fs, hpath, path: str, data: bytes) -> None:
+    """Create/overwrite one small file through the table's FileSystem (same
+    client the commit protocol uses, so scheme/permissions behavior
+    matches the data files). Used for the schema-sidecar commits — the
+    bytes are staged into a directory and published via rename_commit, so
+    this write itself needs no atomicity."""
+    out = fs.create(hpath(path), True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def read_small_file(fs, hpath, spark, path: str) -> bytes | None:
+    """Read one small file fully, or None when missing. Corrupt/unreadable
+    content raises at the caller's json/schema parse — callers treat that
+    as 'no sidecar' and fall back to footer inference."""
+    if not fs.exists(hpath(path)):
+        return None
+    stream = fs.open(hpath(path))
+    try:
+        return bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+
+
 def read_parquet_if_present(spark, path: str):
     """Parquet read with the NARROW missing-vs-broken distinction used by
     every bootstrap-or-merge decision (KeyedTable.exists, the SCD2 fold):

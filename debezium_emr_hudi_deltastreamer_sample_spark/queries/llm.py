@@ -2170,9 +2170,10 @@ def llm_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bench-side collect JOB (scan + filter + toPandas dispatch), not the
 #: corpus scan; the fixture is immutable within a bench/sweep run, so the
 #: derived matrix is safely memoized (mtime+size invalidate on rewrite).
-#: Bounded STRUCTURALLY, not by usage pattern: a 2-entry LRU (insertion
-#: -order evict in _sem_bench_matrix) — a sweep alternates at most two
-#: fixture dirs, and churning paths must not grow a process-lifetime dict.
+#: Bounded STRUCTURALLY, not by usage pattern: a 2-entry true LRU (hits
+#: refresh recency; evict least-recent in _sem_bench_matrix) — a sweep
+#: alternates a couple of fixture dirs, and churning paths must not grow
+#: a process-lifetime dict.
 _SEM_BENCH_CACHE: dict[tuple[str, float, int], object] = {}
 _SEM_BENCH_CACHE_MAX = 2
 
@@ -2206,7 +2207,12 @@ def _sem_bench_matrix(spark: SparkSession, sf_dir: str):
     except OSError:
         key = None
     if key is not None and key in _SEM_BENCH_CACHE:
-        return _SEM_BENCH_CACHE[key]
+        # True LRU: refresh recency on hit (dict preserves insertion
+        # order; move-to-end keeps a 3-fixture rotation from evicting the
+        # entry about to be reused — ADVICE r8).
+        hit = _SEM_BENCH_CACHE.pop(key)
+        _SEM_BENCH_CACHE[key] = hit
+        return hit
     emb = _t(spark, sf_dir, "embeddings")
     bench = (
         emb.filter(

@@ -11,6 +11,7 @@ verifiable queries (SURVEY.md §3.1-3.2).
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 import uuid
 
@@ -77,9 +78,20 @@ def _local_path_bytes(path: str) -> int | None:
     """Total file bytes under a local path (file or directory), None when
     the path is missing or not a local filesystem path (production sources
     on object stores use the env override or the checkpoint's recorded
-    value — this probe is deliberately cheap and local-only)."""
-    p = path[len("file:"):] if path.startswith("file:") else path
-    if "://" in p:
+    value — this probe is deliberately cheap and local-only). Handles the
+    full file-URI family (file:/p, file:///p, file://localhost/p) via
+    urllib scheme/authority parsing; a file:// URI with a REMOTE authority
+    is not local and returns None."""
+    if ":" in path.split("/", 1)[0] or "://" in path:
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(path)
+        if parts.scheme != "file" or parts.netloc not in ("", "localhost"):
+            return None
+        p = parts.path
+    else:
+        p = path
+    if not p:
         return None
     try:
         if os.path.isfile(p):
@@ -98,16 +110,42 @@ def _local_path_bytes(path: str) -> int | None:
     return None
 
 
-def _state_partitions(input_path: str | None = None) -> int:
-    """State-store fan-out for one streaming replay: env override first,
-    else derived from the source's size, else the floor."""
+def _state_partitions(
+    input_path: str | None = None, session_default: int | None = None
+) -> int:
+    """State-store fan-out for one streaming replay: env override first
+    (validated — a malformed or non-positive value warns and falls
+    through instead of failing the query mid-setup or pinning an invalid
+    shuffle fan-out), else derived from the source's measured size, else:
+
+    - source given but UNPROBEABLE (object-store URI, vanished path) →
+      ``session_default`` (the session's configured shuffle partitions).
+      The unknown-size case is precisely the real-cluster-reading-s3://
+      case, and the tiny local floor there would serialize all state on
+      4 partitions — the exact failure the derivation exists to remove.
+    - no source path at all (synthetic in-memory replays) → the floor,
+      which is the measured optimum for those fixture-sized states.
+    """
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env is not None:
-        return int(env)
+        try:
+            want = int(env)
+        except ValueError:
+            want = -1
+        if want >= 1:
+            return want
+        print(
+            f"[stream-state] ignoring invalid "
+            f"SPARK_GRAFT_STREAM_STATE_PARTITIONS={env!r} (need int >= 1); "
+            "falling back to the derived value",
+            file=sys.stderr,
+        )
     if input_path is not None:
         nbytes = _local_path_bytes(input_path)
         if nbytes is not None:
             return _state_partitions_for_bytes(nbytes)
+        if session_default is not None:
+            return session_default
     return _STATE_PARTITIONS_FLOOR
 
 
@@ -143,7 +181,15 @@ def _stream_session(
     flush to emit watermark-gated rows — keep the default there."""
     child = spark.newSession()
     child.conf.set(
-        "spark.sql.shuffle.partitions", str(_state_partitions(input_path))
+        "spark.sql.shuffle.partitions",
+        str(
+            _state_partitions(
+                input_path,
+                session_default=int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
+            )
+        )
     )
     if not final_flush:
         child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")

@@ -30,8 +30,147 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators.merge import cdc_meta_columns, merge_upsert
+
+
+def _union_schema(base: T.StructType, extra: T.StructType) -> T.StructType:
+    """Schema reconciliation for the sidecar: keep ``base``'s column order,
+    take ``extra``'s type for matching names (the merge's unionByName has
+    already reconciled it — the latest write defines the current type),
+    append columns only ``extra`` has. Monotone: a column, once present,
+    never leaves except through an explicit table replace (init)."""
+    by_name = {f.name: f for f in extra.fields}
+    fields = [by_name.get(f.name, f) for f in base.fields]
+    have = {f.name for f in base.fields}
+    fields += [f for f in extra.fields if f.name not in have]
+    return T.StructType(fields)
+
+
+class SchemaSidecar:
+    """The table's authoritative current schema, persisted in the commit
+    path — how every commit-log table format (Hudi/Delta/Iceberg) closes
+    the schema-drift footgun this engine had behind the ``merge_schema``
+    knob: a PARTITIONED table that gains a column through reconciliation
+    (B11) rewrites only touched partitions, so untouched partitions keep
+    old-schema footers, and a footer-inferred read picks ONE arbitrary
+    footer — the drifted column nondeterministically vanishes, and the
+    upsert's own ``current = self.read()`` then rewrites partitions
+    WITHOUT it (permanent loss, no error).
+
+    Layout: ``{table}__schema/v{seq:012d}/schema.json`` (StructType.json).
+    Publish is the repo's standard stage + rename-CAS (fsutil.rename_commit)
+    with a monotone-union retry loop, so racing writers can only WIDEN the
+    schema, never clobber each other's columns; retention keeps the two
+    newest versions (in-flight readers of the previous one stay valid).
+    Readers (``KeyedTable.read``, MOR delta reads) apply the sidecar as the
+    explicit parquet read schema — per-file missing columns null-fill,
+    column order is stable, and no footer lottery remains. Missing or
+    unreadable sidecar falls back to today's footer inference (+ the
+    ``merge_schema`` knob), so pre-sidecar tables stay readable."""
+
+    def __init__(self, spark: SparkSession, table_path: str) -> None:
+        self.spark = spark
+        self.dir = f"{table_path}__schema"
+        self.stage_root = f"{table_path}__schema_stage"
+
+    def _fs(self):
+        from .fsutil import hadoop_fs
+
+        return hadoop_fs(self.spark, self.dir)
+
+    def _versions(self, fs, hpath) -> list[tuple[int, str]]:
+        try:
+            if not fs.exists(hpath(self.dir)):
+                return []
+            listed = fs.listStatus(hpath(self.dir))
+        except Exception:
+            return []
+        out = []
+        for st in listed:
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                out.append((int(name[1:]), str(st.getPath())))
+        out.sort()
+        return out
+
+    def _parse(self, fs, hpath, uri: str) -> T.StructType | None:
+        import json as _json
+
+        from .fsutil import read_small_file
+
+        try:
+            data = read_small_file(fs, hpath, self.spark, f"{uri}/schema.json")
+            if data is None:
+                return None
+            return T.StructType.fromJson(_json.loads(data.decode("utf-8")))
+        except Exception:
+            return None
+
+    def current(self) -> T.StructType | None:
+        """Newest parseable persisted schema, or None (no sidecar — caller
+        falls back to footer inference). Tries the previous version when
+        the newest fails to read: a concurrent publisher's trim can delete
+        a version between the listing and the read, and falling all the
+        way back to footer inference would transiently reopen the exact
+        vanishing-column hole the sidecar exists to close."""
+        fs, hpath = self._fs()
+        for _, uri in reversed(self._versions(fs, hpath)):
+            schema = self._parse(fs, hpath, uri)
+            if schema is not None:
+                return schema
+        return None
+
+    def publish(self, schema: T.StructType, reset: bool = False) -> None:
+        """Record ``schema`` (unioned into the current one; ``reset=True``
+        replaces it exactly — table init/replace). No-ops without a write
+        when nothing changed — the stable-schema hot path pays one listing
+        and one small-file read per commit."""
+        import uuid as _uuid
+
+        from .fsutil import rename_commit, write_small_file
+
+        fs, hpath = self._fs()
+        for _attempt in range(5):
+            versions = self._versions(fs, hpath)
+            cur = self._parse(fs, hpath, versions[-1][1]) if versions else None
+            want = (
+                schema
+                if (reset or cur is None)
+                else _union_schema(cur, schema)
+            )
+            if cur is not None and cur.json() == want.json():
+                return
+            stage = f"{self.stage_root}/{_uuid.uuid4().hex}"
+            fs.mkdirs(hpath(stage))
+            write_small_file(
+                fs, hpath, f"{stage}/schema.json", want.json().encode("utf-8")
+            )
+            seq = versions[-1][0] + 1 if versions else 0
+            if rename_commit(fs, hpath, stage, f"{self.dir}/v{seq:012d}"):
+                # Retention: keep this one + the previous (in-flight
+                # readers); drop older.
+                for _, uri in versions[:-1]:
+                    try:
+                        fs.delete(hpath(uri), True)
+                    except Exception:
+                        pass
+                try:
+                    fs.delete(hpath(self.stage_root), False)
+                except Exception:
+                    pass
+                return
+            # Lost the CAS to a concurrent publisher: drop our stage (if
+            # the move-INTO undo didn't consume it), re-read, re-union —
+            # the loop converges because the union only grows.
+            try:
+                fs.delete(hpath(stage), True)
+            except Exception:
+                pass
+        raise RuntimeError(
+            f"could not publish table schema at {self.dir} after 5 attempts"
+        )
 
 
 def save_bucketed(
@@ -92,15 +231,18 @@ class KeyedTable:
         self.ordering = list(ordering)
         self.partition_by = list(partition_by)
         self.op_col = op_col
-        #: Read with parquet schema MERGING. Required when a PARTITIONED
-        #: table can gain columns through schema reconciliation: the
-        #: dynamic-overwrite upsert rewrites only affected partitions, so
-        #: untouched partitions keep old-schema files — without merging,
-        #: the read infers the schema from ONE arbitrary footer and the
-        #: new columns nondeterministically vanish. Costs a footer read
-        #: per file; production tables with schema-in-commit-log formats
-        #: (Hudi/Delta/Iceberg) don't need it.
+        #: Legacy fallback knob, superseded by the schema SIDECAR: every
+        #: init/upsert now persists the table's authoritative schema
+        #: (``SchemaSidecar``) and ``read()`` applies it as the explicit
+        #: parquet schema, so a PARTITIONED table that gained columns
+        #: through reconciliation (B11) reads correctly with no knob — the
+        #: old failure was footer-inference picking ONE arbitrary old
+        #: footer and the drifted column vanishing (then being dropped
+        #: permanently by the next partition rewrite). ``merge_schema``
+        #: still governs PRE-SIDECAR tables (written before this existed):
+        #: merge footers instead of inferring from one.
         self.merge_schema = merge_schema
+        self.schema_sidecar = SchemaSidecar(spark, path)
         #: Hudi-timeline analogue (opt-in): with ``keep_history`` > 0 every
         #: init/upsert ALSO publishes an immutable full-snapshot commit
         #: under ``{path}__snapshots`` (one extra write per batch — the COW
@@ -124,12 +266,23 @@ class KeyedTable:
     def read(self, as_of: int | None = None) -> DataFrame:
         """Current snapshot, or — with ``keep_history`` and ``as_of=n`` —
         the table exactly as of commit ``n`` (0 = init, then one commit
-        per upsert), Hudi time-travel style."""
+        per upsert), Hudi time-travel style.
+
+        The current read applies the persisted sidecar schema when present
+        (authoritative — stable column set/order regardless of which
+        partitions were last rewritten); snapshot commits are flat dirs
+        written by one job each, so time-travel reads keep footer
+        inference and serve each commit's own schema-as-of."""
         reader = self.spark.read
+        if as_of is None:
+            persisted = self.schema_sidecar.current()
+            if persisted is not None:
+                return reader.schema(persisted).parquet(self.path)
+            if self.merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(self.path)
         if self.merge_schema:
             reader = reader.option("mergeSchema", "true")
-        if as_of is None:
-            return reader.parquet(self.path)
         for seq, uri in self.snapshots():
             if seq == as_of:
                 return reader.parquet(uri)
@@ -237,6 +390,11 @@ class KeyedTable:
             # snapshot that diverges from the table just written.
             df = df.localCheckpoint(eager=True)
         self._write(df, "overwrite")
+        # Schema RESET after the data lands (init is a table replace): a
+        # crash between write and publish leaves a stale-WIDE sidecar,
+        # which only null-fills phantom columns — never drops one.
+        # Publishing a narrower schema before the write could.
+        self.schema_sidecar.publish(df.schema, reset=True)
         # Publish from the DF just written, NOT a re-read: an EMPTY
         # partitioned write leaves a footer-less dir that read() cannot
         # infer a schema from — the re-read crashed the write path on any
@@ -274,6 +432,10 @@ class KeyedTable:
                 # actually holds.
                 bootstrap = bootstrap.localCheckpoint(eager=True)
             self._write(bootstrap, "overwrite")
+            # Bootstrap ≡ table create: RESET the sidecar (same after-write
+            # ordering rationale as init). A table previously emptied by
+            # deletes re-bootstraps on its new feed's schema.
+            self.schema_sidecar.publish(bootstrap.schema, reset=True)
             # `bootstrap` IS the full table here — publish it directly
             # (see init: a re-read crashes when a first batch whose newest
             # changes are all deletes writes an empty, footer-less table).
@@ -292,6 +454,12 @@ class KeyedTable:
         )
         # Merge reads the files the write replaces — break the lineage.
         merged = merged.localCheckpoint(eager=True)
+        # WIDEN the sidecar before any data write: if the write fails
+        # mid-way the sidecar is at worst wider than the files (null-fill,
+        # harmless); writing drifted files first and crashing before the
+        # publish would leave a stale-narrow sidecar that drops the new
+        # column — the exact loss class this closes.
+        self.schema_sidecar.publish(merged.schema)
         if self.partition_by:
             # Dynamic overwrite only replaces partitions PRESENT in the
             # output: a touched partition whose rows were all deleted would
@@ -399,6 +567,7 @@ class KeyedTable:
         )
         merged = merge_upsert(empty, history, self.keys, self.ordering, self.op_col)
         self._write(merged, "overwrite")
+        self.schema_sidecar.publish(merged.schema, reset=True)
 
 
 class DeltaLogTable:
@@ -470,7 +639,13 @@ class DeltaLogTable:
         #: snapshot never needs merging (each version is written by one
         #: job with one schema); base ∪ delta reconciliation is handled
         #: by merge_upsert's unionByName.
+        #:
+        #: Like the COW sibling, this knob is now the PRE-SIDECAR fallback:
+        #: ``append_changes`` persists the delta log's authoritative schema
+        #: (union of every appended batch's schema) and delta reads apply
+        #: it explicitly, so drifted columns survive with the knob off.
         self.merge_schema = merge_schema
+        self.delta_schema_sidecar = SchemaSidecar(spark, f"{path}/delta")
 
     def _base(self) -> str:
         # Legacy (pre-MVCC) single-dir base layout; still readable.
@@ -520,8 +695,25 @@ class DeltaLogTable:
             pass
         return None
 
+    def _delta_read_schema(self) -> T.StructType | None:
+        """Explicit read schema for the delta log: the persisted sidecar
+        union plus the ``ingest_batch`` partition column (resolved from
+        the directory names). None when no sidecar exists (pre-sidecar
+        table) — callers fall back to footer inference/merging."""
+        cur = self.delta_schema_sidecar.current()
+        if cur is None:
+            return None
+        return T.StructType(
+            [f for f in cur.fields if f.name != "ingest_batch"]
+            + [T.StructField("ingest_batch", T.IntegerType())]
+        )
+
     def _read_dir(
-        self, p: str, strict: bool = False, merge: bool = False
+        self,
+        p: str,
+        strict: bool = False,
+        merge: bool = False,
+        schema: T.StructType | None = None,
     ) -> DataFrame | None:
         """``strict`` distinguishes MISSING (→ None) from BROKEN (→ raise):
         the compaction path must never treat a transient read failure as
@@ -529,10 +721,13 @@ class DeltaLogTable:
         version name claims deltas it silently dropped, and the
         ``ingest_batch > through`` filter would mask those committed rows
         forever (the same missing-vs-broken probe the COW upsert uses).
-        ``merge``: parquet schema merging (delta-log reads under
-        ``merge_schema`` — see __init__)."""
+        ``schema``: explicit read schema (the sidecar path — authoritative,
+        stable under drift). ``merge``: parquet schema merging, the
+        pre-sidecar fallback for delta-log reads under ``merge_schema``."""
         reader = self.spark.read
-        if merge:
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif merge:
             reader = reader.option("mergeSchema", "true")
         if strict:
             fs, hpath = self._fs()
@@ -629,6 +824,12 @@ class DeltaLogTable:
         trigger inline compaction (``auto_compact_deltas``) — safe under
         replay: a re-landed batch's changes are latest-wins idempotent
         against a base that already folded them."""
+        # Widen the sidecar BEFORE the append (same crash-ordering
+        # rationale as KeyedTable.upsert's publish-before-write): a
+        # drifted batch on disk under a stale-narrow sidecar would vanish
+        # the new column from the merge-on-read view — and from the next
+        # compaction's folded base, permanently.
+        self.delta_schema_sidecar.publish(changes.schema)
         changes.write.mode("overwrite").parquet(
             f"{self._delta()}/ingest_batch={batch_id}"
         )
@@ -755,7 +956,10 @@ class DeltaLogTable:
                 )
             return base
         deltas = self._read_dir(
-            self._delta(), strict=_strict, merge=self.merge_schema
+            self._delta(),
+            strict=_strict,
+            merge=self.merge_schema,
+            schema=self._delta_read_schema(),
         )
         if deltas is not None and through >= 0:
             # A version records the batch id it compacted THROUGH; delta
@@ -801,7 +1005,11 @@ class DeltaLogTable:
         bounded by compaction cadence — compaction retires delta dirs, so
         consumers must keep ``since_batch`` within the uncompacted window
         (exactly Hudi's incremental-read-vs-cleaner contract)."""
-        deltas = self._read_dir(self._delta(), merge=self.merge_schema)
+        deltas = self._read_dir(
+            self._delta(),
+            merge=self.merge_schema,
+            schema=self._delta_read_schema(),
+        )
         if deltas is None:
             raise FileNotFoundError(
                 f"no delta log at {self.path} (compacted or empty table)"

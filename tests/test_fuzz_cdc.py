@@ -1,6 +1,7 @@
-"""CDC differential fuzz gate (tools/fuzz_cdc.py): 110 seeded random
-envelope-sequence scenarios (30 per single-table lane + 20 routed)
-replayed through the COW, MOR, SCD2, and multi-table ROUTED lanes
+"""CDC differential fuzz gate (tools/fuzz_cdc.py): 130 seeded random
+envelope-sequence scenarios (30 per single-table lane + 20 each for the
+routed/avro lanes) replayed through the COW, MOR, SCD2, multi-table
+ROUTED, and AVRO-wire lanes
 against pure-Python dict-replay oracles. Gate sizing: a
 fuzz case costs ~40 tiny Spark jobs (~2-6 s wall each depending on box
 load), so the always-on gate stays at a few minutes while multi-seed CLI
@@ -27,10 +28,17 @@ WORKERS = 12
 @pytest.mark.slow
 @pytest.mark.parametrize(
     ("lane", "seed"),
-    [("cow", 42), ("mor", 1042), ("scd2", 2042), ("routed", 3042)],
+    [
+        ("cow", 42),
+        ("mor", 1042),
+        ("scd2", 2042),
+        ("routed", 3042),
+        ("avro", 4042),
+    ],
 )
 def test_fuzz_cdc_lane(spark, lane, seed):
-    count = 20 if lane == "routed" else COUNT  # routed cases run 2 tables
+    # routed runs 2 tables/case; avro adds a Python decode per record.
+    count = 20 if lane in ("routed", "avro") else COUNT
     failures = run_many(spark, lane, count, seed, workers=WORKERS)
     assert not failures, (
         f"{len(failures)} {lane} divergences; first 3: {failures[:3]}"

@@ -2077,3 +2077,13 @@ def test_sem_bench_matrix_cache_bounded_and_capped(spark, tmp_path):
     )
     llm._sem_bench_matrix(spark, str(alt))
     assert len(llm._SEM_BENCH_CACHE) <= llm._SEM_BENCH_CACHE_MAX
+    # TRUE LRU (ADVICE r8): a hit refreshes recency, so in a 3-fixture
+    # rotation the entry just reused survives the next insert and its
+    # re-read is a HIT (identity-equal matrix, no recompute).
+    llm._SEM_BENCH_CACHE.clear()
+    m1 = llm._sem_bench_matrix(spark, "/root/testdata/sf0.001")
+    llm._sem_bench_matrix(spark, "/root/testdata/sf0.01")
+    m1_hit = llm._sem_bench_matrix(spark, "/root/testdata/sf0.001")  # refresh
+    assert m1_hit is m1
+    llm._sem_bench_matrix(spark, str(alt))  # evicts sf0.01, NOT sf0.001
+    assert llm._sem_bench_matrix(spark, "/root/testdata/sf0.001") is m1

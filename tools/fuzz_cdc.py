@@ -7,12 +7,21 @@ lived across rounds:
 
 - COW lane  — streaming/pipeline.upsert_batch_processor → KeyedTable.upsert
   (bootstrap path, partition-pruned dynamic overwrite, vanished-partition
-  static rewrite, schema drift via unionByName, MVCC snapshots/time travel)
+  static rewrite, schema drift via unionByName + the persisted schema
+  sidecar, MVCC snapshots/time travel). The merge_schema knob is
+  RANDOMIZED mostly-off: with the sidecar the drift×partitioned state must
+  survive regardless of the knob.
 - MOR lane  — streaming/pipeline.mor_batch_processor → DeltaLogTable
   (delta-log append, merge-on-read precedence (ingest_batch, _lsn), inline +
-  async compaction, read-optimized staleness contract, schema drift)
+  async compaction, read-optimized staleness contract, schema drift —
+  knob randomized mostly-off too, same sidecar contract)
 - SCD2 lane — streaming/pipeline.scd2_batch_processor (incremental type-2
   fold vs a batch fold over the full event set)
+- ROUTED lane — routed_upsert_processor fan-out (B2/B14), per-table schema
+  drift under one mixed-topic stream
+- AVRO lane — the COW scenarios replayed over the Avro wire
+  (EnvelopeAvro.encode on the driver → parse_envelope_avro_py), so the
+  pure-Python codec sits under the same randomized oracle as JSON
 
 Scenario space per seed: insert/update/delete/snapshot-read op mixes,
 out-of-order _lsn within AND across batches, duplicate keys per batch,
@@ -45,7 +54,9 @@ import shutil
 import sys
 import tempfile
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from pyspark.sql import types as T  # noqa: E402
 
@@ -96,14 +107,16 @@ class CdcGen:
         n_keys = r.randint(1, 10)
         n_batches = r.randint(1, 5)
         partitioned = r.random() < 0.30
-        # Drift composes with partitioning: the COW processor lane passes
-        # merge_schema=True for drift scenarios (partitioned drift is THE
-        # case that needs it — untouched partitions keep old-schema
-        # footers), and the MOR lane always reads its delta log merged
-        # under drift.
+        # Drift composes with partitioning — THE case the schema sidecar
+        # exists for: the dynamic-overwrite upsert leaves untouched
+        # partitions on old-schema footers. merge_knob randomizes the
+        # legacy merge_schema fallback mostly OFF so the sidecar carries
+        # the correctness load; occasionally ON to pin that the fallback
+        # and the sidecar compose.
         drift_at = r.randint(1, n_batches - 1) if (
             n_batches > 1 and r.random() < 0.35
         ) else None
+        merge_knob = r.random() < 0.25
         dept_of = (
             {k: r.choice(DEPTS) for k in range(n_keys)} if partitioned else {}
         )
@@ -144,12 +157,12 @@ class CdcGen:
             "replays": replays,
             "partitioned": partitioned,
             "drift_at": drift_at,
+            "merge_knob": merge_knob,
             # keep_history composes with partitioning (the dynamic
-            # partial-overwrite publish path is only reachable that way);
-            # drift stays off the history variant (the direct-KeyedTable
-            # lane would need merge_schema choreography the processor
-            # lane already covers).
-            "keep_history": drift_at is None and r.random() < 0.25,
+            # partial-overwrite publish path is only reachable that way)
+            # AND, since the schema sidecar landed, with drift: the direct
+            # KeyedTable lane needs no merge_schema choreography anymore.
+            "keep_history": r.random() < 0.25,
         }
 
 
@@ -214,11 +227,44 @@ def _norm(v):
 
 
 def _spark_state(df, cols) -> dict:
+    """Project the engine DataFrame to {key: {col: value}} for the oracle
+    compare. FAIL-LOUD on a missing expected column: a silent
+    ``.get``-default-to-None here let a harness bug (an unmerged
+    verification read) impersonate an engine bug in round 8 — and would
+    equally let a real vanished-column engine bug pass as all-NULL when
+    the oracle also expected NULLs. Extra engine columns are ignored
+    (e.g. a compacted MOR base can carry a later drift column, all-null,
+    for a pre-drift read-optimized view — contract-allowed)."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise AssertionError(
+            f"engine result is missing expected column(s) {missing}; "
+            f"has {df.columns}"
+        )
     out = {}
     for row in df.collect():
         d = row.asDict()
-        out[d["id"]] = {c: _norm(d.get(c)) for c in cols if c != "id"}
+        out[d["id"]] = {c: _norm(d[c]) for c in cols if c != "id"}
     return out
+
+
+def _cow_table_state(spark, path: str, cols) -> dict:
+    """Final-state read for the COW lanes THROUGH the table contract:
+    ``KeyedTable.read()`` applies the persisted schema sidecar (the
+    round-9 structural fix), so drift×partitioned tables verify without
+    per-case mergeSchema choreography — which is the point: this read IS
+    the surface users get. MISSING/EMPTY maps to {} (the table's
+    EMPTY ≡ MISSING contract: a partitioned table whose rows were all
+    deleted has no parquet footers left)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.fsutil import (
+        read_parquet_if_present,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable
+
+    if read_parquet_if_present(spark, path) is None:
+        return {}
+    table = KeyedTable(spark, path, keys=["id"], ordering=["_lsn"])
+    return _spark_state(table.read(), cols)
 
 
 def _oracle_state(state: dict, cols) -> dict:
@@ -242,6 +288,71 @@ def _raw_batch(spark, batch: dict):
     # defaultParallelism (32) slices — 32 near-empty tasks per job, the
     # dominant cost of a fuzz case.
     return spark.createDataFrame(vals or [], "value string").coalesce(1)
+
+
+_AVRO_CODECS: dict[bool, object] = {}
+
+
+def envelope_avro(ev: dict, drift: bool) -> bytearray:
+    """One Avro-binary envelope record (the AvroConverter wire the
+    reference configures, README.md:262-263), encoded driver-side by the
+    engine's own pure-Python codec. A 'malformed' op encodes a valid
+    envelope then truncates it mid-record (the Avro analogue of the JSON
+    lane's cut-off string); a None op encodes a real null-op envelope
+    (decode must drop it, not upgrade it to an upsert)."""
+    import datetime as _dt
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.avro_codec import (
+        EnvelopeAvro,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import (
+        envelope_avro_schema,
+    )
+
+    codec = _AVRO_CODECS.get(drift)
+    if codec is None:
+        codec = EnvelopeAvro(envelope_avro_schema(_schema(drift)))
+        _AVRO_CODECS[drift] = codec
+    malformed = ev["op"] == "malformed"
+    op = "c" if malformed else ev["op"]
+    row = dict(ev["row"])
+    if row.get("created_at") is not None:
+        row["created_at"] = _dt.date.fromisoformat(row["created_at"])
+    blob = codec.encode(
+        {
+            "before": row if op == "d" else None,
+            "after": None if op == "d" else row,
+            "source": {
+                "lsn": ev["lsn"],
+                "ts_ms": 1700000000000 + ev["lsn"],
+                "table": "employees",
+            },
+            "op": op,
+            "ts_ms": 1700000000000 + ev["lsn"],
+        }
+    )
+    if malformed:
+        blob = blob[: max(1, len(blob) // 2)]
+    return bytearray(blob)
+
+
+def _raw_batch_avro(spark, batch: dict):
+    vals = [(envelope_avro(e, batch["drift"]),) for e in batch["events"]]
+    return spark.createDataFrame(vals or [], "value binary").coalesce(1)
+
+
+def _wire_parser(wire: str, drift: bool):
+    """(raw DataFrame) -> parsed change rows, for the declared per-batch
+    schema — the JSON lane's parse_envelope or the Avro lane's pure-Python
+    decode (parse_envelope_avro_py)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import (
+        parse_envelope,
+        parse_envelope_avro_py,
+    )
+
+    if wire == "avro":
+        return lambda df: parse_envelope_avro_py(df, row_schema=_schema(drift))
+    return lambda df: parse_envelope(df, _schema(drift))
 
 
 def _case_session(spark):
@@ -277,20 +388,21 @@ def _wrap(body):
     return run
 
 
-def _cow(spark, seed: int, case_dir: str) -> tuple[bool, str]:
-    """COW lane: raw JSON envelopes → upsert_batch_processor (the exact
-    foreachBatch surface) → KeyedTable; final table vs dict replay. The
+def _cow(spark, seed: int, case_dir: str, wire: str = "json") -> tuple[bool, str]:
+    """COW lane: raw envelopes (JSON, or Avro-binary when ``wire='avro'``)
+    → upsert_batch_processor (the exact foreachBatch surface) →
+    KeyedTable; final table vs dict replay, verified THROUGH
+    KeyedTable.read() so the persisted schema sidecar is the surface under
+    test (drift×partitioned with the merge_schema knob mostly OFF). The
     keep_history variant drives KeyedTable directly and also checks every
-    published MVCC snapshot against the oracle's per-apply history."""
-    from debezium_emr_hudi_deltastreamer_sample_spark.envelope import parse_envelope
-    from debezium_emr_hudi_deltastreamer_sample_spark.fsutil import (
-        read_parquet_if_present,
-    )
+    published MVCC snapshot against the oracle's per-apply history —
+    including pre-drift snapshots, compared on their own as-of columns."""
     from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
         upsert_batch_processor,
     )
     from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable
 
+    raw_of = _raw_batch_avro if wire == "avro" else _raw_batch
     sc = CdcGen(seed).scenario()
     spark = _case_session(spark)
     path = f"{case_dir}/table"
@@ -300,30 +412,29 @@ def _cow(spark, seed: int, case_dir: str) -> tuple[bool, str]:
             op_col="op", keep_history=24,
             partition_by=["department"] if sc["partitioned"] else [],
         )
-        snap_states = []  # oracle state per PUBLISHED snapshot commit
-        state: dict[int, dict] = {}
+        snap_states = []  # (oracle state, as-of columns) per snapshot commit
         for i, batch in enumerate(sc["batches"]):
             reps = 2 if i in sc["replays"] else 1
             for _ in range(reps):
-                raw = _raw_batch(spark, batch)
+                raw = raw_of(spark, batch)
                 if not raw.head(1):
                     continue
-                changes = parse_envelope(raw, _schema(batch["drift"]))
+                changes = _wire_parser(wire, batch["drift"])(raw)
                 if not changes.head(1):
                     continue
                 table.upsert(changes)
-                _, _, hist = oracle_replay(sc["batches"][: i + 1])
-                snap_states.append(hist[-1])
+                _, pcols, hist = oracle_replay(sc["batches"][: i + 1])
+                snap_states.append((hist[-1], pcols))
         final, cols, _ = oracle_replay(sc["batches"])
         if snap_states:
-            cur = read_parquet_if_present(spark, path)
-            got = _spark_state(cur, cols) if cur is not None else {}
+            got = _cow_table_state(spark, path, cols)
             want = _oracle_state(final, cols)
             if got != want:
                 return False, f"cow[hist] final mismatch: {_diff(got, want)}"
             for seq, _uri in table.snapshots():
-                got = _spark_state(table.read(as_of=seq), cols)
-                want = _oracle_state(snap_states[seq], cols)
+                snap_want, pcols = snap_states[seq]
+                got = _spark_state(table.read(as_of=seq), pcols)
+                want = _oracle_state(snap_want, pcols)
                 if got != want:
                     return (
                         False,
@@ -340,21 +451,28 @@ def _cow(spark, seed: int, case_dir: str) -> tuple[bool, str]:
             row_schema=_schema(batch["drift"]),
             ordering=["_lsn"],
             partition_by=partition_by,
-            merge_schema=sc["drift_at"] is not None,
+            parser=_wire_parser(wire, batch["drift"]) if wire == "avro" else None,
+            merge_schema=sc["merge_knob"],
         )
         reps = 2 if i in sc["replays"] else 1
         for _ in range(reps):
-            process(_raw_batch(spark, batch), i)
+            process(raw_of(spark, batch), i)
     final, cols, _ = oracle_replay(sc["batches"])
-    # EMPTY ≡ MISSING is the table contract (KeyedTable.exists): a
-    # partitioned table whose rows were all deleted has no parquet
-    # footers left, so the readable-state compare maps None → {}.
-    cur = read_parquet_if_present(spark, path)
-    got = _spark_state(cur, cols) if cur is not None else {}
+    got = _cow_table_state(spark, path, cols)
     want = _oracle_state(final, cols)
     if got != want:
-        return False, f"cow final mismatch: {_diff(got, want)}"
+        return False, f"cow[{wire}] final mismatch: {_diff(got, want)}"
     return True, ""
+
+
+def _avro(spark, seed: int, case_dir: str) -> tuple[bool, str]:
+    """AVRO-wire lane: the COW scenario space replayed end-to-end over
+    Avro-binary envelopes — EnvelopeAvro.encode (driver) →
+    parse_envelope_avro_py (mapInPandas decode) → upsert → table state vs
+    the same dict-replay oracle. Puts the pure-Python codec (logical
+    dates, union nulls, delete before-images, truncated records, null-op
+    drops) under the identical randomized oracle as the JSON wire."""
+    return _cow(spark, seed, case_dir, wire="avro")
 
 
 def _mor(spark, seed: int, case_dir: str) -> tuple[bool, str]:
@@ -383,13 +501,16 @@ def _mor(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     use_async = auto is not None and r.random() < 0.4
     target_files = r.choice([None, 1, 2])
     manual_compact_prob = 0.3 if auto is None else 0.1
-    drift = sc["drift_at"] is not None
+    # Post-sidecar: drift correctness must hold with the legacy knob OFF
+    # (the delta-log schema sidecar carries it); merge_knob occasionally
+    # turns the fallback on to pin that the two compose.
+    knob = sc["merge_knob"]
 
     spark = _case_session(spark)
     path = f"{case_dir}/mor"
     table = DeltaLogTable(
         spark, path, keys=["id"], ordering=["_lsn"], op_col="op",
-        compact_target_files=target_files, merge_schema=drift,
+        compact_target_files=target_files, merge_schema=knob,
     )
     for i, batch in enumerate(sc["batches"]):
         process = mor_batch_processor(
@@ -399,7 +520,7 @@ def _mor(spark, seed: int, case_dir: str) -> tuple[bool, str]:
             ordering=["_lsn"],
             auto_compact_deltas=auto,
             async_compact=use_async,
-            merge_schema=drift,
+            merge_schema=knob,
         )
         reps = 2 if i in sc["replays"] else 1
         for _ in range(reps):
@@ -553,34 +674,27 @@ def _routed(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     routed_upsert_processor (B2 relation filter + B14 topic→table naming)
     — each table's final state vs its own dict replay. Adds
     unknown-topic events (must be ignored: the subscribe pattern may
-    match unregistered tables) and per-batch interleaving of the two
-    tables' change feeds; replays re-apply the whole mixed batch."""
-    import json as _json
-
-    from debezium_emr_hudi_deltastreamer_sample_spark.fsutil import (
-        read_parquet_if_present,
-    )
+    match unregistered tables), per-batch interleaving of the two
+    tables' change feeds, and — new in round 9 — INDEPENDENT per-table
+    schema drift under the one mixed stream (the declared schemas
+    diverge mid-replay; the processor is rebuilt per batch with each
+    table's current schema, exactly how a live deployment picks up a
+    registry change). Replays re-apply the whole mixed batch."""
     from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
         routed_upsert_processor,
     )
 
     gen_a, gen_b = CdcGen(seed), CdcGen(seed ^ 0x5DEECE66D)
     sc_a, sc_b = gen_a.scenario(), gen_b.scenario()
-    # The routed processor constructs fixed-schema, non-partitioned
-    # upserts per table — normalize both scenarios to that shape.
-    for sc in (sc_a, sc_b):
-        for b in sc["batches"]:
-            b["drift"] = False
-            for e in b["events"]:
-                e["row"].pop("bonus", None)
     spark = _case_session(spark)
     rng = random.Random(seed * 31 + 7)
-    tables = {
-        "t_alpha": (f"{case_dir}/t_alpha", ["id"], _schema(False)),
-        "t_beta": (f"{case_dir}/t_beta", ["id"], _schema(False)),
-    }
-    process = routed_upsert_processor(tables, ordering=["_lsn"])
     n_batches = max(len(sc_a["batches"]), len(sc_b["batches"]))
+
+    def drift_of(sc, i):
+        # A table whose feed ended stays on its LAST declared schema.
+        if i < len(sc["batches"]):
+            return sc["batches"][i]["drift"]
+        return sc["batches"][-1]["drift"]
 
     def rows_for(sc, name, i):
         if i >= len(sc["batches"]):
@@ -591,6 +705,17 @@ def _routed(spark, seed: int, case_dir: str) -> tuple[bool, str]:
         ]
 
     for i in range(n_batches):
+        process = routed_upsert_processor(
+            {
+                "t_alpha": (
+                    f"{case_dir}/t_alpha", ["id"], _schema(drift_of(sc_a, i)),
+                ),
+                "t_beta": (
+                    f"{case_dir}/t_beta", ["id"], _schema(drift_of(sc_b, i)),
+                ),
+            },
+            ordering=["_lsn"],
+        )
         rows = rows_for(sc_a, "t_alpha", i) + rows_for(sc_b, "t_beta", i)
         if rng.random() < 0.3:
             # Unknown topic: matched by the subscribe regex but not
@@ -614,8 +739,7 @@ def _routed(spark, seed: int, case_dir: str) -> tuple[bool, str]:
 
     for name, sc in (("t_alpha", sc_a), ("t_beta", sc_b)):
         final, cols, _ = oracle_replay(sc["batches"])
-        cur = read_parquet_if_present(spark, f"{case_dir}/{name}")
-        got = _spark_state(cur, cols) if cur is not None else {}
+        got = _cow_table_state(spark, f"{case_dir}/{name}", cols)
         want = _oracle_state(final, cols)
         if got != want:
             return False, f"routed[{name}] mismatch: {_diff(got, want)}"
@@ -626,12 +750,14 @@ run_cow_case = _wrap(_cow)
 run_mor_case = _wrap(_mor)
 run_scd2_case = _wrap(_scd2)
 run_routed_case = _wrap(_routed)
+run_avro_case = _wrap(_avro)
 
 LANES = {
     "cow": run_cow_case,
     "mor": run_mor_case,
     "scd2": run_scd2_case,
     "routed": run_routed_case,
+    "avro": run_avro_case,
 }
 
 

@@ -139,6 +139,30 @@ QUERIES = [
 ]
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _sweep_shuffle_partitions(sf_dir: str) -> int:
+    """Submit-time shuffle sizing for one sweep point: one partition per
+    ~24 MiB of fixture bytes, floored at the session default (32). On a
+    real cluster this is exactly what the submit config does — size the
+    initial fan-out to the input and let AQE coalesce DOWN. Without it the
+    sweep pins 32 partitions at every decade, so a query whose shuffle
+    mass grows 6x (e.g. llm_graph_triangles_count's wedges at sf3) pays
+    that mass through constant parallelism and the sweep measures the
+    CONFIG, not the algorithm (VERDICT r8 task 5: per-wedge cost 1.8x was
+    partition absorption, not plan defect)."""
+    return max(32, min(2048, -(-_dir_bytes(sf_dir) // (24 << 20))))
+
+
 def main(argv: list[str] | None = None) -> None:
     from debezium_emr_hudi_deltastreamer_sample_spark.queries import all_queries
     from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
@@ -194,10 +218,18 @@ def main(argv: list[str] | None = None) -> None:
                       file=sys.stderr)
                 raise SystemExit(2)
             queries = [q for q in queries if q in only]
+    # Per-point submit-time shuffle sizing (computed once per fixture).
+    point_partitions = {
+        sf: _sweep_shuffle_partitions(sf_dir) for sf, sf_dir in points
+    }
+    print(f"shuffle partitions per point: {point_partitions}", file=sys.stderr)
     out: dict[str, dict[str, float]] = {}
     for name in queries:
         out[name] = {}
         for sf, sf_dir in points:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(point_partitions[sf])
+            )
             best = None
             for _ in range(2):  # best-of-2, same rationale as bench.py
                 t0 = time.perf_counter()
