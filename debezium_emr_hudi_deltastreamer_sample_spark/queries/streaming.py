@@ -149,6 +149,18 @@ def _state_partitions(
     return _STATE_PARTITIONS_FLOOR
 
 
+def _session_default(spark) -> int | None:
+    """The parent session's shuffle partitions as the unknown-size
+    fallback, or None when the conf isn't an int literal (e.g. a
+    platform's "auto" policy value) — a non-parseable conf must not fail
+    every streaming query at setup, same contract as the env-override
+    guard in _state_partitions (falls through to the floor)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return None
+
+
 def _stream_session(
     spark: SparkSession,
     final_flush: bool = True,
@@ -182,14 +194,7 @@ def _stream_session(
     child = spark.newSession()
     child.conf.set(
         "spark.sql.shuffle.partitions",
-        str(
-            _state_partitions(
-                input_path,
-                session_default=int(
-                    spark.conf.get("spark.sql.shuffle.partitions")
-                ),
-            )
-        )
+        str(_state_partitions(input_path, session_default=_session_default(spark))),
     )
     if not final_flush:
         child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")

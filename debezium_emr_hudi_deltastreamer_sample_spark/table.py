@@ -389,11 +389,18 @@ class KeyedTable:
             # equal-ordering precombine ties upstream) cannot publish a
             # snapshot that diverges from the table just written.
             df = df.localCheckpoint(eager=True)
+        # Two-phase schema commit for a table REPLACE: widen the sidecar
+        # to union(old, new) BEFORE the write, then RESET it to exactly
+        # the new schema after the data lands. Both crash windows are then
+        # harmless-wide (phantom columns null-fill): crash before the
+        # write leaves the old data under a wider sidecar; crash after it
+        # leaves the new data under the union. The earlier single
+        # reset-after-write ordering had a stale-NARROW window — a crash
+        # between write and publish on a WIDENING replace served the new
+        # data through the old sidecar, projecting the new column out
+        # (and the next upsert's rewrite made the loss permanent).
+        self.schema_sidecar.publish(df.schema)
         self._write(df, "overwrite")
-        # Schema RESET after the data lands (init is a table replace): a
-        # crash between write and publish leaves a stale-WIDE sidecar,
-        # which only null-fills phantom columns — never drops one.
-        # Publishing a narrower schema before the write could.
         self.schema_sidecar.publish(df.schema, reset=True)
         # Publish from the DF just written, NOT a re-read: an EMPTY
         # partitioned write leaves a footer-less dir that read() cannot
@@ -431,10 +438,15 @@ class KeyedTable:
                 # execution — the snapshot must be the rows the table
                 # actually holds.
                 bootstrap = bootstrap.localCheckpoint(eager=True)
+            # Bootstrap ≡ table replace: same two-phase schema commit as
+            # init (widen before the write, reset after), so a crash on a
+            # re-bootstrap of a previously-emptied table whose new feed is
+            # WIDER than the old sidecar cannot serve the new data through
+            # the stale-narrow schema. The reset matters for the narrowing
+            # direction: the re-bootstrapped table reads on its new feed's
+            # schema, not the dead table's.
+            self.schema_sidecar.publish(bootstrap.schema)
             self._write(bootstrap, "overwrite")
-            # Bootstrap ≡ table create: RESET the sidecar (same after-write
-            # ordering rationale as init). A table previously emptied by
-            # deletes re-bootstraps on its new feed's schema.
             self.schema_sidecar.publish(bootstrap.schema, reset=True)
             # `bootstrap` IS the full table here — publish it directly
             # (see init: a re-read crashes when a first batch whose newest
@@ -566,6 +578,9 @@ class KeyedTable:
             [], history.select(*self._row_columns(history)).schema
         )
         merged = merge_upsert(empty, history, self.keys, self.ordering, self.op_col)
+        # Table replace: two-phase schema commit (see init) — widen first
+        # so no crash window serves WIDE data under a NARROW sidecar.
+        self.schema_sidecar.publish(merged.schema)
         self._write(merged, "overwrite")
         self.schema_sidecar.publish(merged.schema, reset=True)
 

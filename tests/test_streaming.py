@@ -1503,3 +1503,28 @@ def test_state_partition_heuristic(monkeypatch, tmp_path):
             _state_partitions("s3a://bucket/stream", session_default=128)
             == 128
         )
+
+
+def test_session_default_parse_guard():
+    """_stream_session's parent-conf read must not fail query setup on a
+    runtime whose shuffle-partitions conf isn't an int literal (e.g. an
+    "auto" policy value) — it degrades to None and _state_partitions
+    falls through to the floor (round-9 review finding)."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries.streaming import (
+        _session_default,
+    )
+
+    class _Conf:
+        def __init__(self, value):
+            self._value = value
+
+        def get(self, _key):
+            return self._value
+
+    class _Session:
+        def __init__(self, value):
+            self.conf = _Conf(value)
+
+    assert _session_default(_Session("200")) == 200
+    assert _session_default(_Session("auto")) is None
+    assert _session_default(_Session(None)) is None

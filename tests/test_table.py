@@ -1440,6 +1440,48 @@ def test_schema_sidecar_closes_drift_partitioned_loss(spark, tmp_path):
     assert t2.read().columns == t.read().columns
 
 
+def test_schema_sidecar_replace_has_no_narrow_crash_window(spark, tmp_path):
+    """Round-9 review finding: a table REPLACE (init / re-bootstrap /
+    compact_history) must commit the schema in TWO phases — widen to
+    union(old, new) BEFORE the data write, reset to exactly-new after —
+    so a crash between write and publish on a WIDENING replace cannot
+    serve the new data through the stale-narrow sidecar (which would
+    project the new column out, and the next rewrite would drop it
+    permanently). Simulated by failing the write itself: at that point
+    the sidecar must ALREADY carry the union."""
+    import pytest
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable
+
+    path = str(tmp_path / "t")
+    t = KeyedTable(spark, path, keys=["id"], ordering=["_lsn"], op_col="op")
+    t.init(spark.createDataFrame([(1, "a")], "id int, name string"))
+    assert t.schema_sidecar.current().fieldNames() == ["id", "name"]
+
+    wide = spark.createDataFrame([(1, "a2", 7)], "id int, name string, bonus int")
+    real_write = t._write
+
+    def failing_write(df, mode):
+        raise RuntimeError("injected crash during the replace write")
+
+    t._write = failing_write
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.init(wide)
+    # Crash window state: old data on disk, sidecar already WIDENED —
+    # wide-over-narrow is harmless (phantom column null-fills) ...
+    assert t.schema_sidecar.current().fieldNames() == ["id", "name", "bonus"]
+    assert {r["id"]: r["bonus"] for r in t.read().collect()} == {1: None}
+    # ... and had the crash landed AFTER the write instead, the same
+    # widened sidecar serves the new data with its new column intact.
+    t._write = real_write
+    t.init(wide)
+    assert t.schema_sidecar.current().fieldNames() == ["id", "name", "bonus"]
+    assert {r["bonus"] for r in t.read().collect()} == {7}
+    # Completed replace in the NARROWING direction still resets exactly.
+    t.init(spark.createDataFrame([(1, "z")], "id int, name string"))
+    assert t.schema_sidecar.current().fieldNames() == ["id", "name"]
+
+
 def test_schema_sidecar_reset_and_fallback(spark, tmp_path):
     """Sidecar lifecycle: init RESETS the persisted schema (table
     replace); a deleted sidecar falls back to footer inference
