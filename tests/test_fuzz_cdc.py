@@ -1,7 +1,7 @@
-"""CDC differential fuzz gate (tools/fuzz_cdc.py): 130 seeded random
+"""CDC differential fuzz gate (tools/fuzz_cdc.py): 150 seeded random
 envelope-sequence scenarios (30 per single-table lane + 20 each for the
-routed/avro lanes) replayed through the COW, MOR, SCD2, multi-table
-ROUTED, and AVRO-wire lanes
+routed/avro/crash lanes) replayed through the COW, MOR, SCD2, multi-table
+ROUTED, AVRO-wire, and CRASH-INJECTION lanes
 against pure-Python dict-replay oracles. Gate sizing: a
 fuzz case costs ~40 tiny Spark jobs (~2-6 s wall each depending on box
 load), so the always-on gate stays at a few minutes while multi-seed CLI
@@ -9,7 +9,10 @@ hunts carry the volume — 500+ cases per lane per round, tallies recorded
 in COVERAGE.md / BASELINE.md. Covers the stateful
 corners no curated test enumerates: out-of-order LSNs across batch
 boundaries, all-delete bootstrap batches, schema-drift mid-stream,
-at-least-once batch replays, async-compaction races, old-batch redelivery.
+at-least-once batch replays, async-compaction races, old-batch
+redelivery, and simulated process kills inside the table commit path
+(schema publish / data write, before and after the call) followed by
+redelivery.
 
 A red case replays standalone with its printed case seed:
   python tools/fuzz_cdc.py --lane <lane> --count 1 --seed <case_seed>
@@ -34,11 +37,13 @@ WORKERS = 12
         ("scd2", 2042),
         ("routed", 3042),
         ("avro", 4042),
+        ("crash", 5042),
     ],
 )
 def test_fuzz_cdc_lane(spark, lane, seed):
-    # routed runs 2 tables/case; avro adds a Python decode per record.
-    count = 20 if lane in ("routed", "avro") else COUNT
+    # routed runs 2 tables/case; avro adds a Python decode per record;
+    # crash replays dead deliveries on top of the replay axis.
+    count = 20 if lane in ("routed", "avro", "crash") else COUNT
     failures = run_many(spark, lane, count, seed, workers=WORKERS)
     assert not failures, (
         f"{len(failures)} {lane} divergences; first 3: {failures[:3]}"

@@ -475,6 +475,109 @@ def _avro(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     return _cow(spark, seed, case_dir, wire="avro")
 
 
+class _InjectedCrash(RuntimeError):
+    """Simulated process kill inside the table commit path."""
+
+
+class _CrashArm:
+    """Arm an INSTANCE-level crash on the k-th commit-path call (schema
+    publish or data write), optionally AFTER the call completes — the
+    'write landed, process died before the next commit step' window.
+    Instance-level patching (no class/global state) keeps the fuzz
+    worker threads independent."""
+
+    def __init__(self, table, kth: int, after: bool) -> None:
+        self.table = table
+        self.kth = kth
+        self.after = after
+        self.calls = 0
+
+    def _hook(self, real):
+        def inner(*a, **k):
+            self.calls += 1
+            if self.calls == self.kth:
+                if self.after:
+                    real(*a, **k)
+                raise _InjectedCrash(
+                    f"injected at commit call {self.kth} (after={self.after})"
+                )
+            return real(*a, **k)
+
+        return inner
+
+    def __enter__(self):
+        self.table._write = self._hook(type(self.table)._write.__get__(self.table))
+        sidecar = self.table.schema_sidecar
+        sidecar.publish = self._hook(type(sidecar).publish.__get__(sidecar))
+        return self
+
+    def __exit__(self, *exc):
+        del self.table._write
+        del self.table.schema_sidecar.publish
+        return False
+
+
+def _crash(spark, seed: int, case_dir: str) -> tuple[bool, str]:
+    """CRASH-INJECTION lane: the COW scenario space driven straight at
+    ``KeyedTable.upsert`` (the hist variant's direct-drive shape), with a
+    simulated process kill at a random point in the commit path — the
+    schema-sidecar publish or the parquet write, before OR after the call
+    completes — followed by foreachBatch's redelivery of the same batch.
+    This is the torn-commit class the clean lanes never reach: the
+    round-9 two-phase schema commit exists precisely because a crash
+    between a widening table-replace write and its publish used to serve
+    the new data through the stale-narrow sidecar and lose the drifted
+    column on the next rewrite. Invariants: the table stays READABLE
+    after every injected crash (no torn unreadable state), and after
+    redelivery the final state equals the dict-replay oracle — crashes
+    composed with drift, partitioning, deletes, replays and the
+    merge-knob exactly as the generator deals them."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.fsutil import (
+        read_parquet_if_present,
+    )
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import KeyedTable
+
+    sc = CdcGen(seed).scenario()
+    spark = _case_session(spark)
+    path = f"{case_dir}/table"
+    r = random.Random(seed ^ 0xC0FFEE)
+    table = KeyedTable(
+        spark, path, keys=["id"], ordering=["_lsn"], op_col="op",
+        partition_by=["department"] if sc["partitioned"] else [],
+        merge_schema=sc["merge_knob"],
+    )
+    for i, batch in enumerate(sc["batches"]):
+        raw = _raw_batch(spark, batch)
+        if not raw.head(1):
+            continue
+        changes = _wire_parser("json", batch["drift"])(raw)
+        if not changes.head(1):
+            continue
+        if r.random() < 0.6:
+            # First delivery dies mid-commit; kth may exceed the path's
+            # call count (then no crash fires — the rng explores both).
+            with _CrashArm(table, kth=r.randint(1, 4), after=r.random() < 0.5):
+                try:
+                    table.upsert(changes)
+                except _InjectedCrash:
+                    pass
+            try:
+                read_parquet_if_present(spark, path)
+                if table.exists():
+                    table.read().collect()
+            except Exception as exc:  # noqa: BLE001 — any read crash is the bug
+                return False, f"crash[batch {i}] unreadable after kill: {exc}"
+        reps = 2 if i in sc["replays"] else 1
+        for _ in range(reps):
+            table.upsert(changes)  # redelivery (+ the replay axis)
+    final, cols, _ = oracle_replay(sc["batches"])
+    got = _cow_table_state(spark, path, cols)
+    want = _oracle_state(final, cols)
+    if got != want:
+        return False, f"crash final mismatch: {_diff(got, want)}"
+    return True, ""
+
+
 def _mor(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     """MOR lane: raw envelopes → mor_batch_processor → DeltaLogTable with
     randomized inline/async/manual compaction; final merge-on-read view vs
@@ -751,6 +854,7 @@ run_mor_case = _wrap(_mor)
 run_scd2_case = _wrap(_scd2)
 run_routed_case = _wrap(_routed)
 run_avro_case = _wrap(_avro)
+run_crash_case = _wrap(_crash)
 
 LANES = {
     "cow": run_cow_case,
@@ -758,6 +862,7 @@ LANES = {
     "scd2": run_scd2_case,
     "routed": run_routed_case,
     "avro": run_avro_case,
+    "crash": run_crash_case,
 }
 
 
