@@ -833,6 +833,15 @@ class DeltaLogTable:
             return sorted(all_ids)
         return sorted(committed)
 
+    def _write_delta(self, changes: DataFrame, batch_id: int) -> None:
+        """Land one delta dir — the only data write in the append path
+        (idempotent per batch id: a replay overwrites its own directory).
+        A named seam so crash-injection tests can kill the commit between
+        the schema publish and the data landing."""
+        changes.write.mode("overwrite").parquet(
+            f"{self._delta()}/ingest_batch={batch_id}"
+        )
+
     def append_changes(self, changes: DataFrame, batch_id: int) -> None:
         """Land one change batch (idempotent per batch id: a replay
         overwrites its own directory, the append-sink contract). May
@@ -845,9 +854,7 @@ class DeltaLogTable:
         # the new column from the merge-on-read view — and from the next
         # compaction's folded base, permanently.
         self.delta_schema_sidecar.publish(changes.schema)
-        changes.write.mode("overwrite").parquet(
-            f"{self._delta()}/ingest_batch={batch_id}"
-        )
+        self._write_delta(changes, batch_id)
         if self.auto_compact_deltas:
             ver = self._latest_base()
             through = ver[1] if ver else -1

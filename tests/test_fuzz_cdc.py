@@ -1,8 +1,8 @@
-"""CDC differential fuzz gate (tools/fuzz_cdc.py): 150 seeded random
+"""CDC differential fuzz gate (tools/fuzz_cdc.py): 170 seeded random
 envelope-sequence scenarios (30 per single-table lane + 20 each for the
-routed/avro/crash lanes) replayed through the COW, MOR, SCD2, multi-table
-ROUTED, AVRO-wire, and CRASH-INJECTION lanes
-against pure-Python dict-replay oracles. Gate sizing: a
+routed/avro/crash/crashmor lanes) replayed through the COW, MOR, SCD2,
+multi-table ROUTED, AVRO-wire, and the two CRASH-INJECTION (COW + MOR)
+lanes against pure-Python dict-replay oracles. Gate sizing: a
 fuzz case costs ~40 tiny Spark jobs (~2-6 s wall each depending on box
 load), so the always-on gate stays at a few minutes while multi-seed CLI
 hunts carry the volume — 500+ cases per lane per round, tallies recorded
@@ -38,12 +38,13 @@ WORKERS = 12
         ("routed", 3042),
         ("avro", 4042),
         ("crash", 5042),
+        ("crashmor", 6042),
     ],
 )
 def test_fuzz_cdc_lane(spark, lane, seed):
     # routed runs 2 tables/case; avro adds a Python decode per record;
-    # crash replays dead deliveries on top of the replay axis.
-    count = 20 if lane in ("routed", "avro", "crash") else COUNT
+    # the crash lanes replay dead deliveries on top of the replay axis.
+    count = 20 if lane in ("routed", "avro", "crash", "crashmor") else COUNT
     failures = run_many(spark, lane, count, seed, workers=WORKERS)
     assert not failures, (
         f"{len(failures)} {lane} divergences; first 3: {failures[:3]}"

@@ -480,14 +480,14 @@ class _InjectedCrash(RuntimeError):
 
 
 class _CrashArm:
-    """Arm an INSTANCE-level crash on the k-th commit-path call (schema
-    publish or data write), optionally AFTER the call completes — the
-    'write landed, process died before the next commit step' window.
-    Instance-level patching (no class/global state) keeps the fuzz
-    worker threads independent."""
+    """Arm an INSTANCE-level crash on the k-th commit-path call across
+    the given ``(obj, method_name)`` targets, optionally AFTER the call
+    completes — the 'write landed, process died before the next commit
+    step' window. Instance-level patching (no class/global state) keeps
+    the fuzz worker threads independent."""
 
-    def __init__(self, table, kth: int, after: bool) -> None:
-        self.table = table
+    def __init__(self, targets, kth: int, after: bool) -> None:
+        self.targets = list(targets)
         self.kth = kth
         self.after = after
         self.calls = 0
@@ -506,14 +506,14 @@ class _CrashArm:
         return inner
 
     def __enter__(self):
-        self.table._write = self._hook(type(self.table)._write.__get__(self.table))
-        sidecar = self.table.schema_sidecar
-        sidecar.publish = self._hook(type(sidecar).publish.__get__(sidecar))
+        for obj, name in self.targets:
+            real = getattr(type(obj), name).__get__(obj)
+            setattr(obj, name, self._hook(real))
         return self
 
     def __exit__(self, *exc):
-        del self.table._write
-        del self.table.schema_sidecar.publish
+        for obj, name in self.targets:
+            delattr(obj, name)
         return False
 
 
@@ -556,7 +556,12 @@ def _crash(spark, seed: int, case_dir: str) -> tuple[bool, str]:
         if r.random() < 0.6:
             # First delivery dies mid-commit; kth may exceed the path's
             # call count (then no crash fires — the rng explores both).
-            with _CrashArm(table, kth=r.randint(1, 4), after=r.random() < 0.5):
+            arm = _CrashArm(
+                [(table, "_write"), (table.schema_sidecar, "publish")],
+                kth=r.randint(1, 4),
+                after=r.random() < 0.5,
+            )
+            with arm:
                 try:
                     table.upsert(changes)
                 except _InjectedCrash:
@@ -575,6 +580,78 @@ def _crash(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     want = _oracle_state(final, cols)
     if got != want:
         return False, f"crash final mismatch: {_diff(got, want)}"
+    return True, ""
+
+
+def _crashmor(spark, seed: int, case_dir: str) -> tuple[bool, str]:
+    """MOR twin of the crash lane: ``DeltaLogTable`` driven directly with
+    kills injected across its commit path — the delta-log schema publish,
+    the delta-dir landing (``_write_delta``), and whole compactions
+    (before AND after they complete: the after case exercises redelivery
+    of a batch the compaction already folded — the re-landed dir must be
+    masked by the ``ingest_batch > through`` filter, not double-applied).
+    Invariants: readable after every kill; final merge-on-read view
+    equals the dict-replay oracle."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import DeltaLogTable
+
+    gen = CdcGen(seed)
+    sc = gen.scenario()
+    if not any(
+        e["op"] in ("c", "u", "d", "r")
+        for b in sc["batches"]
+        for e in b["events"]
+    ):
+        sc["batches"][0]["events"] = [
+            {"op": "c", "lsn": 1, "row": gen.row(0, False, {})}
+        ]
+        sc["batches"][0]["drift"] = False
+    r = random.Random(seed ^ 0xDEADBEEF)
+    spark = _case_session(spark)
+    table = DeltaLogTable(
+        spark, f"{case_dir}/mor", keys=["id"], ordering=["_lsn"],
+        op_col="op", merge_schema=sc["merge_knob"],
+    )
+    landed_any = False
+    for i, batch in enumerate(sc["batches"]):
+        raw = _raw_batch(spark, batch)
+        if not raw.head(1):
+            continue
+        changes = _wire_parser("json", batch["drift"])(raw)
+        if not changes.head(1):
+            continue
+        if r.random() < 0.6:
+            arm = _CrashArm(
+                [
+                    (table.delta_schema_sidecar, "publish"),
+                    (table, "_write_delta"),
+                    (table, "compact"),
+                ],
+                kth=r.randint(1, 3),
+                after=r.random() < 0.5,
+            )
+            with arm:
+                try:
+                    table.append_changes(changes, i)
+                    if r.random() < 0.5:
+                        table.compact()
+                except _InjectedCrash:
+                    pass
+            try:
+                if landed_any or table.delta_batches():
+                    table.read().collect()
+            except Exception as exc:  # noqa: BLE001 — any read crash is the bug
+                return False, f"crashmor[batch {i}] unreadable after kill: {exc}"
+        reps = 2 if i in sc["replays"] else 1
+        for _ in range(reps):
+            table.append_changes(changes, i)  # redelivery (+ replay axis)
+        landed_any = True
+        if r.random() < 0.25:
+            table.compact()
+    final, cols, _ = oracle_replay(sc["batches"])
+    got = _spark_state(table.read(), cols)
+    want = _oracle_state(final, cols)
+    if got != want:
+        return False, f"crashmor final mismatch: {_diff(got, want)}"
     return True, ""
 
 
@@ -855,6 +932,7 @@ run_scd2_case = _wrap(_scd2)
 run_routed_case = _wrap(_routed)
 run_avro_case = _wrap(_avro)
 run_crash_case = _wrap(_crash)
+run_crashmor_case = _wrap(_crashmor)
 
 LANES = {
     "cow": run_cow_case,
@@ -863,6 +941,7 @@ LANES = {
     "routed": run_routed_case,
     "avro": run_avro_case,
     "crash": run_crash_case,
+    "crashmor": run_crashmor_case,
 }
 
 
