@@ -163,6 +163,46 @@ def _sweep_shuffle_partitions(sf_dir: str) -> int:
     return max(32, min(2048, -(-_dir_bytes(sf_dir) // (24 << 20))))
 
 
+#: sf3-lane queries whose SHUFFLE mass grows super-linearly with data
+#: (wedge mass Σdeg²/2 measured 6.3x, LSH-verified edge mass 4.4x on 3x
+#: data) — these get the scale-multiplied fan-out. The rest of the family
+#: is batch-bound (ingest gate), fit-bound (SemDeDup), or linear-mass
+#: (PageRank/CC) and measured FASTER at the 32 floor: more partitions
+#: only fragment their per-cell BLAS batches / add task overhead.
+#: Measured sf3 A/B (BASELINE.md round-9 sweep row): triangles 99-part vs
+#: 32-part is the difference between per-unit cost ~1x and ~1.8x, while
+#: the same 99 parts cost SemDeDup 2.6x; a 512-initialPartitionNum AQE
+#: config loses on every query (shuffle-block fetch fan-out 512x512 on
+#: 32 cores). Production analogue: per-job submit sizing by shuffle
+#: mass, which AQE cannot do upward from a low initial.
+SF3_SCALED_QUERIES = {"llm_graph_triangles", "llm_graph_triangles_count"}
+
+
+def _scaled_point_partitions(points: list[tuple[str, str]]) -> dict[str, int]:
+    """Per-point sizing for the --sf3 lane's mass-growing queries
+    (SF3_SCALED_QUERIES), where byte-based sizing fails: the fixture's
+    INPUT is small (documents + embeddings only) while the shuffle mass
+    is join-side (wedges/edges grow with replica-pair count). The 100 TB
+    design center is that CLUSTER SIZE tracks corpus size, so the sweep
+    models a submit config scaled to the point: partitions = 32 x (point
+    bytes / smallest-point bytes) over the tables every point ships. With
+    a constant 32 at every point, each task's in-memory hash/sort state
+    grows with the mass and the sweep measures spill/partition-absorption,
+    not the algorithm."""
+    common = None
+    for _sf, sf_dir in points:
+        names = {f for f in os.listdir(sf_dir) if f.endswith(".parquet")}
+        common = names if common is None else (common & names)
+    sizes = {
+        sf: sum(_dir_bytes(os.path.join(sf_dir, t)) for t in common or ())
+        for sf, sf_dir in points
+    }
+    base = min(b for b in sizes.values() if b) or 1
+    return {
+        sf: max(32, min(2048, -(-32 * b // base))) for sf, b in sizes.items()
+    }
+
+
 def main(argv: list[str] | None = None) -> None:
     from debezium_emr_hudi_deltastreamer_sample_spark.queries import all_queries
     from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
@@ -219,16 +259,30 @@ def main(argv: list[str] | None = None) -> None:
                 raise SystemExit(2)
             queries = [q for q in queries if q in only]
     # Per-point submit-time shuffle sizing (computed once per fixture).
+    # In the sf3 lane, the mass-growing queries (SF3_SCALED_QUERIES) get
+    # the scale-multiplied fan-out; everything else keeps the byte-based
+    # sizing (which lands on the 32 floor for these fixtures).
     point_partitions = {
         sf: _sweep_shuffle_partitions(sf_dir) for sf, sf_dir in points
     }
-    print(f"shuffle partitions per point: {point_partitions}", file=sys.stderr)
+    scaled_partitions = _scaled_point_partitions(points) if sf3_only else {}
+    print(
+        f"shuffle partitions per point: {point_partitions}"
+        + (f"; scaled (mass-growing queries): {scaled_partitions}"
+           if sf3_only else ""),
+        file=sys.stderr,
+    )
     out: dict[str, dict[str, float]] = {}
     for name in queries:
         out[name] = {}
         for sf, sf_dir in points:
+            sizing = (
+                scaled_partitions
+                if sf3_only and name in SF3_SCALED_QUERIES
+                else point_partitions
+            )
             spark.conf.set(
-                "spark.sql.shuffle.partitions", str(point_partitions[sf])
+                "spark.sql.shuffle.partitions", str(sizing[sf])
             )
             best = None
             for _ in range(2):  # best-of-2, same rationale as bench.py
