@@ -1,21 +1,60 @@
 """Filesystem commit primitives shared by the table / rollup publish
 protocols (table.KeyedTable._publish_snapshot, streaming.rollup).
 
-The publish protocol stages a directory and renames it to its final
-commit name, treating the rename as a compare-and-swap: "false" means a
-concurrent writer won the name. One Hadoop quirk breaks that premise on
-LocalFileSystem (and any POSIX-`mv`-semantics store): renaming a
-directory onto an EXISTING directory moves the source INSIDE the target
-and still returns true — the loser's commit would silently nest inside
-the winner's, corrupting reads of that commit. `rename_commit` closes
-the hole: pre-check, rename, then detect-and-undo the move-into case
-(stage basenames are uuids, so the nested-name probe cannot collide
-with real commit content). On stores with atomic directory rename
-(HDFS) the extra probes are two cheap namenode calls; on object stores
-the whole rename-commit protocol is already documented as
-single-writer."""
+Every publish is a named-commit CAS — "make this staged directory the
+content of commit NAME, iff NAME is unclaimed" — behind a pluggable
+protocol picked per path scheme (``commit_protocol``):
+
+**rename** (HDFS, local — stores with atomic directory rename): stage a
+directory, rename it to the commit name; the rename IS the CAS. One
+Hadoop quirk breaks that premise on LocalFileSystem (and any
+POSIX-`mv`-semantics store): renaming a directory onto an EXISTING
+directory moves the source INSIDE the target and still returns true —
+the loser's commit would silently nest inside the winner's, corrupting
+reads of that commit. `rename_commit` closes the hole: pre-check,
+rename, then detect-and-undo the move-into case (stage basenames are
+uuids, so the nested-name probe cannot collide with real commit
+content). On HDFS the extra probes are two cheap namenode calls.
+
+**pointer** (S3/GCS/ABFS — object stores, where directory "rename" is a
+non-atomic copy+delete that can tear mid-commit): the staged directory
+is never moved; the CAS is the atomic creation of a tiny single FILE
+``<name>.commit`` whose content is the staged directory's path — the
+Delta/Iceberg commit-pointer shape. Object stores CAN create one object
+conditionally (S3 conditional PUT / If-None-Match, GCS
+x-goog-if-generation-match:0; through Hadoop: ``FileSystem.
+createNewFile`` with ``fs.s3a.create.conditional.enabled=true``), so
+the claim is atomic where directory rename is not. The claim and the
+content fill are two steps through the Hadoop API, so readers treat an
+empty/unreadable pointer as in-flight and fall back to the previous
+commit (a crash between claim and fill burns the NAME, never publishes
+torn content — the next publisher allocates past it).
+
+Protocol selection: ``SPARK_GRAFT_COMMIT_PROTOCOL`` env
+(``rename``/``pointer``) overrides for tests and fuzz lanes; otherwise
+object-store URI schemes get pointer, everything else rename."""
 
 from __future__ import annotations
+
+import os
+
+#: URI schemes whose directory rename is copy+delete (non-atomic): the
+#: rename-CAS can tear there, so commits go through the pointer protocol.
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs",
+     "abfs", "abfss"}
+)
+
+
+def commit_protocol(path: str) -> str:
+    """``"rename"`` or ``"pointer"`` for commits under ``path``. The env
+    override exists so the pointer path is drivable (tests, crash-injection
+    fuzz lanes) on the local filesystem."""
+    env = os.environ.get("SPARK_GRAFT_COMMIT_PROTOCOL")
+    if env in ("rename", "pointer"):
+        return env
+    scheme = path.split("://", 1)[0].split(":", 1)[0] if ":" in path else ""
+    return "pointer" if scheme.lower() in _OBJECT_STORE_SCHEMES else "rename"
 
 
 def rename_commit(fs, hpath, stage: str, target: str) -> bool:
@@ -40,6 +79,97 @@ def rename_commit(fs, hpath, stage: str, target: str) -> bool:
         fs.delete(hpath(nested), True)
         return False
     return True
+
+
+def pointer_commit(fs, hpath, stage: str, target: str) -> bool:
+    """Publish ``stage`` as commit ``target`` WITHOUT moving it: atomically
+    create the single pointer file ``<target>.commit`` (the CAS — see the
+    module docstring for why this is the object-store-safe shape), then
+    fill it with the staged directory's path. True iff this call claimed
+    the name; on False the stage is left in place for the caller, exactly
+    like ``rename_commit`` (the pointer CAS never consumes the stage).
+
+    Readers resolve the pointer through ``list_commits``; an empty pointer
+    (reader landed between claim and fill, or the filler crashed) resolves
+    to ``content=None`` — skipped for reads, counted for name allocation."""
+    ptr = f"{target}.commit"
+    if fs.exists(hpath(target)) or fs.exists(hpath(ptr)):
+        return False
+    try:
+        claimed = fs.createNewFile(hpath(ptr))
+    except Exception:
+        claimed = False  # FileAlreadyExists via conditional-create stores
+    if not claimed:
+        return False
+    write_small_file(fs, hpath, ptr, stage.encode("utf-8"))
+    return True
+
+
+def publish_commit(fs, hpath, stage: str, target: str) -> bool:
+    """Protocol-dispatched commit publish (CAS on the commit name). Both
+    protocols share the caller contract: True = the commit exists with the
+    staged content; False = lost the name to a concurrent writer — retry
+    with a fresh name or give up, deleting the stage IF it still exists
+    (the rename protocol's move-INTO undo may have consumed it)."""
+    if commit_protocol(target) == "pointer":
+        return pointer_commit(fs, hpath, stage, target)
+    return rename_commit(fs, hpath, stage, target)
+
+
+def list_commits(fs, hpath, spark, dir_path: str) -> list[tuple[str, str | None]]:
+    """Commits under ``dir_path`` as (name, content_uri) pairs, unsorted —
+    callers filter by their name pattern and sort. Directory members are
+    rename-protocol commits (content = the directory itself); ``*.commit``
+    files are pointers (content = the staged dir they name, or None while
+    in-flight/burned — callers must skip None for reads but still treat
+    the NAME as allocated). One listing plus one small-file read per
+    pointer; rename-protocol tables pay no extra I/O."""
+    try:
+        if not fs.exists(hpath(dir_path)):
+            return []
+        listed = fs.listStatus(hpath(dir_path))
+    except Exception:
+        return []
+    dirs: dict[str, str] = {}
+    ptrs: dict[str, str | None] = {}
+    for st in listed:
+        name = st.getPath().getName()
+        if st.isDirectory():
+            dirs[name] = str(st.getPath())
+        elif name.endswith(".commit"):
+            try:
+                data = read_small_file(fs, hpath, spark, str(st.getPath()))
+                content = data.decode("utf-8").strip() if data else None
+            except Exception:
+                content = None
+            if content and not fs.exists(hpath(content)):
+                content = None  # retention deleted the content first: torn
+            ptrs[name[: -len(".commit")]] = content or None
+    # A name claimed BOTH ways can only come from flipping the protocol env
+    # mid-table; the directory form is self-contained — it wins.
+    ptrs.update(dirs)
+    return list(ptrs.items())
+
+
+def delete_commit(fs, hpath, dir_path: str, name: str, content: str | None) -> None:
+    """Retention-delete one commit, protocol-agnostic and best-effort.
+    Pointer first, content second: a reader that already resolved the
+    pointer may still scan the (immutable) content files, same retention
+    race as the rename protocol; deleting content FIRST would leave a
+    live pointer to nothing — a torn commit readers would trip on."""
+    ptr = f"{dir_path}/{name}.commit"
+    try:
+        if fs.exists(hpath(ptr)):
+            fs.delete(hpath(ptr), False)
+    except Exception:
+        pass
+    for victim in (content, f"{dir_path}/{name}"):
+        if not victim:
+            continue
+        try:
+            fs.delete(hpath(victim), True)
+        except Exception:
+            pass
 
 
 def heal_nested_dirs(fs, hpath, commit_uri: str) -> None:

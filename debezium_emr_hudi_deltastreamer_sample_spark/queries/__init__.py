@@ -17,72 +17,86 @@ from . import analytics, cdc, extended, llm, pipeline, relational, streaming, tp
 _MODULES = (relational, cdc, llm, streaming, extended, pipeline, tpch, analytics)
 
 # Latest round each query name was covered by the driver's 50-entry
-# correctness sample (union of CORRECTNESS_r01..r08.json — all 218 names have
+# correctness sample (union of CORRECTNESS_r01..r09.json — all 218 names have
 # been sampled at least once; all green at latest sample). Names are stable
 # across rounds by contract; enumerating oldest-sampled FIRST makes each
 # driver sample re-certify the rows that have aged the most through
 # refactors, instead of re-checking the same fresh prefix. Queries absent
 # from this map (new this round) sort before everything (round 0).
 _LAST_SAMPLED_ROUND: dict[str, int] = {
-    "agg_approx_distinct": 6, "agg_bitmap_distinct": 6, "agg_collect_pivot": 6,
-    "agg_corr_covar": 8, "agg_countif_bool": 5, "agg_cube": 6, "agg_decimal_exact": 8,
-    "agg_grouping_id": 5, "agg_grouping_sets": 8, "agg_hll_sketch": 7, "agg_listagg": 8,
-    "agg_mode_median": 5, "agg_multi_distinct": 5, "agg_percentile_approx": 7,
-    "agg_percentiles": 6, "agg_regression": 6, "agg_rollup": 6, "agg_skew_kurtosis": 5,
-    "agg_skew_twophase": 5, "agg_stats_events": 6, "cdc_apply_deletes": 7,
-    "cdc_asof_join": 7, "cdc_avro_roundtrip": 7, "cdc_catalog_sync": 8,
-    "cdc_envelope_roundtrip": 7, "cdc_hot_keys": 5, "cdc_incremental_join_view": 7,
-    "cdc_incremental_read": 7, "cdc_latest_by_key": 7, "cdc_merge_upsert": 7,
-    "cdc_mor_table": 7, "cdc_mor_time_travel": 8, "cdc_scd2_history": 7,
+    "agg_approx_distinct": 6, "agg_bitmap_distinct": 6,
+    "agg_collect_pivot": 6, "agg_corr_covar": 8, "agg_countif_bool": 9,
+    "agg_cube": 6, "agg_decimal_exact": 8, "agg_grouping_id": 9,
+    "agg_grouping_sets": 8, "agg_hll_sketch": 7, "agg_listagg": 8,
+    "agg_mode_median": 9, "agg_multi_distinct": 9, "agg_percentile_approx": 7,
+    "agg_percentiles": 6, "agg_regression": 6, "agg_rollup": 6,
+    "agg_skew_kurtosis": 9, "agg_skew_twophase": 9, "agg_stats_events": 6,
+    "cdc_apply_deletes": 7, "cdc_asof_join": 7, "cdc_avro_roundtrip": 7,
+    "cdc_catalog_sync": 8, "cdc_envelope_roundtrip": 7, "cdc_hot_keys": 9,
+    "cdc_incremental_join_view": 7, "cdc_incremental_read": 7,
+    "cdc_latest_by_key": 7, "cdc_merge_upsert": 7, "cdc_mor_table": 7,
+    "cdc_mor_time_travel": 8, "cdc_scd2_history": 7,
     "cdc_schema_evolution": 7, "cdc_time_travel": 7, "cdc_topic_to_table": 7,
     "distinct_flags": 6, "filter_nullsafe_eq": 8, "filter_predicates": 6,
-    "forecast_revenue": 7, "fuzzy_name_pairs": 8, "join_anti": 6, "join_cross_small": 6,
-    "join_full_outer": 6, "join_interval_overlap": 8, "join_left_outer": 6,
-    "join_nullaware_anti": 5, "join_range_binned": 8, "join_right_outer": 6,
-    "join_salted_skew": 8, "join_semi": 6, "join_star_revenue": 6, "join_theta_range": 6,
-    "llm_bloom_decontaminate": 7, "llm_bpe_apply": 7, "llm_bpe_merge_pairs": 7,
-    "llm_bpe_token_count": 7, "llm_cluster_canonical": 7, "llm_corpus_clean": 7,
+    "forecast_revenue": 7, "fuzzy_name_pairs": 8, "join_anti": 6,
+    "join_cross_small": 6, "join_full_outer": 6, "join_interval_overlap": 8,
+    "join_left_outer": 6, "join_nullaware_anti": 9, "join_range_binned": 8,
+    "join_right_outer": 6, "join_salted_skew": 8, "join_semi": 6,
+    "join_star_revenue": 6, "join_theta_range": 6,
+    "llm_bloom_decontaminate": 7, "llm_bpe_apply": 7,
+    "llm_bpe_merge_pairs": 7, "llm_bpe_token_count": 7,
+    "llm_cluster_canonical": 7, "llm_corpus_clean": 7,
     "llm_corpus_fingerprint": 8, "llm_cosine_ivf": 7, "llm_cosine_lsh": 7,
     "llm_cosine_topk": 7, "llm_decontaminate": 8, "llm_dedup_clusters": 7,
-    "llm_dedup_clusters_exact": 7, "llm_domain_cap": 7, "llm_embed_neardup": 7,
-    "llm_embed_neardup_lsh": 7, "llm_embed_quantize": 8, "llm_embedding_stats": 7,
-    "llm_exact_dedup": 7, "llm_filtered_topk": 5, "llm_fingerprint": 7,
-    "llm_graph_triangles": 7, "llm_graph_triangles_count": 6,
-    "llm_graph_triangles_exact": 8, "llm_heavy_hitters": 8, "llm_index_maintain": 7,
-    "llm_kmeans_clusters": 7, "llm_language_id": 8, "llm_length_histogram": 7,
-    "llm_minhash_lsh": 7, "llm_ngram_jaccard": 7, "llm_ngram_jaccard_lsh": 7,
+    "llm_dedup_clusters_exact": 7, "llm_domain_cap": 7,
+    "llm_embed_neardup": 7, "llm_embed_neardup_lsh": 7,
+    "llm_embed_quantize": 8, "llm_embedding_stats": 7, "llm_exact_dedup": 7,
+    "llm_filtered_topk": 9, "llm_fingerprint": 7, "llm_graph_triangles": 7,
+    "llm_graph_triangles_count": 6, "llm_graph_triangles_exact": 8,
+    "llm_heavy_hitters": 8, "llm_index_maintain": 7, "llm_kmeans_clusters": 7,
+    "llm_language_id": 8, "llm_length_histogram": 7, "llm_minhash_lsh": 7,
+    "llm_ngram_jaccard": 7, "llm_ngram_jaccard_lsh": 7,
     "llm_ngram_novelty": 7, "llm_pack_global": 8, "llm_pack_sequences": 8,
     "llm_pagerank": 7, "llm_pagerank_exact": 7, "llm_perplexity_buckets": 7,
-    "llm_quality_langstats": 7, "llm_repetition_score": 7, "llm_semantic_decontaminate": 5,
-    "llm_semantic_dedup": 8, "llm_simhash": 7, "llm_span_dedup": 8,
-    "llm_stratified_sample": 8, "llm_token_stats": 7, "llm_unigram_logprob": 8,
-    "llm_weighted_sample": 8, "llm_word_freq": 7, "mm_audio_stats": 5,
-    "mm_decode_codec": 8, "mm_decode_stats": 8, "mm_frame_sample": 8, "mm_resize_stats": 5,
-    "obs_scan_metrics": 5, "pipe_chunk_documents": 5, "pipe_cohort_retention": 5,
-    "pipe_dataset_mix": 8, "pipe_epoch_shuffle": 5, "pipe_funnel_conversion": 5,
-    "pipe_hash_split": 5, "pipe_incremental_dedup": 8, "pipe_ingest_neardup_gate": 5,
-    "pipe_ingest_neardup_gate_exact": 6, "pipe_pack_sharded": 5, "pipe_pii_scrub": 5,
-    "pipe_profile_columns": 5, "pipe_right_to_forget": 5, "pipe_sessionize": 5,
-    "pipe_tfidf_top_terms": 5, "pipe_url_normalize": 6, "pricing_summary": 6,
-    "project_cast_drop": 6, "ps_pandas_on_spark": 5, "scalar_array_ops": 8,
-    "scalar_bit_ops": 8, "scalar_date_arith": 8, "scalar_dates": 6, "scalar_json": 6,
-    "scalar_map_ops": 8, "scalar_math_cond": 6, "scalar_posexplode": 8, "scalar_regex": 8,
-    "scalar_strings": 6, "scalar_try_ops": 4, "scalar_variant": 5, "set_ops_all": 5,
-    "set_ops_nations": 6, "shipping_priority": 6, "sink_clustered_readback": 5,
-    "sink_csv_roundtrip": 4, "sink_orc_roundtrip": 5, "sink_partitioned_readback": 4,
-    "sink_python_format_roundtrip": 5, "sink_xml_roundtrip": 5, "sink_zorder_readback": 5,
-    "source_csv_malformed": 5, "source_jsonl_roundtrip": 5, "source_python_datasource": 5,
+    "llm_quality_langstats": 7, "llm_repetition_score": 7,
+    "llm_semantic_decontaminate": 9, "llm_semantic_dedup": 8,
+    "llm_simhash": 7, "llm_span_dedup": 8, "llm_stratified_sample": 8,
+    "llm_token_stats": 7, "llm_unigram_logprob": 8, "llm_weighted_sample": 8,
+    "llm_word_freq": 7, "mm_audio_stats": 9, "mm_decode_codec": 8,
+    "mm_decode_stats": 8, "mm_frame_sample": 8, "mm_resize_stats": 9,
+    "obs_scan_metrics": 9, "pipe_chunk_documents": 9,
+    "pipe_cohort_retention": 9, "pipe_dataset_mix": 8,
+    "pipe_epoch_shuffle": 9, "pipe_funnel_conversion": 9,
+    "pipe_hash_split": 9, "pipe_incremental_dedup": 8,
+    "pipe_ingest_neardup_gate": 9, "pipe_ingest_neardup_gate_exact": 6,
+    "pipe_pack_sharded": 9, "pipe_pii_scrub": 9, "pipe_profile_columns": 9,
+    "pipe_right_to_forget": 9, "pipe_sessionize": 9,
+    "pipe_tfidf_top_terms": 9, "pipe_url_normalize": 6, "pricing_summary": 6,
+    "project_cast_drop": 6, "ps_pandas_on_spark": 9, "scalar_array_ops": 8,
+    "scalar_bit_ops": 8, "scalar_date_arith": 8, "scalar_dates": 6,
+    "scalar_json": 6, "scalar_map_ops": 8, "scalar_math_cond": 6,
+    "scalar_posexplode": 8, "scalar_regex": 8, "scalar_strings": 6,
+    "scalar_try_ops": 9, "scalar_variant": 9, "set_ops_all": 9,
+    "set_ops_nations": 6, "shipping_priority": 6,
+    "sink_clustered_readback": 9, "sink_csv_roundtrip": 9,
+    "sink_orc_roundtrip": 9, "sink_partitioned_readback": 9,
+    "sink_python_format_roundtrip": 9, "sink_xml_roundtrip": 9,
+    "sink_zorder_readback": 5, "source_csv_malformed": 5,
+    "source_jsonl_roundtrip": 5, "source_python_datasource": 5,
     "sql_lateral_topk": 5, "sql_parameterized": 6, "sql_recursive_cte": 5,
-    "sql_subquery_exists": 4, "sql_subquery_in": 4, "sql_subquery_scalar": 4,
-    "stream_avro_upsert": 8, "stream_cdc_upsert": 8, "stream_deadletter": 4,
-    "stream_dedup_keys": 8, "stream_dedup_within_watermark": 4, "stream_join_view": 4,
-    "stream_mor_upsert": 8, "stream_python_datasource": 8,
-    "stream_python_sink_roundtrip": 8, "stream_rollup_incremental": 8,
-    "stream_rollup_two_level": 8, "stream_scd2_fold": 8, "stream_session_windows": 8,
-    "stream_sliding_value": 8, "stream_stateful_totals": 4, "stream_static_join": 8,
-    "stream_stream_full_join": 4, "stream_stream_join": 8, "stream_stream_left_join": 4,
-    "stream_temporal_join": 8, "stream_tumbling_counts": 8, "stream_window_topk": 4,
-    "table_compact_roundtrip": 7, "top_orders_global": 6, "tpch_q10_returned_items": 5,
+    "sql_subquery_exists": 9, "sql_subquery_in": 9, "sql_subquery_scalar": 9,
+    "stream_avro_upsert": 8, "stream_cdc_upsert": 8, "stream_deadletter": 9,
+    "stream_dedup_keys": 8, "stream_dedup_within_watermark": 9,
+    "stream_join_view": 9, "stream_mor_upsert": 8,
+    "stream_python_datasource": 8, "stream_python_sink_roundtrip": 8,
+    "stream_rollup_incremental": 8, "stream_rollup_two_level": 8,
+    "stream_scd2_fold": 8, "stream_session_windows": 8,
+    "stream_sliding_value": 8, "stream_stateful_totals": 9,
+    "stream_static_join": 8, "stream_stream_full_join": 9,
+    "stream_stream_join": 8, "stream_stream_left_join": 9,
+    "stream_temporal_join": 8, "stream_tumbling_counts": 8,
+    "stream_window_topk": 9, "table_compact_roundtrip": 7,
+    "top_orders_global": 6, "tpch_q10_returned_items": 5,
     "tpch_q11_important_parts": 6, "tpch_q12_late_priority_lines": 6,
     "tpch_q13_order_distribution": 6, "tpch_q14_promo_effect": 5,
     "tpch_q15_top_supplier": 5, "tpch_q16_supplier_part_counts": 6,
@@ -93,11 +107,11 @@ _LAST_SAMPLED_ROUND: dict[str, int] = {
     "tpch_q5_local_supplier_volume": 6, "tpch_q7_nation_volume": 5,
     "tpch_q8_market_share": 5, "tpch_q9_product_profit": 6, "ts_gap_fill": 5,
     "ts_interpolate": 6, "udf_arrow_batch": 5, "udf_grouped_arrow": 6,
-    "udf_grouped_zscore": 4, "udf_pandas_udaf": 6, "udtf_doc_chunks": 5,
-    "unpivot_metrics": 4, "window_count_distinct": 5, "window_cume_dist": 4,
-    "window_first_last": 4, "window_lag_lead": 6, "window_pattern_match": 6,
-    "window_rank_ntile": 6, "window_running_frames": 6, "window_time_range": 4,
-    "window_topk_per_group": 6,
+    "udf_grouped_zscore": 9, "udf_pandas_udaf": 6, "udtf_doc_chunks": 5,
+    "unpivot_metrics": 9, "window_count_distinct": 5, "window_cume_dist": 9,
+    "window_first_last": 9, "window_lag_lead": 6, "window_pattern_match": 6,
+    "window_rank_ntile": 6, "window_running_frames": 6,
+    "window_time_range": 9, "window_topk_per_group": 6,
 }
 
 

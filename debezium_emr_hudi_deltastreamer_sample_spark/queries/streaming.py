@@ -146,6 +146,18 @@ def _state_partitions(
             return _state_partitions_for_bytes(nbytes)
         if session_default is not None:
             return session_default
+        # Unprobeable source (object-store URI) AND an unparseable session
+        # conf (e.g. a platform "auto" policy): the floor would serialize
+        # all state on 4 partitions — the exact failure the session-default
+        # fallback exists to remove. Warn like the env-override guard does
+        # instead of pinning it silently.
+        print(
+            f"[stream-state] source {input_path!r} is unprobeable and "
+            "spark.sql.shuffle.partitions is not an int literal; pinning "
+            f"the {_STATE_PARTITIONS_FLOOR}-partition floor — set "
+            "SPARK_GRAFT_STREAM_STATE_PARTITIONS to size the state fan-out",
+            file=sys.stderr,
+        )
     return _STATE_PARTITIONS_FLOOR
 
 

@@ -18,11 +18,12 @@ same seq collide on the name, whatever batch/run they carry — and the
 (batch id, run id) provenance rides INSIDE the directory as an empty
 marker file written into the stage BEFORE the rename, so there is still
 no separate marker write that could diverge from the data. A
-crash before the rename leaves only staging garbage (never visible to
-readers); after the rename the batch is durably applied. Rename is atomic
-on local filesystems and HDFS; on object stores without atomic rename this
-needs a real table format's commit log (Hudi/Delta/Iceberg) — documented
-limitation, same one Hudi exists to solve.
+crash before the publish leaves only staging garbage (never visible to
+readers); after it the batch is durably applied. The publish goes through
+fsutil.publish_commit: atomic directory rename on local/HDFS, and on
+object stores (where directory rename is a torn copy+delete) the
+commit-POINTER protocol — stage immutably, CAS one tiny pointer file via
+conditional create — so the single-rename guarantee holds there too.
 
 Replay/restart semantics: Structured Streaming batch ids are monotone PER
 CHECKPOINT, so dedup is keyed by (run_id, batch_id) where ``run_id``
@@ -45,7 +46,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fsutil import rename_commit
+from ..fsutil import publish_commit
 
 # Current commit naming: seq-only directory name (true CAS — two writers
 # at the same seq MUST collide on the name, whatever batch/run they carry)
@@ -134,31 +135,44 @@ class IncrementalRollup:
     def _commits_dir(self) -> str:
         return f"{self.path}__commits"
 
-    def _commits(self) -> list[tuple[int, int, str, str]]:
-        """Committed batches as (seq, batch_id, run_id, uri), seq-ascending.
-        One listing for the commit dirs plus one per RETAINED commit for
-        its provenance marker (retention keeps only keep_commits dirs, so
-        this stays O(keep_commits) namenode calls — no data files are
-        opened)."""
+    def _scan(self) -> tuple[list[tuple[int, int, str, str, str]], int]:
+        """(committed batches, next free seq). Commits come back as
+        (seq, batch_id, run_id, content_uri, commit_name), seq-ascending.
+        One listing for the commit entries plus one per RETAINED commit for
+        its provenance marker (retention keeps only keep_commits entries,
+        so this stays O(keep_commits) namenode calls — no data files are
+        opened). ``next free seq`` counts every CLAIMED name, including
+        in-flight/burned pointer claims (fsutil.pointer_commit content=
+        None) — those names are taken forever and reallocating one would
+        fail the CAS on every retry."""
+        from ..fsutil import list_commits
+
         fs, hpath = self._hadoop()
-        d = hpath(self._commits_dir())
-        if not fs.exists(d):
-            return []
         out = []
-        for st in fs.listStatus(d):
-            name = st.getPath().getName()
-            uri = str(st.getPath())
+        max_claimed = -1
+        for name, uri in list_commits(fs, hpath, self.spark, self._commits_dir()):
             legacy = _COMMIT_RE_LEGACY.match(name)
-            if legacy:
-                out.append(
-                    (int(legacy.group(1)), int(legacy.group(2)), legacy.group(3), uri)
-                )
-                continue
             m = _COMMIT_RE.match(name)
+            if legacy:
+                max_claimed = max(max_claimed, int(legacy.group(1)))
+                if uri is not None:
+                    out.append(
+                        (
+                            int(legacy.group(1)),
+                            int(legacy.group(2)),
+                            legacy.group(3),
+                            uri,
+                            name,
+                        )
+                    )
+                continue
             if not m:
                 continue
+            max_claimed = max(max_claimed, int(m.group(1)))
+            if uri is None:
+                continue  # in-flight/burned pointer: name taken, no content
             marker = None
-            for member in fs.listStatus(st.getPath()):
+            for member in fs.listStatus(hpath(uri)):
                 if member.isDirectory():
                     # Crash garbage from a torn move-INTO undo (see
                     # fsutil.heal_nested_dirs) — commits are flat by
@@ -167,14 +181,23 @@ class IncrementalRollup:
                     continue
                 meta = _META_RE.match(member.getPath().getName())
                 if meta and marker is None:
-                    marker = (int(m.group(1)), int(meta.group(1)), meta.group(2), uri)
+                    marker = (
+                        int(m.group(1)),
+                        int(meta.group(1)),
+                        meta.group(2),
+                        uri,
+                        name,
+                    )
             if marker is not None:
                 out.append(marker)
             # A seq-named dir with no marker would be a torn commit — the
             # marker is written into the STAGE before the atomic rename,
             # so it cannot happen; ignore rather than guess provenance.
         out.sort()
-        return out
+        return out, max_claimed + 1
+
+    def _commits(self) -> list[tuple[int, int, str, str, str]]:
+        return self._scan()[0]
 
     @staticmethod
     def _safe_run(run_id: str) -> str:
@@ -193,7 +216,9 @@ class IncrementalRollup:
 
     def last_applied_batch(self, run_id: str = "default") -> int:
         run = self._safe_run(run_id)
-        return max((b for _, b, r, _ in self._commits() if r == run), default=-1)
+        return max(
+            (b for _, b, r, _, _ in self._commits() if r == run), default=-1
+        )
 
     def apply_batch(self, df: DataFrame, batch_id: int = 0, run_id: str = "default") -> None:
         """Fold one append batch into the rollup, atomically.
@@ -206,8 +231,10 @@ class IncrementalRollup:
         run = self._safe_run(run_id)
         fs, hpath = self._hadoop()
         for _attempt in range(5):
-            commits = self._commits()
-            if batch_id <= max((b for _, b, r, _ in commits if r == run), default=-1):
+            commits, next_seq = self._scan()
+            if batch_id <= max(
+                (b for _, b, r, _, _ in commits if r == run), default=-1
+            ):
                 return
             partial = self._partials(df)
             if commits:
@@ -224,8 +251,7 @@ class IncrementalRollup:
                 )
             else:
                 merged = partial
-            seq = commits[-1][0] + 1 if commits else 0
-            token = f"c{seq:012d}"  # seq-ONLY: same-seq writers must collide
+            token = f"c{next_seq:012d}"  # seq-ONLY: same-seq writers must collide
             stage = f"{self.path}__stage/{uuid.uuid4().hex}"
             # The staged write executes the merge plan exactly once (the
             # plan reads the PREVIOUS commit, the stage is fresh — no
@@ -245,7 +271,7 @@ class IncrementalRollup:
                     hpath(f"{stage}/_applied_b{batch_id:012d}_{run}")
                 )
                 fs.mkdirs(hpath(self._commits_dir()))
-                committed = rename_commit(
+                committed = publish_commit(
                     fs, hpath, stage, f"{self._commits_dir()}/{token}"
                 )
             except BaseException:
@@ -268,7 +294,11 @@ class IncrementalRollup:
         )
 
     def _trim(
-        self, superseded: list[tuple[int, int, str, str]], committing_run: str, fs, hpath
+        self,
+        superseded: list[tuple[int, int, str, str, str]],
+        committing_run: str,
+        fs,
+        hpath,
     ) -> None:
         """Retention: best-effort removal of superseded commits (readers of
         a just-superseded commit finish their scan; parquet files are
@@ -278,19 +308,18 @@ class IncrementalRollup:
         from that run re-apply (double-count) its last batch. The run that
         just committed is exempt: its new commit now carries its
         high-water-mark, so its older commits are fair game."""
+        from ..fsutil import delete_commit
+
         newest_per_run: dict[str, int] = {}
-        for seq, _, r, _ in superseded:
+        for seq, _, r, _, _ in superseded:
             if r != committing_run:
                 newest_per_run[r] = max(newest_per_run.get(r, -1), seq)
         keep = superseded[-(self.keep_commits - 1):] if self.keep_commits > 1 else []
-        keep_uris = {uri for _, _, _, uri in keep}
-        for seq, _, r, uri in superseded:
+        keep_uris = {uri for _, _, _, uri, _ in keep}
+        for seq, _, r, uri, name in superseded:
             if uri in keep_uris or newest_per_run.get(r) == seq:
                 continue
-            try:
-                fs.delete(hpath(uri), True)
-            except Exception:
-                pass
+            delete_commit(fs, hpath, self._commits_dir(), name, uri)
 
     def processor(self, run_id: str = "default"):
         """foreachBatch-compatible callable. Pass a ``run_id`` that

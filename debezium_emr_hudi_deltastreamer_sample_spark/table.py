@@ -60,7 +60,7 @@ class SchemaSidecar:
     WITHOUT it (permanent loss, no error).
 
     Layout: ``{table}__schema/v{seq:012d}/schema.json`` (StructType.json).
-    Publish is the repo's standard stage + rename-CAS (fsutil.rename_commit)
+    Publish is the repo's standard stage + commit-CAS (fsutil.publish_commit)
     with a monotone-union retry loop, so racing writers can only WIDEN the
     schema, never clobber each other's columns; retention keeps the two
     newest versions (in-flight readers of the previous one stay valid).
@@ -80,26 +80,27 @@ class SchemaSidecar:
 
         return hadoop_fs(self.spark, self.dir)
 
-    def _versions(self, fs, hpath) -> list[tuple[int, str]]:
-        try:
-            if not fs.exists(hpath(self.dir)):
-                return []
-            listed = fs.listStatus(hpath(self.dir))
-        except Exception:
-            return []
+    def _versions(self, fs, hpath) -> list[tuple[int, str | None]]:
+        """(seq, content_uri) pairs, seq-ascending. ``content_uri`` is None
+        for an in-flight/burned pointer commit (claim without fill — see
+        fsutil.pointer_commit): unreadable, but its NAME is allocated, so
+        publishers must count it and readers must skip it."""
+        from .fsutil import list_commits
+
         out = []
-        for st in listed:
-            name = st.getPath().getName()
+        for name, content in list_commits(fs, hpath, self.spark, self.dir):
             if name.startswith("v") and name[1:].isdigit():
-                out.append((int(name[1:]), str(st.getPath())))
+                out.append((int(name[1:]), content))
         out.sort()
         return out
 
-    def _parse(self, fs, hpath, uri: str) -> T.StructType | None:
+    def _parse(self, fs, hpath, uri: str | None) -> T.StructType | None:
         import json as _json
 
         from .fsutil import read_small_file
 
+        if uri is None:
+            return None
         try:
             data = read_small_file(fs, hpath, self.spark, f"{uri}/schema.json")
             if data is None:
@@ -129,12 +130,19 @@ class SchemaSidecar:
         and one small-file read per commit."""
         import uuid as _uuid
 
-        from .fsutil import rename_commit, write_small_file
+        from .fsutil import delete_commit, publish_commit, write_small_file
 
         fs, hpath = self._fs()
         for _attempt in range(5):
             versions = self._versions(fs, hpath)
-            cur = self._parse(fs, hpath, versions[-1][1]) if versions else None
+            # Newest PARSEABLE version — a burned pointer (content=None)
+            # must not masquerade as "no sidecar": with reset=False that
+            # would skip the union and narrow the published schema.
+            cur = None
+            for _, uri in reversed(versions):
+                cur = self._parse(fs, hpath, uri)
+                if cur is not None:
+                    break
             want = (
                 schema
                 if (reset or cur is None)
@@ -148,14 +156,12 @@ class SchemaSidecar:
                 fs, hpath, f"{stage}/schema.json", want.json().encode("utf-8")
             )
             seq = versions[-1][0] + 1 if versions else 0
-            if rename_commit(fs, hpath, stage, f"{self.dir}/v{seq:012d}"):
+            if publish_commit(fs, hpath, stage, f"{self.dir}/v{seq:012d}"):
                 # Retention: keep this one + the previous (in-flight
-                # readers); drop older.
-                for _, uri in versions[:-1]:
-                    try:
-                        fs.delete(hpath(uri), True)
-                    except Exception:
-                        pass
+                # readers); drop older (burned pointers included — this is
+                # their GC).
+                for s, uri in versions[:-1]:
+                    delete_commit(fs, hpath, self.dir, f"v{s:012d}", uri)
                 try:
                     fs.delete(hpath(self.stage_root), False)
                 except Exception:
@@ -171,6 +177,224 @@ class SchemaSidecar:
         raise RuntimeError(
             f"could not publish table schema at {self.dir} after 5 attempts"
         )
+
+
+def _embedded_commit_schema(spark: SparkSession, uri: str) -> T.StructType | None:
+    """Schema-as-of embedded in one snapshot/base commit (``_schema.json``,
+    underscore-prefixed so parquet readers ignore the file). Written into
+    the STAGE before the commit publishes, so a commit and its schema are
+    atomic — historical reads of a drifted table are footer-lottery-free
+    exactly like the current read (which uses the sidecar), and a snapshot
+    of an EMPTIED table (zero parquet footers) stays readable. None for
+    commits written before this existed — callers fall back to footer
+    inference."""
+    import json as _json
+
+    from .fsutil import hadoop_fs, read_small_file
+
+    try:
+        fs, hpath = hadoop_fs(spark, uri)
+        data = read_small_file(fs, hpath, spark, f"{uri}/_schema.json")
+        if not data:
+            return None
+        return T.StructType.fromJson(_json.loads(data.decode("utf-8")))
+    except Exception:
+        return None
+
+
+def _embed_commit_schema(spark: SparkSession, stage: str, schema: T.StructType) -> None:
+    """Write the schema-as-of marker into a STAGED commit dir (must run
+    after the parquet write — overwrite staging clears the dir)."""
+    from .fsutil import hadoop_fs, write_small_file
+
+    fs, hpath = hadoop_fs(spark, stage)
+    write_small_file(
+        fs, hpath, f"{stage}/_schema.json", schema.json().encode("utf-8")
+    )
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted a data commit on a single-writer table
+    (or this writer was fenced by a takeover). Raised INSTEAD of letting
+    two read→merge→overwrite cycles interleave as silent lost updates."""
+
+
+#: One stable writer identity per process: foreachBatch constructs a fresh
+#: table object per micro-batch, and all of one pipeline's instances (plus
+#: any same-process maintenance like async compaction) are the SAME logical
+#: writer. A second process — the actual corruption risk — gets its own id
+#: and is fenced.
+_PROCESS_WRITER_ID = None
+
+
+def _process_writer_id() -> str:
+    global _PROCESS_WRITER_ID
+    if _PROCESS_WRITER_ID is None:
+        import os as _os
+        import uuid as _uuid
+
+        _PROCESS_WRITER_ID = f"{_os.getpid()}-{_uuid.uuid4().hex[:12]}"
+    return _PROCESS_WRITER_ID
+
+
+#: Epoch commit dirs are immutable once published — owner resolution is
+#: memoized process-wide so the steady-state lease check costs ONE listing
+#: per data commit, no repeated small-file reads. (Corollary: wiping a
+#: table and recreating it at the SAME path within one process reuses any
+#: cached epoch owners — recreate under a fresh path, or the same
+#: writer_id, as every fixture here does.)
+_LEASE_OWNER_CACHE: dict[str, str] = {}
+
+
+class WriterLease:
+    """Single-writer enforcement for a table path — the fencing-epoch
+    protocol (Hudi's lock provider / Delta's log-store mutual exclusion,
+    over this repo's own commit-CAS primitive).
+
+    The lease is a monotone timeline of epoch commits under
+    ``{table}__writer/`` (``e{seq:012d}`` dirs carrying an ``owner`` file,
+    published via fsutil.publish_commit). The NEWEST epoch's owner is the
+    table's one legitimate writer:
+
+    - ``ensure()`` before a data commit: newest epoch is mine → proceed
+      (one listing; owner reads are memoized — epochs are immutable). No
+      epoch yet → claim e0. Another writer's → raise
+      :class:`ConcurrentWriterError`, because proceeding is exactly the
+      read→merge→overwrite interleave that loses updates silently.
+    - ``take_over=True`` claims epoch N+1 over another writer's N — the
+      deliberate handover (crashed-pipeline restart, planned migration).
+      The OLD writer is thereby fenced: its next ``ensure()``/``check()``
+      sees a newer epoch it doesn't own and raises.
+
+    What this does and does not guarantee: every steady-state concurrent
+    writer fails LOUDLY before touching data; the residual window is one
+    in-flight commit racing the takeover itself (ensure passes, takeover
+    lands, the fenced writer's write completes before its post-write
+    ``check()`` raises) — the same single-commit window Hudi's
+    heartbeat-lease expiry has. The post-write check makes even that
+    window loud, after the fact."""
+
+    def __init__(self, spark: SparkSession, table_path: str, writer_id: str | None) -> None:
+        self.spark = spark
+        self.dir = f"{table_path}__writer"
+        self.stage_root = f"{table_path}__writer_stage"
+        self.writer_id = writer_id or _process_writer_id()
+
+    def _fs(self):
+        from .fsutil import hadoop_fs
+
+        return hadoop_fs(self.spark, self.dir)
+
+    def _epochs(self, fs, hpath) -> list[tuple[int, str | None]]:
+        from .fsutil import list_commits
+
+        out = []
+        for name, content in list_commits(fs, hpath, self.spark, self.dir):
+            if name.startswith("e") and name[1:].isdigit():
+                out.append((int(name[1:]), content))
+        out.sort()
+        return out
+
+    def _owner(self, fs, hpath, uri: str | None) -> str | None:
+        """Owner id recorded in one epoch commit; None while in-flight
+        (pointer claimed but unfilled, or owner file not yet readable)."""
+        if uri is None:
+            return None
+        cached = _LEASE_OWNER_CACHE.get(uri)
+        if cached is not None:
+            return cached
+        from .fsutil import read_small_file
+
+        try:
+            data = read_small_file(fs, hpath, self.spark, f"{uri}/owner")
+        except Exception:
+            return None
+        if not data:
+            return None
+        owner = data.decode("utf-8").strip()
+        _LEASE_OWNER_CACHE[uri] = owner
+        return owner
+
+    def _claim(self, fs, hpath, seq: int) -> bool:
+        import uuid as _uuid
+
+        from .fsutil import publish_commit, write_small_file
+
+        stage = f"{self.stage_root}/{_uuid.uuid4().hex}"
+        fs.mkdirs(hpath(stage))
+        write_small_file(fs, hpath, f"{stage}/owner", self.writer_id.encode())
+        if publish_commit(fs, hpath, stage, f"{self.dir}/e{seq:012d}"):
+            return True
+        try:
+            fs.delete(hpath(stage), True)
+        except Exception:
+            pass
+        return False
+
+    def ensure(self, take_over: bool = False) -> None:
+        """Assert (acquiring if free) that this writer owns the table;
+        raise :class:`ConcurrentWriterError` otherwise. Called at the top
+        of every data-committing method."""
+        from .fsutil import delete_commit
+
+        fs, hpath = self._fs()
+        for _attempt in range(5):
+            epochs = self._epochs(fs, hpath)
+            if epochs:
+                seq, uri = epochs[-1]
+                owner = self._owner(fs, hpath, uri)
+                if owner == self.writer_id:
+                    return
+                if owner is not None and not take_over:
+                    raise ConcurrentWriterError(
+                        f"table at {self.dir.removesuffix('__writer')} is "
+                        f"owned by writer {owner!r} (epoch {seq}); this "
+                        f"writer is {self.writer_id!r}. A concurrent "
+                        "read-merge-overwrite would interleave as silent "
+                        "lost updates — if the other writer is dead "
+                        "(crashed pipeline), construct the table with "
+                        "take_over=True to fence it and claim a new epoch."
+                    )
+                if owner is None and not take_over:
+                    # In-flight claim by someone else: indistinguishable
+                    # from a concurrent acquire — refuse rather than race.
+                    raise ConcurrentWriterError(
+                        f"another writer is claiming the lease at {self.dir} "
+                        "(in-flight epoch commit); retry, or take_over=True"
+                    )
+                next_seq = seq + 1
+            else:
+                next_seq = 0
+            if self._claim(fs, hpath, next_seq):
+                # Retention: keep the new epoch + its predecessor (an
+                # in-flight check against the old epoch resolves, then
+                # fails loudly on the newer one at its next ensure).
+                for s, uri in epochs[:-1]:
+                    delete_commit(fs, hpath, self.dir, f"e{s:012d}", uri)
+                return
+            # Lost the claim race — re-list and re-evaluate ownership.
+        raise ConcurrentWriterError(
+            f"could not acquire the writer lease at {self.dir} after 5 "
+            "attempts (persistent claim races)"
+        )
+
+    def check(self) -> None:
+        """Post-write fencing probe: raise if a takeover landed while this
+        writer's commit was in flight, so the fenced writer's pipeline
+        dies loudly instead of continuing to publish over the new owner."""
+        fs, hpath = self._fs()
+        epochs = self._epochs(fs, hpath)
+        if not epochs:
+            return
+        owner = self._owner(fs, hpath, epochs[-1][1])
+        if owner is not None and owner != self.writer_id:
+            raise ConcurrentWriterError(
+                f"writer {self.writer_id!r} was fenced during a commit to "
+                f"{self.dir.removesuffix('__writer')}: epoch "
+                f"{epochs[-1][0]} now belongs to {owner!r}. This writer "
+                "must stop; the in-flight commit may race the new owner's "
+                "first write — re-run that writer's next batch."
+            )
 
 
 def save_bucketed(
@@ -224,6 +448,8 @@ class KeyedTable:
         op_col: str | None = "op",
         keep_history: int = 0,
         merge_schema: bool = False,
+        writer_id: str | None = None,
+        take_over: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -231,6 +457,13 @@ class KeyedTable:
         self.ordering = list(ordering)
         self.partition_by = list(partition_by)
         self.op_col = op_col
+        #: Single-writer enforcement (WriterLease): every data commit
+        #: checks the fencing epoch — a SECOND writer (default: another
+        #: process; pass ``writer_id`` to scope finer) raises
+        #: ConcurrentWriterError instead of interleaving lost updates.
+        #: ``take_over=True`` claims a new epoch over a dead writer's.
+        self._lease = WriterLease(spark, path, writer_id)
+        self.take_over = take_over
         #: Legacy fallback knob, superseded by the schema SIDECAR: every
         #: init/upsert now persists the table's authoritative schema
         #: (``SchemaSidecar``) and ``read()`` applies it as the explicit
@@ -270,9 +503,11 @@ class KeyedTable:
 
         The current read applies the persisted sidecar schema when present
         (authoritative — stable column set/order regardless of which
-        partitions were last rewritten); snapshot commits are flat dirs
-        written by one job each, so time-travel reads keep footer
-        inference and serve each commit's own schema-as-of."""
+        partitions were last rewritten); time-travel reads apply the
+        schema-as-of EMBEDDED in the snapshot commit (``_schema.json``,
+        written into the stage so commit and schema publish atomically) —
+        pre-embed commits fall back to footer inference, which is safe
+        for them because snapshot dirs are flat single-job writes."""
         reader = self.spark.read
         if as_of is None:
             persisted = self.schema_sidecar.current()
@@ -285,12 +520,38 @@ class KeyedTable:
             reader = reader.option("mergeSchema", "true")
         for seq, uri in self.snapshots():
             if seq == as_of:
+                persisted = _embedded_commit_schema(self.spark, uri)
+                if persisted is not None:
+                    # Schema-AS-OF, embedded in the commit itself: a
+                    # pre-drift snapshot serves exactly its own columns
+                    # (the current sidecar would wrongly widen it), and a
+                    # snapshot of an emptied table (no footers) still
+                    # reads. Pre-embed commits fall through to footer
+                    # inference, the historical behavior.
+                    return self.spark.read.schema(persisted).parquet(uri)
                 return reader.parquet(uri)
         raise FileNotFoundError(
             f"no snapshot commit {as_of} at {self.path}__snapshots "
             f"(have {[s for s, _ in self.snapshots()]}; retention keeps "
             f"the last {self.keep_history})"
         )
+
+    def _snapshot_commits(self) -> list[tuple[int, str | None]]:
+        """(seq, content_uri) for every CLAIMED snapshot name, oldest
+        first — content is None for an in-flight/burned pointer commit
+        (see fsutil.pointer_commit), which publishers must count for seq
+        allocation and readers must skip."""
+        from .fsutil import hadoop_fs, list_commits
+
+        fs, hpath = hadoop_fs(self.spark, self.path)
+        out = []
+        for name, content in list_commits(
+            fs, hpath, self.spark, f"{self.path}__snapshots"
+        ):
+            if name.startswith("s") and name[1:].isdigit():
+                out.append((int(name[1:]), content))
+        out.sort()
+        return out
 
     def snapshots(self) -> list[tuple[int, str]]:
         """Available (commit_seq, uri) snapshots, oldest first. Snapshot
@@ -301,16 +562,11 @@ class KeyedTable:
         from .fsutil import hadoop_fs, heal_nested_dirs
 
         fs, hpath = hadoop_fs(self.spark, self.path)
-        d = hpath(f"{self.path}__snapshots")
-        if not fs.exists(d):
-            return []
         out = []
-        for st in fs.listStatus(d):
-            name = st.getPath().getName()
-            if name.startswith("s") and name[1:].isdigit():
-                heal_nested_dirs(fs, hpath, str(st.getPath()))
-                out.append((int(name[1:]), str(st.getPath())))
-        out.sort()
+        for seq, uri in self._snapshot_commits():
+            if uri is not None:
+                heal_nested_dirs(fs, hpath, uri)
+                out.append((seq, uri))
         return out
 
     def _publish_snapshot(self, df: DataFrame) -> None:
@@ -322,16 +578,23 @@ class KeyedTable:
             return
         import uuid as _uuid
 
-        from .fsutil import hadoop_fs, rename_commit
+        from .fsutil import delete_commit, hadoop_fs, publish_commit
 
         fs, hpath = hadoop_fs(self.spark, self.path)
         stage = f"{self.path}__stage/{_uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(stage)
+        # Schema-as-of rides INSIDE the commit (after the write — overwrite
+        # staging clears the dir): read(as_of=n) serves commit n with
+        # commit n's own schema, not the current sidecar's.
+        _embed_commit_schema(self.spark, stage, df.schema)
         fs.mkdirs(hpath(f"{self.path}__snapshots"))
-        existing = self.snapshots()
+        # Allocation counts BURNED pointer names too (content=None) — a
+        # crash between claim and fill wastes a seq forever; reallocating
+        # it would fail the CAS on every retry.
+        existing = self._snapshot_commits()
         for _attempt in range(5):
             seq = existing[-1][0] + 1 if existing else 0
-            if rename_commit(
+            if publish_commit(
                 fs, hpath, stage, f"{self.path}__snapshots/s{seq:012d}"
             ):
                 break
@@ -341,7 +604,8 @@ class KeyedTable:
             # rather than silently losing the commit.
             if not fs.exists(hpath(stage)):
                 df.write.mode("overwrite").parquet(stage)
-            existing = self.snapshots()
+                _embed_commit_schema(self.spark, stage, df.schema)
+            existing = self._snapshot_commits()
         else:
             fs.delete(hpath(stage), True)
             raise RuntimeError(
@@ -349,10 +613,7 @@ class KeyedTable:
                 "after 5 rename attempts"
             )
         for s, uri in existing[: -(self.keep_history - 1)] if self.keep_history > 1 else existing:
-            try:
-                fs.delete(hpath(uri), True)
-            except Exception:
-                pass
+            delete_commit(fs, hpath, f"{self.path}__snapshots", f"s{s:012d}", uri)
         # The staged dir was renamed away; drop its (now empty) parent.
         # Non-recursive delete refuses a non-empty dir, so a concurrent
         # writer's in-flight stage is never touched.
@@ -369,10 +630,18 @@ class KeyedTable:
     # -- write --------------------------------------------------------------
 
     def _write(self, df: DataFrame, mode: str) -> None:
+        # The one COW data-commit choke point (init/upsert/compact/
+        # compact_history all land here): assert single-writer ownership
+        # BEFORE touching data — a concurrent writer raises instead of
+        # interleaving read-merge-overwrite lost updates — and re-check
+        # after, so a takeover that lands mid-write fences this writer
+        # loudly rather than letting it keep publishing.
+        self._lease.ensure(self.take_over)
         writer = df.write.mode(mode)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self.path)
+        self._lease.check()
 
     def _row_columns(self, changes: DataFrame) -> list[str]:
         """Data columns = change columns minus CDC metadata (op/ordering)."""
@@ -383,6 +652,9 @@ class KeyedTable:
 
     def init(self, df: DataFrame) -> None:
         """Create/replace the table from a snapshot."""
+        # Refuse up front (single-writer): a fenced writer must not even
+        # widen the sidecar; _write re-checks as the last-line defense.
+        self._lease.ensure(self.take_over)
         if self.keep_history:
             # The snapshot publish re-executes this plan; materialize it
             # so a nondeterministic input (rand(), unordered limit,
@@ -394,7 +666,14 @@ class KeyedTable:
         # the new schema after the data lands. Both crash windows are then
         # harmless-wide (phantom columns null-fill): crash before the
         # write leaves the old data under a wider sidecar; crash after it
-        # leaves the new data under the union. The earlier single
+        # leaves the new data under the union — on a NARROWING replace
+        # that union still holds the dropped column, and on a PARTITIONED
+        # table the next upsert re-unions it and physically rewrites it
+        # (all-NULL) into touched partitions: the dropped column is
+        # resurrected permanently. Accepted tradeoff — a phantom all-NULL
+        # column over silent data loss; non-partitioned tables self-heal
+        # at their next upsert (full rewrite → reset, see upsert). The
+        # earlier single
         # reset-after-write ordering had a stale-NARROW window — a crash
         # between write and publish on a WIDENING replace served the new
         # data through the old sidecar, projecting the new column out
@@ -421,6 +700,9 @@ class KeyedTable:
         """
         from .operators.merge import latest_by_key
 
+        # Refuse up front: no sidecar widening, no wasted merge compute,
+        # for a commit the lease would reject at _write anyway.
+        self._lease.ensure(self.take_over)
         if not self.exists():
             # Precombine BEFORE dropping deletes: a key whose newest change
             # in this first batch is a delete must not resurrect through an
@@ -515,6 +797,20 @@ class KeyedTable:
                 self._publish_snapshot(merged)
                 return
         self._write(merged, "overwrite")
+        if not self.partition_by:
+            # Opportunistic reconcile: this was a FULL rewrite, so the
+            # files' schema is provably exactly `merged.schema` — reset the
+            # sidecar to it, retiring any phantom-wide columns left by a
+            # crashed NARROWING replace (crash between init's _write and
+            # its reset leaves the union sidecar holding the dropped
+            # column; without this, the next upsert re-unions and rewrites
+            # it as all-NULL forever). PARTITIONED tables cannot do this —
+            # untouched partitions were not rewritten, so narrowing the
+            # sidecar to the merge output would reopen the vanishing-column
+            # hole; there the wide-over-narrow outcome is permanent by
+            # design (documented tradeoff: a phantom all-NULL column over
+            # silent data loss).
+            self.schema_sidecar.publish(merged.schema, reset=True)
         if self.partition_by:
             # Dynamic partial overwrite: `merged` holds only the touched
             # partitions, so the snapshot must re-read the full table.
@@ -574,6 +870,7 @@ class KeyedTable:
     def compact_history(self, history: DataFrame) -> None:
         """Bootstrap from a full change history (B13 earliest replay):
         one global latest-wins pass instead of per-batch merges."""
+        self._lease.ensure(self.take_over)
         empty = self.spark.createDataFrame(
             [], history.select(*self._row_columns(history)).schema
         )
@@ -632,9 +929,19 @@ class DeltaLogTable:
         compact_target_files: int | None = None,
         async_compact: bool = False,
         merge_schema: bool = False,
+        writer_id: str | None = None,
+        take_over: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
+        #: Single-writer enforcement on the INGEST path (append_changes):
+        #: same WriterLease contract as KeyedTable. ``compact()`` is NOT
+        #: lease-guarded by design — it is a table SERVICE (Hudi's offline
+        #: compactor runs in its own process legitimately) and its own
+        #: version-name CAS + deferred retirement already make racing
+        #: compactions safe.
+        self._lease = WriterLease(spark, path, writer_id)
+        self.take_over = take_over
         self.keys = list(keys)
         self.ordering = list(ordering)
         self.op_col = op_col
@@ -672,28 +979,36 @@ class DeltaLogTable:
     def _delta(self) -> str:
         return f"{self.path}/delta"
 
-    def _base_versions(self) -> list[tuple[int, int, str]]:
-        """Published base versions as (seq, compacted_through_batch, uri),
-        seq-ascending. One directory listing, no data files opened."""
+    def _base_commits(self) -> list[tuple[int, int, str | None]]:
+        """Every CLAIMED base-version name as (seq, compacted_through,
+        content_uri), seq-ascending; content is None for an in-flight or
+        burned pointer commit (fsutil.pointer_commit) — such a version was
+        never published (its deltas were never retired), so readers skip it
+        and only seq ALLOCATION counts it. One directory listing plus one
+        small-file read per pointer."""
         import re as _re
 
+        from .fsutil import list_commits
+
         fs, hpath = self._fs()
-        d = hpath(self._base_commits_dir())
-        try:
-            if not fs.exists(d):
-                return []
-            listed = fs.listStatus(d)
-        except Exception:
-            return []
         out = []
-        for st in listed:
-            m = _re.match(r"^v(\d{12})_t(\d{12})$", st.getPath().getName())
+        for name, content in list_commits(
+            fs, hpath, self.spark, self._base_commits_dir()
+        ):
+            m = _re.match(r"^v(\d{12})_t(\d{12})$", name)
             if m:
-                out.append(
-                    (int(m.group(1)), int(m.group(2)) - 1, str(st.getPath()))
-                )
+                out.append((int(m.group(1)), int(m.group(2)) - 1, content))
         out.sort()
         return out
+
+    def _base_versions(self) -> list[tuple[int, int, str]]:
+        """Published (readable) base versions as (seq, compacted_through,
+        uri), seq-ascending."""
+        return [
+            (seq, through, uri)
+            for seq, through, uri in self._base_commits()
+            if uri is not None
+        ]
 
     def _latest_base(self) -> tuple[int, int, str] | None:
         """Newest base version, falling back to the legacy ``base/`` dir
@@ -838,9 +1153,11 @@ class DeltaLogTable:
         (idempotent per batch id: a replay overwrites its own directory).
         A named seam so crash-injection tests can kill the commit between
         the schema publish and the data landing."""
+        self._lease.ensure(self.take_over)
         changes.write.mode("overwrite").parquet(
             f"{self._delta()}/ingest_batch={batch_id}"
         )
+        self._lease.check()
 
     def append_changes(self, changes: DataFrame, batch_id: int) -> None:
         """Land one change batch (idempotent per batch id: a replay
@@ -848,6 +1165,9 @@ class DeltaLogTable:
         trigger inline compaction (``auto_compact_deltas``) — safe under
         replay: a re-landed batch's changes are latest-wins idempotent
         against a base that already folded them."""
+        # Refuse up front (single-writer ingest): a fenced writer must not
+        # even widen the delta sidecar; _write_delta re-checks.
+        self._lease.ensure(self.take_over)
         # Widen the sidecar BEFORE the append (same crash-ordering
         # rationale as KeyedTable.upsert's publish-before-write): a
         # drifted batch on disk under a stale-narrow sidecar would vanish
@@ -937,7 +1257,12 @@ class DeltaLogTable:
         history), mirroring Hudi's cleaner-retained commits."""
         for s, _, uri in self._base_versions():
             if s == seq:
-                df = self._read_dir(uri)
+                # Schema-as-of embedded at compaction time (falls back to
+                # footer inference for pre-embed versions): a pre-drift
+                # version serves exactly its own columns.
+                df = self._read_dir(
+                    uri, schema=_embedded_commit_schema(self.spark, uri)
+                )
                 if df is None:
                     # Listed but unreadable: a concurrent compaction's
                     # retention pass deleted the dir between the listing
@@ -968,7 +1293,15 @@ class DeltaLogTable:
         landed since the last ``compact()`` are not visible). The
         dashboard/reporting lane next to the exact snapshot lane."""
         ver = self._latest_base()
-        base = self._read_dir(ver[2], strict=_strict) if ver else None
+        base = (
+            self._read_dir(
+                ver[2],
+                strict=_strict,
+                schema=_embedded_commit_schema(self.spark, ver[2]),
+            )
+            if ver
+            else None
+        )
         through = ver[1] if ver else -1
         if optimized:
             if base is None:
@@ -1064,7 +1397,7 @@ class DeltaLogTable:
         would leave one sliver file per partition)."""
         import uuid as _uuid
 
-        from .fsutil import rename_commit
+        from .fsutil import publish_commit
 
         # The fail-safe story below leans on strict scans RAISING when a
         # racing (out-of-process) compaction retires a file between this
@@ -1103,7 +1436,10 @@ class DeltaLogTable:
             heal_nested_dirs(fs, hpath, uri)
         if versions and through <= versions[-1][1]:
             return  # every live delta dir is already folded — nothing to do
-        seq = versions[-1][0] + 1 if versions else 0
+        # Allocate past every CLAIMED name, burned pointers included — a
+        # crash between pointer claim and fill wastes that seq forever.
+        commits = self._base_commits()
+        seq = commits[-1][0] + 1 if commits else 0
         # read() applies exactly the deltas newer than the current base
         # version, UPPER-BOUNDED at the listing this compaction records as
         # compacted-through — a batch appended while the merge runs stays
@@ -1126,9 +1462,12 @@ class DeltaLogTable:
         stage = f"{self.path}/__stage/{_uuid.uuid4().hex}"
         try:
             merged.write.mode("overwrite").parquet(stage)
+            # Schema-as-of rides inside the version commit (read_version
+            # applies it; see _embedded_commit_schema).
+            _embed_commit_schema(self.spark, stage, merged.schema)
             fs.mkdirs(hpath(self._base_commits_dir()))
             target = f"{self._base_commits_dir()}/v{seq:012d}_t{through + 1:012d}"
-            published = rename_commit(fs, hpath, stage, target)
+            published = publish_commit(fs, hpath, stage, target)
         except BaseException:
             # A failed stage write is a full-table snapshot of garbage —
             # without this cleanup a deterministically-failing ASYNC
@@ -1157,11 +1496,21 @@ class DeltaLogTable:
                 pass
         # Retention: keep the two newest versions (in-flight readers of the
         # previous one finish on immutable files) + drop the legacy dir.
-        for _, _, uri in versions[:-1]:
-            try:
-                fs.delete(hpath(uri), True)
-            except Exception:
-                pass
+        # Walk the CLAIMED list so burned pointer names get GC'd too; the
+        # previous newest RESOLVED version is the one retained.
+        from .fsutil import delete_commit
+
+        keep_uri = versions[-1][2] if versions else None
+        for s, t, uri in commits:
+            if uri is not None and uri == keep_uri:
+                continue
+            delete_commit(
+                fs,
+                hpath,
+                self._base_commits_dir(),
+                f"v{s:012d}_t{t + 1:012d}",
+                uri,
+            )
         try:
             fs.delete(hpath(self._base()), True)
         except Exception:

@@ -39,12 +39,14 @@ WORKERS = 12
         ("avro", 4042),
         ("crash", 5042),
         ("crashmor", 6042),
+        ("writers", 7042),
     ],
 )
 def test_fuzz_cdc_lane(spark, lane, seed):
     # routed runs 2 tables/case; avro adds a Python decode per record;
-    # the crash lanes replay dead deliveries on top of the replay axis.
-    count = 20 if lane in ("routed", "avro", "crash", "crashmor") else COUNT
+    # the crash lanes replay dead deliveries on top of the replay axis;
+    # writers constructs a fresh lease-checked table per batch.
+    count = 20 if lane in ("routed", "avro", "crash", "crashmor", "writers") else COUNT
     failures = run_many(spark, lane, count, seed, workers=WORKERS)
     assert not failures, (
         f"{len(failures)} {lane} divergences; first 3: {failures[:3]}"

@@ -668,11 +668,13 @@ def test_rollup_heals_nested_crash_garbage(spark, tmp_path):
     )
     roll.apply_batch(df, 0)
     # Simulate the torn undo: a foreign staged dir (with a parquet-looking
-    # file) nested inside the committed dir.
-    [commit] = [
-        p for p in (tmp_path / "rh__commits").iterdir() if p.name.startswith("c")
-    ]
-    garbage = commit / "deadbeefcafe"
+    # file) nested inside the committed dir. Resolve the commit's CONTENT
+    # dir through the protocol (under the pointer protocol the dir-listing
+    # member is a pointer FILE; the content lives in __stage).
+    import pathlib
+
+    [(_, _, _, uri, _)] = roll._commits()
+    garbage = pathlib.Path(uri.removeprefix("file:")) / "deadbeefcafe"
     garbage.mkdir()
     (garbage / "part-00000.parquet").write_bytes(b"not a parquet file")
     # Next batch lists commits (healing), merges, and the final read works.
@@ -699,7 +701,11 @@ def test_snapshot_timeline_heals_nested_crash_garbage(spark, tmp_path):
     t.upsert(df)
     snaps = t.snapshots()
     assert snaps
-    commit_dir = tmp_path / "kt__snapshots" / f"s{snaps[-1][0]:012d}"
+    # Resolve through the protocol: under the pointer protocol the commit
+    # content lives in __stage, not under the commit name.
+    import pathlib
+
+    commit_dir = pathlib.Path(snaps[-1][1].removeprefix("file:"))
     garbage = commit_dir / "deadbeefcafe"
     garbage.mkdir()
     (garbage / "part-00000.parquet").write_bytes(b"junk")
@@ -1380,8 +1386,10 @@ def test_rollup_seq_only_cas_and_legacy_names(spark, tmp_path):
     roll = IncrementalRollup(spark, path, "ts", "1 minute", ["k"], "v")
     roll.apply_batch(mk([("a", "2024-01-01 00:00:05", 1.0)]), 0, run_id="r1")
     commits = roll._commits()
-    assert [(s, b, r) for s, b, r, _ in commits] == [(0, 0, "r1")]
-    assert commits[0][3].rsplit("/", 1)[-1] == "c000000000000"
+    assert [(s, b, r) for s, b, r, _, _ in commits] == [(0, 0, "r1")]
+    # The commit NAME is seq-only under both protocols (the content uri is
+    # the name itself under rename, a staged uuid dir under pointer).
+    assert commits[0][4] == "c000000000000"
 
     # Simulate a concurrent writer landing at the NEXT seq first: squat
     # the seq-1 name, apply a batch (must retry past the squat), then
@@ -1400,13 +1408,13 @@ def test_rollup_seq_only_cas_and_legacy_names(spark, tmp_path):
     # writer's rows are in the new tip — nothing lost.
     got = {r.k: (r.n, r.total) for r in roll.read().collect()}
     assert got == {"a": (2, 3.0), "b": (1, 5.0)}
-    assert max(s for s, _, _, _ in roll._commits()) == 2
+    assert max(s for s, _, _, _, _ in roll._commits()) == 2
     fs.delete(hpath(squat), True)
 
     # Legacy full-token name parses alongside (upgrade path).
     legacy = f"{roll._commits_dir()}/c000000000050_b000000000007_oldrun"
     fs.mkdirs(hpath(legacy))
-    seqs = {(s, b, r) for s, b, r, _ in roll._commits()}
+    seqs = {(s, b, r) for s, b, r, _, _ in roll._commits()}
     assert (50, 7, "oldrun") in seqs
     assert roll.last_applied_batch("oldrun") == 7
     fs.delete(hpath(legacy), True)

@@ -652,11 +652,19 @@ def test_mor_racing_compactions_cas_single_winner(spark, tmp_path):
     assert {(r.id, r.v) for r in t.read().select("id", "v").collect()} == {
         (1, "a")
     }
-    # No stage garbage left behind.
+    # No stage garbage left behind — under the pointer protocol the
+    # winner's PUBLISHED content legitimately lives in __stage (pointers
+    # never move the stage), so "garbage" = stage members no live commit
+    # references.
     import os
 
     stage_root = tmp_path / "mor_cas" / "__stage"
-    assert not stage_root.exists() or os.listdir(stage_root) == []
+    referenced = {
+        uri.rstrip("/").rsplit("/", 1)[-1]
+        for _, _, uri in t._base_versions()
+    }
+    leftovers = set(os.listdir(stage_root)) if stage_root.exists() else set()
+    assert leftovers <= referenced
 
 
 def test_rename_commit_detects_posix_move_into(spark, tmp_path):

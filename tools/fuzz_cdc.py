@@ -22,6 +22,8 @@ lived across rounds:
 - AVRO lane — the COW scenarios replayed over the Avro wire
   (EnvelopeAvro.encode on the driver → parse_envelope_avro_py), so the
   pure-Python codec sits under the same randomized oracle as JSON
+- WRITERS lane — two writers interleaved on one KeyedTable: the lease
+  loser must RAISE and the table must match the committed-only oracle
 
 Scenario space per seed: insert/update/delete/snapshot-read op mixes,
 out-of-order _lsn within AND across batches, duplicate keys per batch,
@@ -433,7 +435,18 @@ def _cow(spark, seed: int, case_dir: str, wire: str = "json") -> tuple[bool, str
                 return False, f"cow[hist] final mismatch: {_diff(got, want)}"
             for seq, _uri in table.snapshots():
                 snap_want, pcols = snap_states[seq]
-                got = _spark_state(table.read(as_of=seq), pcols)
+                as_of = table.read(as_of=seq)
+                # Schema-AS-OF, exactly: a pre-drift snapshot must serve
+                # its own column set — neither losing a column to a stale
+                # footer nor gaining the later drift column from the
+                # current sidecar (round-10 embedded _schema.json).
+                if set(as_of.columns) != set(pcols):
+                    return (
+                        False,
+                        f"cow[hist] snapshot {seq} schema-as-of drift: "
+                        f"{sorted(as_of.columns)} vs {sorted(pcols)}",
+                    )
+                got = _spark_state(as_of, pcols)
                 want = _oracle_state(snap_want, pcols)
                 if got != want:
                     return (
@@ -652,6 +665,69 @@ def _crashmor(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     want = _oracle_state(final, cols)
     if got != want:
         return False, f"crashmor final mismatch: {_diff(got, want)}"
+    return True, ""
+
+
+def _writers(spark, seed: int, case_dir: str) -> tuple[bool, str]:
+    """CONCURRENT-WRITER lane: two writers interleave upsert batches on
+    ONE KeyedTable under the WriterLease (the round-10 single-writer
+    enforcement). Each batch is dealt to a random writer with a random
+    take_over flag; the lane tracks who legitimately owns the lease and
+    asserts BOTH directions: an allowed commit succeeds, a disallowed one
+    raises ConcurrentWriterError and changes nothing. Final table state
+    must equal the dict-replay oracle over ONLY the committed batches —
+    i.e. the loser's refused writes left zero trace (no lost updates, no
+    phantom sidecar widening). Composes with the generator's drift,
+    partitioning, deletes and replay axes."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import (
+        ConcurrentWriterError,
+        KeyedTable,
+    )
+
+    sc = CdcGen(seed).scenario()
+    r = random.Random(seed ^ 0x5EA5ED)
+    spark = _case_session(spark)
+    path = f"{case_dir}/table"
+    committed: list[dict] = []
+    owner: str | None = None
+    for i, batch in enumerate(sc["batches"]):
+        raw = _raw_batch(spark, batch)
+        if not raw.head(1):
+            continue
+        changes = _wire_parser("json", batch["drift"])(raw)
+        if not changes.head(1):
+            continue
+        wid = r.choice(["w1", "w2"])
+        takeover = r.random() < 0.35
+        # Fresh instance per batch — the foreachBatch shape; the lease must
+        # recognize the same writer_id across instances.
+        table = KeyedTable(
+            spark, path, keys=["id"], ordering=["_lsn"], op_col="op",
+            partition_by=["department"] if sc["partitioned"] else [],
+            merge_schema=sc["merge_knob"],
+            writer_id=wid, take_over=takeover,
+        )
+        allowed = owner is None or owner == wid or takeover
+        if allowed:
+            reps = 2 if i in sc["replays"] else 1
+            for _ in range(reps):
+                table.upsert(changes)
+            owner = wid
+            committed.append(batch)
+            continue
+        try:
+            table.upsert(changes)
+            return False, (
+                f"writers[batch {i}]: {wid} committed but {owner} holds "
+                "the lease — silent lost-update window"
+            )
+        except ConcurrentWriterError:
+            pass  # the loser raised, loudly — the contract
+    final, cols, _ = oracle_replay(committed)
+    got = _cow_table_state(spark, path, cols)
+    want = _oracle_state(final, cols)
+    if got != want:
+        return False, f"writers final mismatch (committed-only oracle): {_diff(got, want)}"
     return True, ""
 
 
@@ -933,6 +1009,7 @@ run_routed_case = _wrap(_routed)
 run_avro_case = _wrap(_avro)
 run_crash_case = _wrap(_crash)
 run_crashmor_case = _wrap(_crashmor)
+run_writers_case = _wrap(_writers)
 
 LANES = {
     "cow": run_cow_case,
@@ -942,6 +1019,7 @@ LANES = {
     "avro": run_avro_case,
     "crash": run_crash_case,
     "crashmor": run_crashmor_case,
+    "writers": run_writers_case,
 }
 
 

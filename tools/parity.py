@@ -10,11 +10,11 @@ from __future__ import annotations
 import math
 import sys
 
+import os
+
 import duckdb
 
-sys.path.insert(0, "/root/repo")
-
-import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (

@@ -197,7 +197,15 @@ def _scaled_point_partitions(points: list[tuple[str, str]]) -> dict[str, int]:
         sf: sum(_dir_bytes(os.path.join(sf_dir, t)) for t in common or ())
         for sf, sf_dir in points
     }
-    base = min(b for b in sizes.values() if b) or 1
+    nonzero = [b for b in sizes.values() if b]
+    if not nonzero:
+        raise SystemExit(
+            "scale_sweep: sweep points share no common non-empty *.parquet "
+            f"tables (points: {[d for _, d in points]}); a half-built or "
+            "mismatched fixture dir (stale _DONE?) cannot be size-scaled — "
+            "rebuild the fixtures or drop the broken point"
+        )
+    base = min(nonzero)
     return {
         sf: max(32, min(2048, -(-32 * b // base))) for sf, b in sizes.items()
     }
