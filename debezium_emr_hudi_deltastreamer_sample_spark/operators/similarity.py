@@ -187,35 +187,55 @@ def _kmeans_fit_sample(
     # direction land in different cells and recall craters.
     v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
 
-    def dists(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
-        # |x|² − 2x·c + |c|² via one BLAS matmul — an (n, k) result with NO
-        # (n, k, dim) broadcast temporary. The naive broadcast form is
-        # fine at nlist=16 but allocates ~n·k·dim·8 bytes per evaluation;
-        # with k ∝ n (SemDeDup's sizing) that went quadratic-ish —
-        # measured 318 s for one fit at 20k×78 vs <1 s in this form.
-        x2 = (x * x).sum(axis=1, keepdims=True)
-        c2 = (centroids * centroids).sum(axis=1)
-        return np.maximum(x2 - 2.0 * (x @ centroids.T) + c2, 0.0)
+    # Distance math note: everything in this fit is unit-norm, so
+    # ‖x−c‖² = 2−2·x·c exactly — every distance below is ONE BLAS product
+    # with no (n, k, dim) broadcast temporary and no |x|²/|c|² (n, k)
+    # temporaries either. History of this hot spot: the naive broadcast
+    # form measured 318 s for one fit at 20k×78; the |x|²−2x·c+|c|² form
+    # fixed that but still materialized five (n, k) float64 temporaries
+    # (~8 GB of memory traffic per Lloyd iteration at the 50k×4096
+    # ceiling, 23 s measured — tools/semdedup_ceiling.py).
 
     def one_fit(rng: np.random.Generator) -> tuple[float, np.ndarray]:
         # k-means++ seeding with the min-distance maintained INCREMENTALLY
         # (only the newest centroid's distances per step — O(n·dim), not
         # O(n·k·dim)); draw sequence identical to the textbook form.
+        # Everything here is unit-norm (v by construction, seeds are data
+        # rows), so ‖v−c‖² = 2−2·v·c — a BLAS matvec with NO (n, dim)
+        # subtraction temporary per step. At the structural ceiling
+        # (50k × k=4096, tools/semdedup_ceiling.py) the subtraction form
+        # spent 34 s of pure memory traffic on seeding alone.
         seeds = [v[rng.integers(len(v))]]
-        d2 = ((v - seeds[0]) ** 2).sum(axis=1)
+        d2 = np.maximum(2.0 - 2.0 * (v @ seeds[0]), 0.0)
         for _ in range(1, nlist):
             p = d2 / d2.sum() if d2.sum() > 0 else None
             c = v[rng.choice(len(v), p=p)]
             seeds.append(c)
-            d2 = np.minimum(d2, ((v - c) ** 2).sum(axis=1))
+            d2 = np.minimum(d2, np.maximum(2.0 - 2.0 * (v @ c), 0.0))
         centroids = np.stack(seeds)
         for _ in range(max_iter):
-            assign = dists(v, centroids).argmin(axis=1)
-            new = np.stack(
+            # Unit-norm v AND centroids: Euclidean argmin ≡ cosine argmax,
+            # so assignment is ONE matmul + argmax — the dists() form
+            # materializes five (n, k) float64 temporaries (~8 GB of
+            # memory traffic at the ceiling, 23 s per iteration measured).
+            assign = (v @ centroids.T).argmax(axis=1)
+            # Cell means via per-dim bincount — one O(n) pass per dim
+            # instead of nlist boolean-mask scans (4096 Python-loop mask
+            # reductions cost ~0.9 s/iteration at the ceiling; this is
+            # ~30 ms). Empty cells keep their previous centroid, exactly
+            # like the mask form did.
+            counts = np.bincount(assign, minlength=nlist)
+            sums = np.stack(
                 [
-                    v[assign == c].mean(axis=0) if (assign == c).any() else centroids[c]
-                    for c in range(nlist)
-                ]
+                    np.bincount(assign, weights=v[:, d], minlength=nlist)
+                    for d in range(v.shape[1])
+                ],
+                axis=1,
+            )
+            new = np.where(
+                counts[:, None] > 0,
+                sums / np.maximum(counts, 1)[:, None],
+                centroids,
             )
             # Spherical k-means proper: re-normalize the means every
             # iteration. With unit-norm data AND unit-norm centroids,
@@ -227,7 +247,10 @@ def _kmeans_fit_sample(
             if np.allclose(new, centroids):
                 break
             centroids = new
-        inertia = dists(v, centroids).min(axis=1).sum()
+        # Same unit-norm identity: min ‖v−c‖² = 2 − 2·max cos.
+        inertia = float(
+            np.maximum(2.0 - 2.0 * (v @ centroids.T).max(axis=1), 0.0).sum()
+        )
         return inertia, centroids
 
     # Lloyd's converges to local optima; a few seeded restarts on the
@@ -586,7 +609,7 @@ def ivf_topk(
     # SemDeDup, and IVF must rank cells identically): one BLAS matmul per
     # Arrow batch with NO (n, nlist, dim) broadcast temporary — the naive
     # pairwise-difference form this replaced re-allocated exactly the
-    # temporary _kmeans_fit_sample's dists() comment measures at 318 s
+    # temporary _kmeans_fit_sample's distance-math note measures at 318 s
     # once a caller scales nlist up, and its unstable argsort tie-break
     # could drift from _topn_cells' first-occurrence rule. (Euclidean on
     # unit vectors orders identically to cosine: d² = 2 − 2cos.)

@@ -115,12 +115,20 @@ class SchemaSidecar:
         the newest fails to read: a concurrent publisher's trim can delete
         a version between the listing and the read, and falling all the
         way back to footer inference would transiently reopen the exact
-        vanishing-column hole the sidecar exists to close."""
+        vanishing-column hole the sidecar exists to close. If EVERY listed
+        version fails to parse (two publishes landed between this reader's
+        listing and its reads, so retention consumed the whole list), the
+        listing is retried — a table that HAS a sidecar must not
+        transiently read as if it never did."""
         fs, hpath = self._fs()
-        for _, uri in reversed(self._versions(fs, hpath)):
-            schema = self._parse(fs, hpath, uri)
-            if schema is not None:
-                return schema
+        for _attempt in range(3):
+            versions = self._versions(fs, hpath)
+            for _, uri in reversed(versions):
+                schema = self._parse(fs, hpath, uri)
+                if schema is not None:
+                    return schema
+            if not versions:
+                return None
         return None
 
     def publish(self, schema: T.StructType, reset: bool = False) -> None:
@@ -133,8 +141,19 @@ class SchemaSidecar:
         from .fsutil import delete_commit, publish_commit, write_small_file
 
         fs, hpath = self._fs()
-        for _attempt in range(5):
+        # Retry budget counts only STALLED attempts (no new version landed
+        # since the last look): a lost CAS where the winner's seq moved IS
+        # system progress — the union-only-grows loop converges — and a
+        # fixed attempt count starved publishers under real contention
+        # (found by tests/test_concurrency_hunt.py: 4 racing publishers ×
+        # pointer protocol exhausted 5 attempts while the table was
+        # perfectly healthy).
+        stalled, last_seq = 0, -1
+        while stalled < 5:
             versions = self._versions(fs, hpath)
+            top_seq = versions[-1][0] if versions else -1
+            stalled = 0 if top_seq > last_seq else stalled + 1
+            last_seq = top_seq
             # Newest PARSEABLE version — a burned pointer (content=None)
             # must not masquerade as "no sidecar": with reset=False that
             # would skip the union and narrow the published schema.
@@ -338,8 +357,17 @@ class WriterLease:
         from .fsutil import delete_commit
 
         fs, hpath = self._fs()
-        for _attempt in range(5):
+        # Stall-based retry budget, like SchemaSidecar.publish: a lost
+        # claim race where the epoch seq moved is progress (another
+        # claimant landed — ownership gets re-evaluated against it), not a
+        # failure; only attempts where NOTHING moved count toward giving
+        # up (persistent FS trouble).
+        stalled, last_seq = 0, -2
+        while stalled < 5:
             epochs = self._epochs(fs, hpath)
+            top_seq = epochs[-1][0] if epochs else -1
+            stalled = 0 if top_seq > last_seq else stalled + 1
+            last_seq = top_seq
             if epochs:
                 seq, uri = epochs[-1]
                 owner = self._owner(fs, hpath, uri)
