@@ -230,8 +230,17 @@ class IncrementalRollup:
         record — data and marker cannot diverge (see module docstring)."""
         run = self._safe_run(run_id)
         fs, hpath = self._hadoop()
-        for _attempt in range(5):
+        # Stall-based retry budget (the SchemaSidecar.publish pattern): a
+        # lost CAS where the commit seq MOVED is another run making
+        # progress — this writer rebuilds on the new tip and must not
+        # count it toward giving up; only no-progress attempts (persistent
+        # rename/FS failures) do. A fixed attempt count starved healthy
+        # publishers under real contention (tests/test_concurrency_hunt).
+        stalled, last_seq = 0, -1
+        while stalled < 5:
             commits, next_seq = self._scan()
+            stalled = 0 if next_seq > last_seq else stalled + 1
+            last_seq = next_seq
             if batch_id <= max(
                 (b for _, b, r, _, _ in commits if r == run), default=-1
             ):

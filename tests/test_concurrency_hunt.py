@@ -139,3 +139,52 @@ def test_lease_same_writer_many_threads_single_epoch(spark, tmp_path):
     epochs = probe._epochs(fs, hpath)
     assert [s for s, _ in epochs] == [0]
     assert probe._owner(fs, hpath, epochs[0][1]) == "pipe"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("protocol", ["rename", "pointer"])
+def test_rollup_threaded_multi_run_writers_exact(
+    spark, tmp_path, monkeypatch, protocol
+):
+    """Multiple rollup RUNS (legal concurrency: one rollup fed by several
+    checkpointed streams) committing in parallel under each protocol: the
+    seq-only CAS + rebuild-on-new-tip loop must lose NOTHING — the final
+    rollup equals the exact sum over every batch every thread applied."""
+    import datetime
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.rollup import (
+        IncrementalRollup,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_COMMIT_PROTOCOL", protocol)
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "roll"), "ts", "1 minute", ["k"], "v",
+        keep_commits=4,
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    n_runs, n_batches = 3, 4
+    errors: list[str] = []
+
+    def writer(r: int) -> None:
+        try:
+            for b in range(n_batches):
+                df = spark.createDataFrame(
+                    [(f"k{r}", ts, float(10 * r + b))],
+                    "k string, ts timestamp, v double",
+                )
+                roll.apply_batch(df, b, run_id=f"run{r}")
+        except Exception as e:  # noqa: BLE001 — a crash IS a finding
+            errors.append(f"run{r}: {type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=writer, args=(r,)) for r in range(n_runs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errors, errors[:5]
+    got = {r.k: (r.n, r.total) for r in roll.read().collect()}
+    want = {
+        f"k{r}": (n_batches, float(sum(10 * r + b for b in range(n_batches))))
+        for r in range(n_runs)
+    }
+    assert got == want
