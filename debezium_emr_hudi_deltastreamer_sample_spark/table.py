@@ -384,12 +384,18 @@ class WriterLease:
                         "take_over=True to fence it and claim a new epoch."
                     )
                 if owner is None and not take_over:
-                    # In-flight claim by someone else: indistinguishable
-                    # from a concurrent acquire — refuse rather than race.
-                    raise ConcurrentWriterError(
-                        f"another writer is claiming the lease at {self.dir} "
-                        "(in-flight epoch commit); retry, or take_over=True"
-                    )
+                    # Unresolved newest claim: either a concurrent acquire
+                    # mid-fill (resolves in milliseconds) or a BURNED claim
+                    # from a crashed takeover (never resolves). Don't race
+                    # it and don't lock the legitimate owner out on first
+                    # sight either — spin through the stall budget so an
+                    # in-flight fill passes on the next listing, and only a
+                    # provably stuck claim raises (below, with take_over
+                    # guidance).
+                    import time as _time
+
+                    _time.sleep(0.05)
+                    continue
                 next_seq = seq + 1
             else:
                 next_seq = 0
@@ -402,8 +408,11 @@ class WriterLease:
                 return
             # Lost the claim race — re-list and re-evaluate ownership.
         raise ConcurrentWriterError(
-            f"could not acquire the writer lease at {self.dir} after 5 "
-            "attempts (persistent claim races)"
+            f"could not acquire the writer lease at {self.dir}: persistent "
+            "claim races, or the newest epoch is an unresolved claim that "
+            "never fills — a takeover that crashed between claim and fill. "
+            "If no other writer is alive, construct the table with "
+            "take_over=True to claim past it."
         )
 
     def check(self) -> None:

@@ -51,3 +51,18 @@ def test_fuzz_cdc_lane(spark, lane, seed):
     assert not failures, (
         f"{len(failures)} {lane} divergences; first 3: {failures[:3]}"
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(("lane", "seed"), [("crash", 14001), ("writers", 14002)])
+def test_fuzz_cdc_pointer_protocol_gate(spark, monkeypatch, lane, seed):
+    """Always-on gate for the object-store commit-POINTER protocol: the
+    crash-injection and concurrent-writer lanes under
+    SPARK_GRAFT_COMMIT_PROTOCOL=pointer (small count — the multi-seed CLI
+    hunts carry the volume; COVERAGE.md records the tallies)."""
+    monkeypatch.setenv("SPARK_GRAFT_COMMIT_PROTOCOL", "pointer")
+    failures = run_many(spark, lane, 12, seed, workers=WORKERS)
+    assert not failures, (
+        f"{len(failures)} pointer-protocol {lane} divergences; "
+        f"first 3: {failures[:3]}"
+    )

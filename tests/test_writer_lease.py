@@ -153,3 +153,27 @@ def test_interleaved_writers_loser_raises_table_matches_winner(spark, tmp_path):
     final = KeyedTable(spark, path, keys=["id"], writer_id="w2")
     got = {(r.id, r.v) for r in final.read().select("id", "v").collect()}
     assert got == set(state.items())
+
+
+def test_burned_epoch_claim_raises_then_take_over_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """A takeover that crashed between pointer claim and fill leaves a
+    permanently unresolved newest epoch. The legitimate owner must not
+    race it (it is indistinguishable from an in-flight acquire for a few
+    listings) — after the stall budget it raises with take_over guidance;
+    take_over=True claims past the burned name and the pipeline resumes."""
+    monkeypatch.setenv("SPARK_GRAFT_COMMIT_PROTOCOL", "pointer")
+    path = str(tmp_path / "t")
+    w1 = KeyedTable(spark, path, keys=["id"], writer_id="w1")
+    w1.upsert(_mk(spark, [(1, "a", "c", 1)]))
+    # Burn the next epoch name: claim without fill (the crash window).
+    fs, hpath = w1._lease._fs()
+    fs.createNewFile(hpath(f"{w1._lease.dir}/e000000000001.commit"))
+    with pytest.raises(ConcurrentWriterError, match="take_over=True"):
+        w1.upsert(_mk(spark, [(2, "b", "c", 2)]))
+    w2 = KeyedTable(spark, path, keys=["id"], writer_id="w1", take_over=True)
+    w2.upsert(_mk(spark, [(2, "b", "c", 2)]))
+    assert {r.id for r in w2.read().collect()} == {1, 2}
+    fs, hpath = w2._lease._fs()
+    assert [s for s, _ in w2._lease._epochs(fs, hpath)][-1] == 2

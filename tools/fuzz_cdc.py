@@ -558,6 +558,11 @@ def _crash(spark, seed: int, case_dir: str) -> tuple[bool, str]:
         spark, path, keys=["id"], ordering=["_lsn"], op_col="op",
         partition_by=["department"] if sc["partitioned"] else [],
         merge_schema=sc["merge_knob"],
+        # keep_history composes the crash axis with the snapshot-publish
+        # path — kills land inside _publish_snapshot too (below), driving
+        # the embedded schema-as-of commit windows (stage write → embed →
+        # publish) under redelivery.
+        keep_history=24 if sc["keep_history"] else 0,
     )
     for i, batch in enumerate(sc["batches"]):
         raw = _raw_batch(spark, batch)
@@ -570,7 +575,11 @@ def _crash(spark, seed: int, case_dir: str) -> tuple[bool, str]:
             # First delivery dies mid-commit; kth may exceed the path's
             # call count (then no crash fires — the rng explores both).
             arm = _CrashArm(
-                [(table, "_write"), (table.schema_sidecar, "publish")],
+                [
+                    (table, "_write"),
+                    (table.schema_sidecar, "publish"),
+                    (table, "_publish_snapshot"),
+                ],
                 kth=r.randint(1, 4),
                 after=r.random() < 0.5,
             )
@@ -593,6 +602,23 @@ def _crash(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     want = _oracle_state(final, cols)
     if got != want:
         return False, f"crash final mismatch: {_diff(got, want)}"
+    # keep_history variant: every surviving snapshot commit must be
+    # READABLE with a sane schema-as-of (a subset of the final column
+    # set — kills + redeliveries scramble the seq↔batch mapping, so the
+    # per-snapshot VALUE oracle lives in the clean hist lane; here the
+    # invariant is no torn/unreadable commit and no phantom columns).
+    if sc["keep_history"]:
+        for seq, _uri in table.snapshots():
+            try:
+                as_of = table.read(as_of=seq)
+                as_of.collect()
+            except Exception as exc:  # noqa: BLE001 — torn commit IS the bug
+                return False, f"crash snapshot {seq} unreadable: {exc}"
+            extra = set(as_of.columns) - set(cols)
+            if extra:
+                return False, (
+                    f"crash snapshot {seq} phantom columns: {sorted(extra)}"
+                )
     return True, ""
 
 
