@@ -64,9 +64,27 @@ def rename_commit(fs, hpath, stage: str, target: str) -> bool:
     up) when a concurrent writer holds the name."""
     if fs.exists(hpath(target)):
         return False
-    if not fs.rename(hpath(stage), hpath(target)):
-        return False
     base = stage.rstrip("/").rsplit("/", 1)[-1]
+    try:
+        renamed = fs.rename(hpath(stage), hpath(target))
+    except Exception:
+        # LocalFileSystem implements rename-onto-an-EXISTING-directory as
+        # a NON-ATOMIC FileUtil.copy fallback (RawLocalFileSystem.rename),
+        # and a concurrent scanner's crash-garbage heal can delete the
+        # half-copied nested dir mid-copy — the copy then dies with
+        # FileNotFoundException on its next destination file. Semantically
+        # that is just a LOST CAS (a winner holds the name): clean any
+        # partial nested copy best-effort and report failure; the stage is
+        # left for the caller per the contract (the failed copy does not
+        # consume it). Found by the threaded rollup hunt
+        # (tests/test_concurrency_hunt.py).
+        try:
+            fs.delete(hpath(f"{target}/{base}"), True)
+        except Exception:
+            pass
+        return False
+    if not renamed:
+        return False
     nested = f"{target}/{base}"
     if fs.exists(hpath(nested)):
         # POSIX move-INTO: a concurrent writer created target between the

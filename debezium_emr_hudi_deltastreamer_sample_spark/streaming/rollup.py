@@ -172,7 +172,16 @@ class IncrementalRollup:
             if uri is None:
                 continue  # in-flight/burned pointer: name taken, no content
             marker = None
-            for member in fs.listStatus(hpath(uri)):
+            try:
+                members = fs.listStatus(hpath(uri))
+            except Exception:
+                # Retention retired this commit between the listing and
+                # the member walk. Safe to skip entirely: _trim never
+                # deletes a run's NEWEST commit, so a retired commit's
+                # (run, batch) high-water is always superseded by a
+                # retained one — skipping cannot re-open replay dedup.
+                continue
+            for member in members:
                 if member.isDirectory():
                     # Crash garbage from a torn move-INTO undo (see
                     # fsutil.heal_nested_dirs) — commits are flat by

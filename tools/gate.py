@@ -77,11 +77,23 @@ def main() -> int:
         code, out = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
         m = re.search(r"(\d+) passed", out)
         f = re.search(r"(\d+) failed", out)
+        # A red gate must be DIAGNOSABLE from the stamp alone: record the
+        # failing test ids (pytest -q prints "FAILED <id> - <reason>" in
+        # the short summary) and keep the full output on disk — the first
+        # red round-10 gate recorded only the count and the names were
+        # gone with the subprocess.
+        failed_ids = re.findall(r"^FAILED ([^\s]+)", out, re.M)
         results["pytest"] = {
             "exit": code,
             "passed": int(m.group(1)) if m else 0,
             "failed": int(f.group(1)) if f else 0,
+            "failed_tests": failed_ids,
         }
+        if code != 0:
+            log_path = os.path.join(REPO, "gate_pytest_failure.log")
+            with open(log_path, "w") as fh:
+                fh.write(out)
+            results["pytest"]["log"] = log_path
         ok &= code == 0
         print(out.splitlines()[-1] if out.splitlines() else "")
 
