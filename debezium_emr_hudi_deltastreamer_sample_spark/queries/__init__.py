@@ -17,32 +17,32 @@ from . import analytics, cdc, extended, llm, pipeline, relational, streaming, tp
 _MODULES = (relational, cdc, llm, streaming, extended, pipeline, tpch, analytics)
 
 # Latest round each query name was covered by the driver's 50-entry
-# correctness sample (union of CORRECTNESS_r01..r09.json — all 218 names have
+# correctness sample (union of CORRECTNESS_r01..r10.json — all 218 names have
 # been sampled at least once; all green at latest sample). Names are stable
 # across rounds by contract; enumerating oldest-sampled FIRST makes each
 # driver sample re-certify the rows that have aged the most through
 # refactors, instead of re-checking the same fresh prefix. Queries absent
 # from this map (new this round) sort before everything (round 0).
 _LAST_SAMPLED_ROUND: dict[str, int] = {
-    "agg_approx_distinct": 6, "agg_bitmap_distinct": 6,
-    "agg_collect_pivot": 6, "agg_corr_covar": 8, "agg_countif_bool": 9,
-    "agg_cube": 6, "agg_decimal_exact": 8, "agg_grouping_id": 9,
+    "agg_approx_distinct": 10, "agg_bitmap_distinct": 10,
+    "agg_collect_pivot": 10, "agg_corr_covar": 8, "agg_countif_bool": 9,
+    "agg_cube": 10, "agg_decimal_exact": 8, "agg_grouping_id": 9,
     "agg_grouping_sets": 8, "agg_hll_sketch": 7, "agg_listagg": 8,
     "agg_mode_median": 9, "agg_multi_distinct": 9, "agg_percentile_approx": 7,
-    "agg_percentiles": 6, "agg_regression": 6, "agg_rollup": 6,
-    "agg_skew_kurtosis": 9, "agg_skew_twophase": 9, "agg_stats_events": 6,
+    "agg_percentiles": 10, "agg_regression": 10, "agg_rollup": 10,
+    "agg_skew_kurtosis": 9, "agg_skew_twophase": 9, "agg_stats_events": 10,
     "cdc_apply_deletes": 7, "cdc_asof_join": 7, "cdc_avro_roundtrip": 7,
     "cdc_catalog_sync": 8, "cdc_envelope_roundtrip": 7, "cdc_hot_keys": 9,
     "cdc_incremental_join_view": 7, "cdc_incremental_read": 7,
     "cdc_latest_by_key": 7, "cdc_merge_upsert": 7, "cdc_mor_table": 7,
     "cdc_mor_time_travel": 8, "cdc_scd2_history": 7,
     "cdc_schema_evolution": 7, "cdc_time_travel": 7, "cdc_topic_to_table": 7,
-    "distinct_flags": 6, "filter_nullsafe_eq": 8, "filter_predicates": 6,
-    "forecast_revenue": 7, "fuzzy_name_pairs": 8, "join_anti": 6,
-    "join_cross_small": 6, "join_full_outer": 6, "join_interval_overlap": 8,
-    "join_left_outer": 6, "join_nullaware_anti": 9, "join_range_binned": 8,
-    "join_right_outer": 6, "join_salted_skew": 8, "join_semi": 6,
-    "join_star_revenue": 6, "join_theta_range": 6,
+    "distinct_flags": 10, "filter_nullsafe_eq": 8, "filter_predicates": 10,
+    "forecast_revenue": 7, "fuzzy_name_pairs": 8, "join_anti": 10,
+    "join_cross_small": 10, "join_full_outer": 10, "join_interval_overlap": 8,
+    "join_left_outer": 10, "join_nullaware_anti": 9, "join_range_binned": 8,
+    "join_right_outer": 10, "join_salted_skew": 8, "join_semi": 10,
+    "join_star_revenue": 10, "join_theta_range": 10,
     "llm_bloom_decontaminate": 7, "llm_bpe_apply": 7,
     "llm_bpe_merge_pairs": 7, "llm_bpe_token_count": 7,
     "llm_cluster_canonical": 7, "llm_corpus_clean": 7,
@@ -52,7 +52,7 @@ _LAST_SAMPLED_ROUND: dict[str, int] = {
     "llm_embed_neardup": 7, "llm_embed_neardup_lsh": 7,
     "llm_embed_quantize": 8, "llm_embedding_stats": 7, "llm_exact_dedup": 7,
     "llm_filtered_topk": 9, "llm_fingerprint": 7, "llm_graph_triangles": 7,
-    "llm_graph_triangles_count": 6, "llm_graph_triangles_exact": 8,
+    "llm_graph_triangles_count": 10, "llm_graph_triangles_exact": 8,
     "llm_heavy_hitters": 8, "llm_index_maintain": 7, "llm_kmeans_clusters": 7,
     "llm_language_id": 8, "llm_length_histogram": 7, "llm_minhash_lsh": 7,
     "llm_ngram_jaccard": 7, "llm_ngram_jaccard_lsh": 7,
@@ -68,22 +68,22 @@ _LAST_SAMPLED_ROUND: dict[str, int] = {
     "pipe_cohort_retention": 9, "pipe_dataset_mix": 8,
     "pipe_epoch_shuffle": 9, "pipe_funnel_conversion": 9,
     "pipe_hash_split": 9, "pipe_incremental_dedup": 8,
-    "pipe_ingest_neardup_gate": 9, "pipe_ingest_neardup_gate_exact": 6,
+    "pipe_ingest_neardup_gate": 9, "pipe_ingest_neardup_gate_exact": 10,
     "pipe_pack_sharded": 9, "pipe_pii_scrub": 9, "pipe_profile_columns": 9,
     "pipe_right_to_forget": 9, "pipe_sessionize": 9,
-    "pipe_tfidf_top_terms": 9, "pipe_url_normalize": 6, "pricing_summary": 6,
-    "project_cast_drop": 6, "ps_pandas_on_spark": 9, "scalar_array_ops": 8,
-    "scalar_bit_ops": 8, "scalar_date_arith": 8, "scalar_dates": 6,
-    "scalar_json": 6, "scalar_map_ops": 8, "scalar_math_cond": 6,
-    "scalar_posexplode": 8, "scalar_regex": 8, "scalar_strings": 6,
+    "pipe_tfidf_top_terms": 9, "pipe_url_normalize": 10, "pricing_summary": 10,
+    "project_cast_drop": 10, "ps_pandas_on_spark": 9, "scalar_array_ops": 8,
+    "scalar_bit_ops": 8, "scalar_date_arith": 8, "scalar_dates": 10,
+    "scalar_json": 10, "scalar_map_ops": 8, "scalar_math_cond": 10,
+    "scalar_posexplode": 8, "scalar_regex": 8, "scalar_strings": 10,
     "scalar_try_ops": 9, "scalar_variant": 9, "set_ops_all": 9,
-    "set_ops_nations": 6, "shipping_priority": 6,
+    "set_ops_nations": 10, "shipping_priority": 10,
     "sink_clustered_readback": 9, "sink_csv_roundtrip": 9,
     "sink_orc_roundtrip": 9, "sink_partitioned_readback": 9,
     "sink_python_format_roundtrip": 9, "sink_xml_roundtrip": 9,
-    "sink_zorder_readback": 5, "source_csv_malformed": 5,
-    "source_jsonl_roundtrip": 5, "source_python_datasource": 5,
-    "sql_lateral_topk": 5, "sql_parameterized": 6, "sql_recursive_cte": 5,
+    "sink_zorder_readback": 10, "source_csv_malformed": 10,
+    "source_jsonl_roundtrip": 10, "source_python_datasource": 10,
+    "sql_lateral_topk": 10, "sql_parameterized": 10, "sql_recursive_cte": 10,
     "sql_subquery_exists": 9, "sql_subquery_in": 9, "sql_subquery_scalar": 9,
     "stream_avro_upsert": 8, "stream_cdc_upsert": 8, "stream_deadletter": 9,
     "stream_dedup_keys": 8, "stream_dedup_within_watermark": 9,
@@ -96,19 +96,19 @@ _LAST_SAMPLED_ROUND: dict[str, int] = {
     "stream_stream_join": 8, "stream_stream_left_join": 9,
     "stream_temporal_join": 8, "stream_tumbling_counts": 8,
     "stream_window_topk": 9, "table_compact_roundtrip": 7,
-    "top_orders_global": 6, "tpch_q10_returned_items": 5,
-    "tpch_q11_important_parts": 6, "tpch_q12_late_priority_lines": 6,
-    "tpch_q13_order_distribution": 6, "tpch_q14_promo_effect": 5,
-    "tpch_q15_top_supplier": 5, "tpch_q16_supplier_part_counts": 6,
-    "tpch_q17_small_qty_revenue": 6, "tpch_q18_large_orders": 5,
-    "tpch_q19_bracket_revenue": 5, "tpch_q20_promotable_suppliers": 6,
-    "tpch_q21_waiting_supplier": 6, "tpch_q22_idle_customers": 5,
+    "top_orders_global": 10, "tpch_q10_returned_items": 10,
+    "tpch_q11_important_parts": 10, "tpch_q12_late_priority_lines": 6,
+    "tpch_q13_order_distribution": 6, "tpch_q14_promo_effect": 10,
+    "tpch_q15_top_supplier": 10, "tpch_q16_supplier_part_counts": 6,
+    "tpch_q17_small_qty_revenue": 6, "tpch_q18_large_orders": 10,
+    "tpch_q19_bracket_revenue": 10, "tpch_q20_promotable_suppliers": 6,
+    "tpch_q21_waiting_supplier": 6, "tpch_q22_idle_customers": 10,
     "tpch_q2_min_cost_supplier": 6, "tpch_q4_priority_check": 6,
-    "tpch_q5_local_supplier_volume": 6, "tpch_q7_nation_volume": 5,
-    "tpch_q8_market_share": 5, "tpch_q9_product_profit": 6, "ts_gap_fill": 5,
-    "ts_interpolate": 6, "udf_arrow_batch": 5, "udf_grouped_arrow": 6,
-    "udf_grouped_zscore": 9, "udf_pandas_udaf": 6, "udtf_doc_chunks": 5,
-    "unpivot_metrics": 9, "window_count_distinct": 5, "window_cume_dist": 9,
+    "tpch_q5_local_supplier_volume": 6, "tpch_q7_nation_volume": 10,
+    "tpch_q8_market_share": 10, "tpch_q9_product_profit": 6, "ts_gap_fill": 10,
+    "ts_interpolate": 6, "udf_arrow_batch": 10, "udf_grouped_arrow": 6,
+    "udf_grouped_zscore": 9, "udf_pandas_udaf": 6, "udtf_doc_chunks": 10,
+    "unpivot_metrics": 9, "window_count_distinct": 10, "window_cume_dist": 9,
     "window_first_last": 9, "window_lag_lead": 6, "window_pattern_match": 6,
     "window_rank_ntile": 6, "window_running_frames": 6,
     "window_time_range": 9, "window_topk_per_group": 6,
