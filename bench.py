@@ -69,6 +69,55 @@ HEADLINE = [
 ]
 
 
+#: Quiet-window reference for the calibration loop below (min-of-3 on this
+#: container class with loadavg < 1; re-measure if the fleet hardware
+#: changes). The guard compares the CURRENT window against it.
+_CALIB_REF_SEC = 0.33
+#: Window flags: calibration >30% over the quiet reference, or a 1-minute
+#: loadavg already above half the allotted cores BEFORE the suite starts,
+#: mean other work is stealing cycles — per-query times in that window
+#: overstate the engine's cost (BASELINE.md "Bench noise profile" measured
+#: +25-40% uniform creep in contaminated windows).
+_CALIB_RATIO_FLAG = 1.30
+
+
+def _calibrate(n: int = 3) -> float:
+    """Single-threaded pure-Python duty loop, min of ``n`` runs (~0.4 s
+    each): GIL-pinned and allocation-free, so its ONLY variance source is
+    CPU contention from other processes — exactly what the guard needs to
+    detect. min-of-n estimates the uncontended floor; under real
+    contention even the min rises."""
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(3_000_000):
+            x = (x * 1103515245 + i) & 0xFFFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _window_guard() -> dict:
+    """Machine-load validity probe, embedded in the bench JSON so BENCH_rN
+    carries its own contamination bit instead of needing post-hoc
+    attribution (two rounds of driver benches were re-attributed to window
+    variance; this makes the recorded number self-describing)."""
+    load_1m = os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0
+    cpus = os.cpu_count() or 1
+    calib = _calibrate()
+    ratio = calib / _CALIB_REF_SEC
+    return {
+        "load_1m": round(load_1m, 2),
+        "cpus": cpus,
+        "calib_sec": round(calib, 4),
+        "calib_ref_sec": _CALIB_REF_SEC,
+        "calib_ratio": round(ratio, 3),
+        "contaminated": bool(
+            ratio > _CALIB_RATIO_FLAG or load_1m > cpus / 2
+        ),
+    }
+
+
 def main() -> None:
     # finally-guarded: a failed run must not leak RAM-backed checkpoint/
     # shuffle state in tmpfs (it survives the process until reboot).
@@ -82,6 +131,10 @@ def main() -> None:
 def _run() -> None:
     from debezium_emr_hudi_deltastreamer_sample_spark.queries import all_queries
     from debezium_emr_hudi_deltastreamer_sample_spark.session import get_spark
+
+    # Probe the window BEFORE the JVM spins up (the suite's own load must
+    # not pollute the "was this box busy" signal).
+    guard = _window_guard()
 
     extra = (
         {"spark.local.dir": os.path.join(_BENCH_TMP, "spark_local")}
@@ -120,6 +173,7 @@ def _run() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "guard": guard,
             }
         )
     )

@@ -22,13 +22,23 @@ is never moved; the CAS is the atomic creation of a tiny single FILE
 ``<name>.commit`` whose content is the staged directory's path — the
 Delta/Iceberg commit-pointer shape. Object stores CAN create one object
 conditionally (S3 conditional PUT / If-None-Match, GCS
-x-goog-if-generation-match:0; through Hadoop: ``FileSystem.
-createNewFile`` with ``fs.s3a.create.conditional.enabled=true``), so
-the claim is atomic where directory rename is not. The claim and the
-content fill are two steps through the Hadoop API, so readers treat an
-empty/unreadable pointer as in-flight and fall back to the previous
-commit (a crash between claim and fill burns the NAME, never publishes
-torn content — the next publisher allocates past it).
+x-goog-if-generation-match:0; through Hadoop: ``FileSystem.create``
+with ``overwrite=false`` and ``fs.s3a.create.conditional.enabled=true``
+on Hadoop >= 3.4.1), so the claim is atomic where directory rename is
+not. The claim carries its CONTENT in the same atomic operation — on a
+conditional-create store the object materializes fully written at
+``close()`` (one conditional PUT), and on the local filesystem the
+pointer is hard-linked into place already filled (link(2) fails EEXIST
+atomically) — so there is NO visible-but-unresolved window: an
+incremental publisher that merges from the newest resolved commit can
+never observe a claimed-newer-but-empty tip from a LIVE writer and
+build past it (that was a silent lost update; see pointer_commit).
+Readers still treat an empty/unreadable pointer as burned — legacy
+claims from the old two-step protocol, or external tools, stay
+skipped-for-reads / counted-for-allocation. Stores that can neither
+hard-link nor conditionally create REFUSE the pointer protocol loudly
+(``_require_conditional_create``) instead of silently degrading the
+CAS to exists-check + PUT, where two writers can both "win" a name.
 
 Protocol selection: ``SPARK_GRAFT_COMMIT_PROTOCOL`` env
 (``rename``/``pointer``) overrides for tests and fuzz lanes; otherwise
@@ -99,27 +109,146 @@ def rename_commit(fs, hpath, stage: str, target: str) -> bool:
     return True
 
 
+def _local_os_path(path: str) -> str | None:
+    """OS filesystem path for a local path/URI (``/p``, ``file:/p``,
+    ``file:///p``, ``file://localhost/p``), else None. Gate for the
+    hard-link claim in ``pointer_commit`` — link(2) only exists on a real
+    local filesystem."""
+    if path.startswith("/"):
+        return path
+    if not path.startswith("file:"):
+        return None
+    tail = path[len("file:"):]
+    if tail.startswith("//"):
+        tail = tail[2:]
+        slash = tail.find("/")
+        if slash == -1:
+            return None
+        host, tail = tail[:slash], tail[slash:]
+        if host not in ("", "localhost"):
+            return None
+    return tail or None
+
+
+#: Conditional-create capability, probed once per FileSystem URI. Keyed on
+#: the fs client, not the path: the capability is a property of the store
+#: (+ its Hadoop connector version/config), identical for every path on it.
+_CONDITIONAL_CREATE_OK: dict[str, bool] = {}
+
+
+def _require_conditional_create(fs, hpath, path: str) -> None:
+    """Fail LOUDLY when the pointer CAS cannot actually be atomic on this
+    store. On object stores, ``fs.create(path, overwrite=false)`` is only a
+    real compare-and-swap when the connector issues a conditional PUT
+    (S3A: Hadoop >= 3.4.1 with ``fs.s3a.create.conditional.enabled``);
+    without it the call degrades to exists-check + PUT, where two writers
+    can both "win" the same commit name and the later close() silently
+    clobbers the earlier pointer — the exact torn-commit class the pointer
+    protocol exists to close. Probed via ``hasPathCapability`` with the
+    documented config flag as the fallback signal; non-object-store
+    schemes (HDFS-semantics stores reached via the env override) pass
+    unconditionally — their ``create(overwrite=false)`` is an atomic
+    namenode operation already."""
+    scheme = path.split("://", 1)[0].split(":", 1)[0] if ":" in path else ""
+    if scheme.lower() not in _OBJECT_STORE_SCHEMES:
+        return
+    key = str(fs.getUri())
+    ok = _CONDITIONAL_CREATE_OK.get(key)
+    if ok is None:
+        ok = False
+        for cap in (
+            "fs.capability.conditional.create",
+            "fs.capability.create.conditional",
+        ):
+            try:
+                if fs.hasPathCapability(hpath(path), cap):
+                    ok = True
+                    break
+            except Exception:
+                pass
+        if not ok and scheme.lower() in ("s3", "s3a", "s3n"):
+            try:
+                ok = bool(
+                    fs.getConf().getBoolean(
+                        "fs.s3a.create.conditional.enabled", False
+                    )
+                )
+            except Exception:
+                ok = False
+        _CONDITIONAL_CREATE_OK[key] = ok
+    if not ok:
+        raise RuntimeError(
+            f"pointer commit protocol requires atomic conditional create on "
+            f"{scheme}:// but the FileSystem reports no such capability — "
+            "on S3A this needs Hadoop >= 3.4.1 with "
+            "fs.s3a.create.conditional.enabled=true. Refusing to publish "
+            "through a non-atomic CAS (two writers could both claim one "
+            "commit name). Enable conditional create, or set "
+            "SPARK_GRAFT_COMMIT_PROTOCOL=rename if this store has atomic "
+            "directory rename."
+        )
+
+
 def pointer_commit(fs, hpath, stage: str, target: str) -> bool:
     """Publish ``stage`` as commit ``target`` WITHOUT moving it: atomically
-    create the single pointer file ``<target>.commit`` (the CAS — see the
-    module docstring for why this is the object-store-safe shape), then
-    fill it with the staged directory's path. True iff this call claimed
+    create the single pointer file ``<target>.commit`` ALREADY FILLED with
+    the staged directory's path (the CAS — see the module docstring for
+    why this is the object-store-safe shape). True iff this call claimed
     the name; on False the stage is left in place for the caller, exactly
     like ``rename_commit`` (the pointer CAS never consumes the stage).
 
+    Claim and fill are ONE atomic operation — the round-10 two-step shape
+    (createNewFile, then write) left a visible-but-unresolved window in
+    which an incremental publisher (rollup, schema sidecar) could merge
+    from the stale resolved tip while allocating past the in-flight name,
+    publishing a successor that silently excluded the in-flight commit.
+    Local filesystem: content is written to a temp sibling and hard-linked
+    to the pointer name (link(2) fails EEXIST atomically; the name appears
+    fully written or not at all). Object stores: ``create(overwrite=false)``
+    + write + close is a single conditional PUT — the object materializes
+    with content at close() — guarded by ``_require_conditional_create``.
+
     Readers resolve the pointer through ``list_commits``; an empty pointer
-    (reader landed between claim and fill, or the filler crashed) resolves
-    to ``content=None`` — skipped for reads, counted for name allocation."""
+    (a legacy two-step claim whose filler crashed, or external tooling)
+    resolves to ``content=None`` — skipped for reads, counted for name
+    allocation."""
     ptr = f"{target}.commit"
     if fs.exists(hpath(target)) or fs.exists(hpath(ptr)):
         return False
+    data = stage.encode("utf-8")
+    local = _local_os_path(ptr)
+    if local is not None:
+        import uuid as _uuid
+
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        tmp = f"{local}.fill{_uuid.uuid4().hex}.tmp"
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, local)
+            except OSError:  # EEXIST: lost the CAS to a concurrent writer
+                return False
+            return True
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    _require_conditional_create(fs, hpath, ptr)
     try:
-        claimed = fs.createNewFile(hpath(ptr))
+        out = fs.create(hpath(ptr), False)
     except Exception:
-        claimed = False  # FileAlreadyExists via conditional-create stores
-    if not claimed:
+        return False  # FileAlreadyExists — lost the CAS
+    try:
+        out.write(bytearray(data))
+        out.close()
+    except Exception:
+        # close() is where the conditional PUT lands on object stores — a
+        # failure here IS a lost CAS (nothing materialized, or a racer won).
         return False
-    write_small_file(fs, hpath, ptr, stage.encode("utf-8"))
     return True
 
 

@@ -196,6 +196,24 @@ def routed_upsert_processor(
     return process
 
 
+def checkpoint_writer_id(checkpoint: str) -> str:
+    """Stable writer identity derived from the checkpoint location: same
+    checkpoint ⇒ same logical writer. This is what lets a crashed pipeline
+    restarted from its checkpoint — a NEW process — re-own its table's
+    writer-lease epoch with no manual ``take_over``, while a DIFFERENT
+    pipeline (other checkpoint) writing the same table is still fenced
+    with ConcurrentWriterError. Sound because Structured Streaming itself
+    enforces one active run per checkpoint (the checkpoint holds the
+    offset log — two live queries on one checkpoint conflict in Spark
+    before they reach the lease). Trailing slashes are normalized; paths
+    differing otherwise (relative vs absolute spellings) are distinct
+    writers by design — prefer absolute checkpoint locations."""
+    import hashlib
+
+    norm = checkpoint.rstrip("/")
+    return f"ckpt-{hashlib.sha256(norm.encode('utf-8')).hexdigest()[:16]}"
+
+
 def start_pipeline(
     stream: DataFrame,
     process: Callable[[DataFrame, int], None],
@@ -207,8 +225,23 @@ def start_pipeline(
     README.md:198-202). ``available_now=True`` = bounded replay of
     everything pending (B13's earliest-offset bootstrap, then stop);
     ``processing_time`` sets explicit pacing (the reference runs ASAP —
-    SURVEY.md §4 flags that as an anti-pattern)."""
-    writer = stream.writeStream.foreachBatch(process).option(
+    SURVEY.md §4 flags that as an anti-pattern).
+
+    Every table constructed inside ``process`` defaults its writer-lease
+    identity to ``checkpoint_writer_id(checkpoint)`` (thread-scoped, see
+    table.pipeline_writer_scope): the pipeline's A4 recovery path —
+    kill -9, restart from the same checkpoint in a new process — re-owns
+    its epochs automatically, with cross-checkpoint fencing intact.
+    Explicit ``writer_id`` arguments on a table still win."""
+    from ..table import pipeline_writer_scope
+
+    wid = checkpoint_writer_id(checkpoint)
+
+    def scoped_process(df: DataFrame, batch_id: int) -> None:
+        with pipeline_writer_scope(wid):
+            process(df, batch_id)
+
+    writer = stream.writeStream.foreachBatch(scoped_process).option(
         "checkpointLocation", checkpoint
     )
     if available_now:

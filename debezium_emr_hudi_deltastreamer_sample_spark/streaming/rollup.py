@@ -88,6 +88,10 @@ class IncrementalRollup:
         self.keys = list(keys)
         self.value_col = value_col
         self.keep_commits = max(1, keep_commits)
+        #: Claimed-but-never-resolved commit seqs this instance has already
+        #: waited out (legacy two-step pointer claims whose filler crashed):
+        #: once declared burned, later batches skip the unresolved-tip wait.
+        self._burned_seqs: set[int] = set()
         # Reserved partials-schema names: a key/ts/value column with one of
         # these would emit duplicate columns inside _partials (opaque
         # AMBIGUOUS_REFERENCE mid-apply) or be silently shadowed in read()
@@ -248,6 +252,28 @@ class IncrementalRollup:
         stalled, last_seq = 0, -1
         while stalled < 5:
             commits, next_seq = self._scan()
+            # Unresolved-tip guard: a CLAIMED name newer than the newest
+            # RESOLVED commit means an in-flight publisher (on a store
+            # where claim and fill are still two visible steps — the env-
+            # override HDFS pointer path; local/object-store claims are
+            # atomic-with-content since round 11) or a legacy burned claim.
+            # Merging from commits[-1] past it would publish a successor
+            # that EXCLUDES the in-flight commit — a silent lost update its
+            # (run, batch) dedup marker then makes permanent. Wait briefly
+            # for the fill; a claim that never resolves is burned (crashed
+            # filler) and is skipped for good.
+            for _ in range(4):
+                tip = commits[-1][0] if commits else -1
+                if next_seq - 1 <= tip or (next_seq - 1) in self._burned_seqs:
+                    break
+                import time as _time
+
+                _time.sleep(0.05)
+                commits, next_seq = self._scan()
+            else:
+                tip = commits[-1][0] if commits else -1
+                if next_seq - 1 > tip:
+                    self._burned_seqs.update(range(tip + 1, next_seq))
             stalled = 0 if next_seq > last_seq else stalled + 1
             last_seq = next_seq
             if batch_id <= max(

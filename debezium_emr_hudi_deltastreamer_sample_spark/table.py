@@ -27,6 +27,7 @@ from __future__ import annotations
 import sys
 import threading
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +70,13 @@ class SchemaSidecar:
     column order is stable, and no footer lottery remains. Missing or
     unreadable sidecar falls back to today's footer inference (+ the
     ``merge_schema`` knob), so pre-sidecar tables stay readable."""
+
+    #: Claimed-but-never-resolved sidecar versions already waited out
+    #: (legacy two-step pointer claims whose filler crashed). Process-wide:
+    #: sidecar objects are constructed per micro-batch, and re-paying the
+    #: unresolved-tip wait on every commit would tax the hot path for a
+    #: name that is burned forever.
+    _BURNED_VERSIONS: set[tuple[str, int]] = set()
 
     def __init__(self, spark: SparkSession, table_path: str) -> None:
         self.spark = spark
@@ -151,6 +159,28 @@ class SchemaSidecar:
         stalled, last_seq = 0, -1
         while stalled < 5:
             versions = self._versions(fs, hpath)
+            # Unresolved-tip guard (same rationale as IncrementalRollup.
+            # apply_batch): a claimed name newer than the newest parseable
+            # version may be an in-flight publisher on a store where claim
+            # and fill are two visible steps — unioning against the OLDER
+            # version and publishing past the in-flight one would reopen
+            # the vanishing-column hole the sidecar exists to close. Wait
+            # briefly for the fill; a claim that never resolves is burned
+            # and is remembered so later commits skip the wait.
+            for _ in range(4):
+                if not versions or versions[-1][1] is not None:
+                    break
+                if (self.dir, versions[-1][0]) in SchemaSidecar._BURNED_VERSIONS:
+                    break
+                import time as _time
+
+                _time.sleep(0.05)
+                versions = self._versions(fs, hpath)
+            else:
+                if versions and versions[-1][1] is None:
+                    SchemaSidecar._BURNED_VERSIONS.add(
+                        (self.dir, versions[-1][0])
+                    )
             top_seq = versions[-1][0] if versions else -1
             stalled = 0 if top_seq > last_seq else stalled + 1
             last_seq = top_seq
@@ -256,13 +286,46 @@ def _process_writer_id() -> str:
     return _PROCESS_WRITER_ID
 
 
+#: Thread-scoped writer identity override, set by streaming.pipeline.
+#: start_pipeline around each foreachBatch invocation: tables constructed
+#: INSIDE a checkpointed pipeline derive their writer id from the
+#: CHECKPOINT location, not the process — so a crashed pipeline restarted
+#: from its checkpoint (new pid) is the SAME logical writer and re-owns
+#: its epoch with no manual take_over, while a different pipeline (other
+#: checkpoint) writing the same table is still fenced. Thread-local
+#: because concurrent streaming queries run their foreachBatch functions
+#: on separate driver threads.
+_PIPELINE_WRITER = threading.local()
+
+
+@contextmanager
+def pipeline_writer_scope(writer_id: str):
+    """Scope a default writer identity over table constructions on this
+    thread (see ``_PIPELINE_WRITER``); explicit ``writer_id`` arguments
+    still win."""
+    prev = getattr(_PIPELINE_WRITER, "writer_id", None)
+    _PIPELINE_WRITER.writer_id = writer_id
+    try:
+        yield
+    finally:
+        _PIPELINE_WRITER.writer_id = prev
+
+
+def _default_writer_id() -> str:
+    wid = getattr(_PIPELINE_WRITER, "writer_id", None)
+    return wid if wid else _process_writer_id()
+
+
 #: Epoch commit dirs are immutable once published — owner resolution is
 #: memoized process-wide so the steady-state lease check costs ONE listing
 #: per data commit, no repeated small-file reads. (Corollary: wiping a
 #: table and recreating it at the SAME path within one process reuses any
 #: cached epoch owners — recreate under a fresh path, or the same
-#: writer_id, as every fixture here does.)
+#: writer_id, as every fixture here does.) FIFO-bounded: epochs per table
+#: are few, but a long-lived driver touching many thousands of tables
+#: must not grow this without limit.
 _LEASE_OWNER_CACHE: dict[str, str] = {}
+_LEASE_OWNER_CACHE_MAX = 4096
 
 
 class WriterLease:
@@ -281,9 +344,14 @@ class WriterLease:
       :class:`ConcurrentWriterError`, because proceeding is exactly the
       read→merge→overwrite interleave that loses updates silently.
     - ``take_over=True`` claims epoch N+1 over another writer's N — the
-      deliberate handover (crashed-pipeline restart, planned migration).
-      The OLD writer is thereby fenced: its next ``ensure()``/``check()``
-      sees a newer epoch it doesn't own and raises.
+      deliberate handover (planned migration, reclaiming from a dead
+      ad-hoc writer). The OLD writer is thereby fenced: its next
+      ``ensure()``/``check()`` sees a newer epoch it doesn't own and
+      raises. Consumed once by the table wrappers (``_ensure_lease``).
+      Checkpointed pipelines do NOT need it for crash restart: their
+      writer id derives from the checkpoint location
+      (streaming.pipeline.checkpoint_writer_id), so a restart from the
+      same checkpoint — even in a new process — already owns its epoch.
 
     What this does and does not guarantee: every steady-state concurrent
     writer fails LOUDLY before touching data; the residual window is one
@@ -297,7 +365,7 @@ class WriterLease:
         self.spark = spark
         self.dir = f"{table_path}__writer"
         self.stage_root = f"{table_path}__writer_stage"
-        self.writer_id = writer_id or _process_writer_id()
+        self.writer_id = writer_id or _default_writer_id()
 
     def _fs(self):
         from .fsutil import hadoop_fs
@@ -331,6 +399,10 @@ class WriterLease:
         if not data:
             return None
         owner = data.decode("utf-8").strip()
+        while len(_LEASE_OWNER_CACHE) >= _LEASE_OWNER_CACHE_MAX:
+            # FIFO eviction (insertion-ordered dict): oldest entries are
+            # retired epochs — re-resolving one is a single small-file read.
+            _LEASE_OWNER_CACHE.pop(next(iter(_LEASE_OWNER_CACHE)))
         _LEASE_OWNER_CACHE[uri] = owner
         return owner
 
@@ -520,6 +592,18 @@ class KeyedTable:
         #: time-travels to commit n. 0 = current behavior, no extra writes.
         self.keep_history = max(0, keep_history)
 
+    def _ensure_lease(self) -> None:
+        """Assert single-writer ownership, CONSUMING any takeover on the
+        first success: ``take_over=True`` is a one-shot fencing action —
+        left armed, two live writers both constructed with it would
+        ping-pong epochs indefinitely and interleave read-merge-overwrite
+        writes with no error (each re-taking the epoch before writing —
+        exactly the silent lost-update pattern the lease exists to
+        prevent). After consumption this writer is fenced like any other
+        if a newer takeover lands."""
+        self._lease.ensure(self.take_over)
+        self.take_over = False
+
     # -- read ---------------------------------------------------------------
 
     def exists(self) -> bool:
@@ -649,7 +733,23 @@ class KeyedTable:
                 f"could not publish snapshot commit at {self.path}__snapshots "
                 "after 5 rename attempts"
             )
-        for s, uri in existing[: -(self.keep_history - 1)] if self.keep_history > 1 else existing:
+        # Retention windows over RESOLVED (readable) snapshots only — a
+        # burned pointer name counted in the window would permanently
+        # displace one readable historical snapshot (keep_history=2 with a
+        # burned newest claim retained the burned name plus the new commit:
+        # ONE readable snapshot instead of two). Burned names are GC'd
+        # unconditionally, as compact() does for base versions; their seq
+        # then frees for reallocation, which is safe — a burned claim was
+        # never readable, so no as_of reader ever bound to it.
+        resolved = [(s, uri) for s, uri in existing if uri is not None]
+        keep = (
+            {s for s, _ in resolved[-(self.keep_history - 1):]}
+            if self.keep_history > 1
+            else set()
+        )
+        for s, uri in existing:
+            if s in keep:
+                continue
             delete_commit(fs, hpath, f"{self.path}__snapshots", f"s{s:012d}", uri)
         # The staged dir was renamed away; drop its (now empty) parent.
         # Non-recursive delete refuses a non-empty dir, so a concurrent
@@ -673,7 +773,7 @@ class KeyedTable:
         # interleaving read-merge-overwrite lost updates — and re-check
         # after, so a takeover that lands mid-write fences this writer
         # loudly rather than letting it keep publishing.
-        self._lease.ensure(self.take_over)
+        self._ensure_lease()
         writer = df.write.mode(mode)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -691,7 +791,7 @@ class KeyedTable:
         """Create/replace the table from a snapshot."""
         # Refuse up front (single-writer): a fenced writer must not even
         # widen the sidecar; _write re-checks as the last-line defense.
-        self._lease.ensure(self.take_over)
+        self._ensure_lease()
         if self.keep_history:
             # The snapshot publish re-executes this plan; materialize it
             # so a nondeterministic input (rand(), unordered limit,
@@ -739,7 +839,7 @@ class KeyedTable:
 
         # Refuse up front: no sidecar widening, no wasted merge compute,
         # for a commit the lease would reject at _write anyway.
-        self._lease.ensure(self.take_over)
+        self._ensure_lease()
         if not self.exists():
             # Precombine BEFORE dropping deletes: a key whose newest change
             # in this first batch is a delete must not resurrect through an
@@ -907,7 +1007,7 @@ class KeyedTable:
     def compact_history(self, history: DataFrame) -> None:
         """Bootstrap from a full change history (B13 earliest replay):
         one global latest-wins pass instead of per-batch merges."""
-        self._lease.ensure(self.take_over)
+        self._ensure_lease()
         empty = self.spark.createDataFrame(
             [], history.select(*self._row_columns(history)).schema
         )
@@ -1005,6 +1105,12 @@ class DeltaLogTable:
         #: it explicitly, so drifted columns survive with the knob off.
         self.merge_schema = merge_schema
         self.delta_schema_sidecar = SchemaSidecar(spark, f"{path}/delta")
+
+    def _ensure_lease(self) -> None:
+        """Single-writer assert with one-shot takeover consumption — same
+        contract as KeyedTable._ensure_lease (see its docstring)."""
+        self._lease.ensure(self.take_over)
+        self.take_over = False
 
     def _base(self) -> str:
         # Legacy (pre-MVCC) single-dir base layout; still readable.
@@ -1190,7 +1296,7 @@ class DeltaLogTable:
         (idempotent per batch id: a replay overwrites its own directory).
         A named seam so crash-injection tests can kill the commit between
         the schema publish and the data landing."""
-        self._lease.ensure(self.take_over)
+        self._ensure_lease()
         changes.write.mode("overwrite").parquet(
             f"{self._delta()}/ingest_batch={batch_id}"
         )
@@ -1204,7 +1310,7 @@ class DeltaLogTable:
         against a base that already folded them."""
         # Refuse up front (single-writer ingest): a fenced writer must not
         # even widen the delta sidecar; _write_delta re-checks.
-        self._lease.ensure(self.take_over)
+        self._ensure_lease()
         # Widen the sidecar BEFORE the append (same crash-ordering
         # rationale as KeyedTable.upsert's publish-before-write): a
         # drifted batch on disk under a stale-narrow sidecar would vanish
@@ -1537,7 +1643,14 @@ class DeltaLogTable:
         # previous newest RESOLVED version is the one retained.
         from .fsutil import delete_commit
 
-        keep_uri = versions[-1][2] if versions else None
+        # keep_uri from the COMMITS listing (the freshest one we hold), not
+        # the earlier `versions` listing: a concurrent compaction's version
+        # published between the two listings is in `commits` but not in
+        # `versions` — keying retention off the stale list would delete it
+        # moments after it was published, failing an in-flight reader that
+        # just resolved it (violating the keep-two-newest rule).
+        resolved_commits = [u for _, _, u in commits if u is not None]
+        keep_uri = resolved_commits[-1] if resolved_commits else None
         for s, t, uri in commits:
             if uri is not None and uri == keep_uri:
                 continue
