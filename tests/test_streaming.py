@@ -1033,13 +1033,32 @@ def test_mor_pipeline_restart_and_replay_idempotent(spark, tmp_path):
     assert final == {1: "a2", 3: "c", 4: "d"}
     # Replay the last delta batch id with the same changes: idempotent.
     # (Materialize first — a real replay arrives from the SOURCE, not from
-    # the delta directory the append is about to overwrite.)
-    batches = t.delta_batches()
+    # the delta directory the append is about to overwrite.) A replay is
+    # the PIPELINE re-delivering, so it writes under the pipeline's
+    # checkpoint-derived lease identity (round 11) — an ad-hoc writer id
+    # on a pipeline-owned table is correctly fenced now (see
+    # test_cross_process.py).
+    from debezium_emr_hudi_deltastreamer_sample_spark.streaming.pipeline import (
+        checkpoint_writer_id,
+    )
+
+    replayer = DeltaLogTable(
+        spark, table, keys=["id"], writer_id=checkpoint_writer_id(ckpt)
+    )
+    batches = replayer.delta_batches()
     replay = spark.read.parquet(
         f"{table}/delta/ingest_batch={batches[-1]}"
     ).localCheckpoint(eager=True)
-    t.append_changes(replay, batches[-1])
-    assert {r.id: r.full_name for r in t.read().collect()} == final
+    replayer.append_changes(replay, batches[-1])
+    assert {r.id: r.full_name for r in replayer.read().collect()} == final
+    # The ad-hoc reader keeps working (reads are never lease-gated); an
+    # ad-hoc WRITE on the pipeline-owned table raises.
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import (
+        ConcurrentWriterError,
+    )
+
+    with pytest.raises(ConcurrentWriterError):
+        t.append_changes(replay, batches[-1] + 1)
 
 
 def test_python_stream_source_paces_and_restarts(spark, tmp_path):
