@@ -109,11 +109,28 @@ def rename_commit(fs, hpath, stage: str, target: str) -> bool:
     return True
 
 
+def _fs_is_local(fs) -> bool:
+    """True iff the RESOLVED FileSystem client is the local filesystem.
+    The hard-link claim must be gated on this, not on path shape: a
+    scheme-less ``/table`` path resolves through ``fs.defaultFS``, and
+    with ``hdfs://`` as the default (the documented env-override HDFS
+    pointer path) a shape-only gate would hard-link the pointer onto the
+    DRIVER'S local disk while every fs.exists/list_commits consults HDFS —
+    publish_commit "succeeds" but no reader ever sees the commit, and two
+    drivers on different nodes can both win the same name."""
+    try:
+        return str(fs.getUri()).startswith("file:")
+    except Exception:
+        return False
+
+
 def _local_os_path(path: str) -> str | None:
     """OS filesystem path for a local path/URI (``/p``, ``file:/p``,
-    ``file:///p``, ``file://localhost/p``), else None. Gate for the
-    hard-link claim in ``pointer_commit`` — link(2) only exists on a real
-    local filesystem."""
+    ``file:///p``, ``file://localhost/p``), else None. One of the TWO
+    gates for the hard-link claim in ``pointer_commit`` — link(2) only
+    exists on a real local filesystem, and the resolved FileSystem must
+    agree (``_fs_is_local``): a scheme-less path under a non-local
+    fs.defaultFS is NOT local even though it starts with ``/``."""
     if path.startswith("/"):
         return path
     if not path.startswith("file:"):
@@ -216,7 +233,11 @@ def pointer_commit(fs, hpath, stage: str, target: str) -> bool:
     if fs.exists(hpath(target)) or fs.exists(hpath(ptr)):
         return False
     data = stage.encode("utf-8")
-    local = _local_os_path(ptr)
+    # Hard-link branch requires BOTH a local-shaped path AND a local
+    # resolved FileSystem (see _fs_is_local) — a scheme-less path under
+    # hdfs:// defaultFS must fall through to the fs.create CAS below,
+    # which is an atomic namenode op on HDFS-semantics stores.
+    local = _local_os_path(ptr) if _fs_is_local(fs) else None
     if local is not None:
         import uuid as _uuid
 
@@ -229,8 +250,22 @@ def pointer_commit(fs, hpath, stage: str, target: str) -> bool:
                 os.fsync(fh.fileno())
             try:
                 os.link(tmp, local)
-            except OSError:  # EEXIST: lost the CAS to a concurrent writer
+            except FileExistsError:  # lost the CAS to a concurrent writer
                 return False
+            except OSError as e:
+                # Anything OTHER than EEXIST is not a lost CAS — it is the
+                # store refusing link(2) itself (FUSE/NFS/overlay mounts
+                # without hard-link support). Returning False here would
+                # make every attempt "lose", burn 5 fresh seq names and
+                # die with a misleading rename-failure error; refuse
+                # loudly with the real cause instead.
+                raise RuntimeError(
+                    f"pointer commit at {local}: this filesystem refused "
+                    f"hard links ({e.strerror or e}) — the local pointer "
+                    "CAS needs link(2). Use "
+                    "SPARK_GRAFT_COMMIT_PROTOCOL=rename on this store, or "
+                    "move the table to a link-capable filesystem."
+                ) from e
             return True
         finally:
             try:
@@ -261,6 +296,51 @@ def publish_commit(fs, hpath, stage: str, target: str) -> bool:
     if commit_protocol(target) == "pointer":
         return pointer_commit(fs, hpath, stage, target)
     return rename_commit(fs, hpath, stage, target)
+
+
+def claim_stall_budget() -> float:
+    """Quiescence budget (seconds) before a claimed-but-unresolved commit
+    name may be declared burned. Env-overridable
+    (``SPARK_GRAFT_CLAIM_STALL_SEC``) so fuzz lanes and tests can tighten
+    or stretch it; the default trades ~1 s of publisher latency — paid
+    ONLY when an unresolved claim is actually in the way, never on the
+    hot path — for surviving multi-hundred-ms filler pauses (GC, slow
+    namenode) on the legacy two-step pointer stores."""
+    try:
+        return float(os.environ.get("SPARK_GRAFT_CLAIM_STALL_SEC", "1.0"))
+    except ValueError:
+        return 1.0
+
+
+def claim_is_stalled(
+    fs, hpath, ptr_path: str, seen: dict[str, tuple[object, float]],
+    budget_sec: float | None = None,
+) -> bool:
+    """Stall-based burned-claim arbiter: True only when the claim pointer
+    at ``ptr_path`` has shown NO liveness — (mtime, length) signature
+    unchanged — for ``budget_sec`` of monotonic time. A fixed wait count
+    (the round-11 shape, 4×50 ms) burned any LIVE legacy two-step filler
+    that paused >200 ms between create and close; the stall clock instead
+    resets whenever the claim's signature advances, so only a genuinely
+    quiescent claim ages toward burned. ``seen`` is the caller's
+    observation memory (ptr_path → (signature, first-seen-at)); a missing
+    pointer file (hole from retention, or rename-protocol name) yields a
+    None signature and ages like any other quiescent claim."""
+    import time as _time
+
+    if budget_sec is None:
+        budget_sec = claim_stall_budget()
+    try:
+        st = fs.getFileStatus(hpath(ptr_path))
+        sig: object = (st.getModificationTime(), st.getLen())
+    except Exception:
+        sig = None
+    now = _time.monotonic()
+    prev = seen.get(ptr_path)
+    if prev is None or prev[0] != sig:
+        seen[ptr_path] = (sig, now)
+        return False
+    return (now - prev[1]) >= budget_sec
 
 
 def list_commits(fs, hpath, spark, dir_path: str) -> list[tuple[str, str | None]]:

@@ -17,7 +17,7 @@ from . import analytics, cdc, extended, llm, pipeline, relational, streaming, tp
 _MODULES = (relational, cdc, llm, streaming, extended, pipeline, tpch, analytics)
 
 # Latest round each query name was covered by the driver's 50-entry
-# correctness sample (union of CORRECTNESS_r01..r10.json — all 218 names have
+# correctness sample (union of CORRECTNESS_r01..r11.json — all 218 names have
 # been sampled at least once; all green at latest sample). Names are stable
 # across rounds by contract; enumerating oldest-sampled FIRST makes each
 # driver sample re-certify the rows that have aged the most through
@@ -27,30 +27,30 @@ _LAST_SAMPLED_ROUND: dict[str, int] = {
     "agg_approx_distinct": 10, "agg_bitmap_distinct": 10,
     "agg_collect_pivot": 10, "agg_corr_covar": 8, "agg_countif_bool": 9,
     "agg_cube": 10, "agg_decimal_exact": 8, "agg_grouping_id": 9,
-    "agg_grouping_sets": 8, "agg_hll_sketch": 7, "agg_listagg": 8,
-    "agg_mode_median": 9, "agg_multi_distinct": 9, "agg_percentile_approx": 7,
+    "agg_grouping_sets": 8, "agg_hll_sketch": 11, "agg_listagg": 8,
+    "agg_mode_median": 9, "agg_multi_distinct": 9, "agg_percentile_approx": 11,
     "agg_percentiles": 10, "agg_regression": 10, "agg_rollup": 10,
     "agg_skew_kurtosis": 9, "agg_skew_twophase": 9, "agg_stats_events": 10,
-    "cdc_apply_deletes": 7, "cdc_asof_join": 7, "cdc_avro_roundtrip": 7,
-    "cdc_catalog_sync": 8, "cdc_envelope_roundtrip": 7, "cdc_hot_keys": 9,
-    "cdc_incremental_join_view": 7, "cdc_incremental_read": 7,
-    "cdc_latest_by_key": 7, "cdc_merge_upsert": 7, "cdc_mor_table": 7,
-    "cdc_mor_time_travel": 8, "cdc_scd2_history": 7,
-    "cdc_schema_evolution": 7, "cdc_time_travel": 7, "cdc_topic_to_table": 7,
+    "cdc_apply_deletes": 11, "cdc_asof_join": 11, "cdc_avro_roundtrip": 11,
+    "cdc_catalog_sync": 8, "cdc_envelope_roundtrip": 11, "cdc_hot_keys": 9,
+    "cdc_incremental_join_view": 11, "cdc_incremental_read": 11,
+    "cdc_latest_by_key": 11, "cdc_merge_upsert": 11, "cdc_mor_table": 11,
+    "cdc_mor_time_travel": 8, "cdc_scd2_history": 11,
+    "cdc_schema_evolution": 11, "cdc_time_travel": 11, "cdc_topic_to_table": 11,
     "distinct_flags": 10, "filter_nullsafe_eq": 8, "filter_predicates": 10,
-    "forecast_revenue": 7, "fuzzy_name_pairs": 8, "join_anti": 10,
+    "forecast_revenue": 11, "fuzzy_name_pairs": 8, "join_anti": 10,
     "join_cross_small": 10, "join_full_outer": 10, "join_interval_overlap": 8,
     "join_left_outer": 10, "join_nullaware_anti": 9, "join_range_binned": 8,
     "join_right_outer": 10, "join_salted_skew": 8, "join_semi": 10,
     "join_star_revenue": 10, "join_theta_range": 10,
-    "llm_bloom_decontaminate": 7, "llm_bpe_apply": 7,
-    "llm_bpe_merge_pairs": 7, "llm_bpe_token_count": 7,
-    "llm_cluster_canonical": 7, "llm_corpus_clean": 7,
-    "llm_corpus_fingerprint": 8, "llm_cosine_ivf": 7, "llm_cosine_lsh": 7,
-    "llm_cosine_topk": 7, "llm_decontaminate": 8, "llm_dedup_clusters": 7,
-    "llm_dedup_clusters_exact": 7, "llm_domain_cap": 7,
-    "llm_embed_neardup": 7, "llm_embed_neardup_lsh": 7,
-    "llm_embed_quantize": 8, "llm_embedding_stats": 7, "llm_exact_dedup": 7,
+    "llm_bloom_decontaminate": 11, "llm_bpe_apply": 11,
+    "llm_bpe_merge_pairs": 11, "llm_bpe_token_count": 11,
+    "llm_cluster_canonical": 11, "llm_corpus_clean": 11,
+    "llm_corpus_fingerprint": 8, "llm_cosine_ivf": 11, "llm_cosine_lsh": 11,
+    "llm_cosine_topk": 11, "llm_decontaminate": 8, "llm_dedup_clusters": 11,
+    "llm_dedup_clusters_exact": 11, "llm_domain_cap": 11,
+    "llm_embed_neardup": 11, "llm_embed_neardup_lsh": 11,
+    "llm_embed_quantize": 8, "llm_embedding_stats": 11, "llm_exact_dedup": 11,
     "llm_filtered_topk": 9, "llm_fingerprint": 7, "llm_graph_triangles": 7,
     "llm_graph_triangles_count": 10, "llm_graph_triangles_exact": 8,
     "llm_heavy_hitters": 8, "llm_index_maintain": 7, "llm_kmeans_clusters": 7,
@@ -97,21 +97,21 @@ _LAST_SAMPLED_ROUND: dict[str, int] = {
     "stream_temporal_join": 8, "stream_tumbling_counts": 8,
     "stream_window_topk": 9, "table_compact_roundtrip": 7,
     "top_orders_global": 10, "tpch_q10_returned_items": 10,
-    "tpch_q11_important_parts": 10, "tpch_q12_late_priority_lines": 6,
-    "tpch_q13_order_distribution": 6, "tpch_q14_promo_effect": 10,
-    "tpch_q15_top_supplier": 10, "tpch_q16_supplier_part_counts": 6,
-    "tpch_q17_small_qty_revenue": 6, "tpch_q18_large_orders": 10,
-    "tpch_q19_bracket_revenue": 10, "tpch_q20_promotable_suppliers": 6,
-    "tpch_q21_waiting_supplier": 6, "tpch_q22_idle_customers": 10,
-    "tpch_q2_min_cost_supplier": 6, "tpch_q4_priority_check": 6,
-    "tpch_q5_local_supplier_volume": 6, "tpch_q7_nation_volume": 10,
-    "tpch_q8_market_share": 10, "tpch_q9_product_profit": 6, "ts_gap_fill": 10,
-    "ts_interpolate": 6, "udf_arrow_batch": 10, "udf_grouped_arrow": 6,
-    "udf_grouped_zscore": 9, "udf_pandas_udaf": 6, "udtf_doc_chunks": 10,
+    "tpch_q11_important_parts": 10, "tpch_q12_late_priority_lines": 11,
+    "tpch_q13_order_distribution": 11, "tpch_q14_promo_effect": 10,
+    "tpch_q15_top_supplier": 10, "tpch_q16_supplier_part_counts": 11,
+    "tpch_q17_small_qty_revenue": 11, "tpch_q18_large_orders": 10,
+    "tpch_q19_bracket_revenue": 10, "tpch_q20_promotable_suppliers": 11,
+    "tpch_q21_waiting_supplier": 11, "tpch_q22_idle_customers": 10,
+    "tpch_q2_min_cost_supplier": 11, "tpch_q4_priority_check": 11,
+    "tpch_q5_local_supplier_volume": 11, "tpch_q7_nation_volume": 10,
+    "tpch_q8_market_share": 10, "tpch_q9_product_profit": 11, "ts_gap_fill": 10,
+    "ts_interpolate": 11, "udf_arrow_batch": 10, "udf_grouped_arrow": 11,
+    "udf_grouped_zscore": 9, "udf_pandas_udaf": 11, "udtf_doc_chunks": 10,
     "unpivot_metrics": 9, "window_count_distinct": 10, "window_cume_dist": 9,
-    "window_first_last": 9, "window_lag_lead": 6, "window_pattern_match": 6,
-    "window_rank_ntile": 6, "window_running_frames": 6,
-    "window_time_range": 9, "window_topk_per_group": 6,
+    "window_first_last": 9, "window_lag_lead": 11, "window_pattern_match": 11,
+    "window_rank_ntile": 11, "window_running_frames": 11,
+    "window_time_range": 9, "window_topk_per_group": 11,
 }
 
 

@@ -202,16 +202,73 @@ def checkpoint_writer_id(checkpoint: str) -> str:
     restarted from its checkpoint — a NEW process — re-own its table's
     writer-lease epoch with no manual ``take_over``, while a DIFFERENT
     pipeline (other checkpoint) writing the same table is still fenced
-    with ConcurrentWriterError. Sound because Structured Streaming itself
-    enforces one active run per checkpoint (the checkpoint holds the
-    offset log — two live queries on one checkpoint conflict in Spark
-    before they reach the lease). Trailing slashes are normalized; paths
-    differing otherwise (relative vs absolute spellings) are distinct
-    writers by design — prefer absolute checkpoint locations."""
+    with ConcurrentWriterError.
+
+    Soundness scope: WITHIN one Spark application, Structured Streaming
+    enforces one active run per checkpoint. It does NOT fence two separate
+    driver PROCESSES pointed at the same checkpointLocation — that
+    misconfiguration already interleaves Spark's own offset log, and with
+    a shared checkpoint-derived writer id the two drivers also share the
+    table lease, so table writes interleave without a
+    ConcurrentWriterError. ``start_pipeline`` therefore records a
+    pid/host owner marker beside the checkpoint and logs LOUDLY when a
+    different live-looking process's marker is already there (see
+    ``_note_pipeline_owner``) — detection, not prevention: fixing the
+    misconfiguration means giving each pipeline its own checkpoint.
+
+    Trailing slashes are normalized; paths differing otherwise (relative
+    vs absolute spellings) are distinct writers by design — prefer
+    absolute checkpoint locations."""
     import hashlib
 
     norm = checkpoint.rstrip("/")
     return f"ckpt-{hashlib.sha256(norm.encode('utf-8')).hexdigest()[:16]}"
+
+
+def _note_pipeline_owner(spark, checkpoint: str) -> None:
+    """Best-effort shared-checkpoint detection: write a ``__engine_owner``
+    marker (pid + host + start time) into the checkpoint dir; if one from
+    a DIFFERENT pid/host is already present, warn loudly — two live driver
+    processes on one checkpointLocation share a checkpoint-derived writer
+    id and are NOT fenced by the table lease (see checkpoint_writer_id).
+    A marker is evidence, not proof (the other process may have crashed),
+    so this logs and proceeds; it never blocks a legitimate restart.
+    Underscore-prefixed name keeps Spark's checkpoint reader indifferent;
+    every failure here is swallowed — detection must never break the
+    pipeline."""
+    import logging
+    import os as _os
+    import socket
+    import time as _time
+
+    try:
+        from ..fsutil import hadoop_fs, read_small_file, write_small_file
+
+        fs, hpath = hadoop_fs(spark, checkpoint)
+        marker = f"{checkpoint.rstrip('/')}/__engine_owner"
+        me = f"{socket.gethostname()}:{_os.getpid()}"
+        try:
+            prev = read_small_file(fs, hpath, spark, marker)
+        except Exception:
+            prev = None
+        if prev:
+            owner = prev.decode("utf-8", "replace").split("\n", 1)[0]
+            if owner != me:
+                logging.getLogger(__name__).warning(
+                    "checkpoint %s carries an owner marker from %s; if that "
+                    "process is still alive, two pipelines share one "
+                    "checkpointLocation — they also share a writer id, so "
+                    "table writes will interleave UNFENCED (and Spark's "
+                    "offset log is already corrupted). Give each pipeline "
+                    "its own checkpoint.",
+                    checkpoint, owner,
+                )
+        write_small_file(
+            fs, hpath, marker,
+            f"{me}\nstarted={_time.time():.3f}\n".encode(),
+        )
+    except Exception:
+        pass
 
 
 def start_pipeline(
@@ -236,6 +293,7 @@ def start_pipeline(
     from ..table import pipeline_writer_scope
 
     wid = checkpoint_writer_id(checkpoint)
+    _note_pipeline_owner(stream.sparkSession, checkpoint)
 
     def scoped_process(df: DataFrame, batch_id: int) -> None:
         with pipeline_writer_scope(wid):

@@ -46,7 +46,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fsutil import publish_commit
+from ..fsutil import claim_is_stalled, publish_commit
 
 # Current commit naming: seq-only directory name (true CAS — two writers
 # at the same seq MUST collide on the name, whatever batch/run they carry)
@@ -91,7 +91,13 @@ class IncrementalRollup:
         #: Claimed-but-never-resolved commit seqs this instance has already
         #: waited out (legacy two-step pointer claims whose filler crashed):
         #: once declared burned, later batches skip the unresolved-tip wait.
+        #: A seq that later RESOLVES leaves the set (late fill — the claim
+        #: was alive after all) so the next merge builds from it.
         self._burned_seqs: set[int] = set()
+        #: Claim-pointer observation memory for the stall-based burned
+        #: arbiter (fsutil.claim_is_stalled): ptr path → (signature,
+        #: first-seen-at-monotonic).
+        self._claim_seen: dict[str, tuple[object, float]] = {}
         # Reserved partials-schema names: a key/ts/value column with one of
         # these would emit duplicate columns inside _partials (opaque
         # AMBIGUOUS_REFERENCE mid-apply) or be silently shadowed in read()
@@ -249,9 +255,13 @@ class IncrementalRollup:
         # count it toward giving up; only no-progress attempts (persistent
         # rename/FS failures) do. A fixed attempt count starved healthy
         # publishers under real contention (tests/test_concurrency_hunt).
-        stalled, last_seq = 0, -1
+        stalled, last_mark = 0, (-1, -1)
         while stalled < 5:
             commits, next_seq = self._scan()
+            # Late resolution: a seq we once declared burned that now shows
+            # RESOLVED was a live filler after all — drop it so the merge
+            # below builds from it instead of forever excluding its data.
+            self._burned_seqs.difference_update(s for s, _, _, _, _ in commits)
             # Unresolved-tip guard: a CLAIMED name newer than the newest
             # RESOLVED commit means an in-flight publisher (on a store
             # where claim and fill are still two visible steps — the env-
@@ -259,23 +269,42 @@ class IncrementalRollup:
             # atomic-with-content since round 11) or a legacy burned claim.
             # Merging from commits[-1] past it would publish a successor
             # that EXCLUDES the in-flight commit — a silent lost update its
-            # (run, batch) dedup marker then makes permanent. Wait briefly
-            # for the fill; a claim that never resolves is burned (crashed
-            # filler) and is skipped for good.
-            for _ in range(4):
-                tip = commits[-1][0] if commits else -1
-                if next_seq - 1 <= tip or (next_seq - 1) in self._burned_seqs:
-                    break
-                import time as _time
+            # (run, batch) dedup marker then makes permanent. Stall-based
+            # budget (fsutil.claim_is_stalled): keep waiting while the
+            # claim pointer shows liveness; declare burned only after it
+            # has been quiescent for the full stall budget — a fixed 4×50 ms
+            # wait burned any LIVE filler that paused >200 ms (GC pause,
+            # slow namenode) and made the exclusion permanent.
+            import time as _time
 
-                _time.sleep(0.05)
-                commits, next_seq = self._scan()
-            else:
+            delay = 0.05
+            while True:
                 tip = commits[-1][0] if commits else -1
-                if next_seq - 1 > tip:
-                    self._burned_seqs.update(range(tip + 1, next_seq))
-            stalled = 0 if next_seq > last_seq else stalled + 1
-            last_seq = next_seq
+                gap = [
+                    s for s in range(tip + 1, next_seq)
+                    if s not in self._burned_seqs
+                ]
+                if not gap:
+                    break
+                if all(
+                    claim_is_stalled(
+                        fs, hpath,
+                        f"{self._commits_dir()}/c{s:012d}.commit",
+                        self._claim_seen,
+                    )
+                    for s in gap
+                ):
+                    self._burned_seqs.update(gap)
+                    break
+                _time.sleep(delay)
+                delay = min(delay * 2, 0.4)
+                commits, next_seq = self._scan()
+                self._burned_seqs.difference_update(
+                    s for s, _, _, _, _ in commits
+                )
+            tip = commits[-1][0] if commits else -1
+            stalled = 0 if (next_seq, tip) > last_mark else stalled + 1
+            last_mark = (next_seq, tip)
             if batch_id <= max(
                 (b for _, b, r, _, _ in commits if r == run), default=-1
             ):
@@ -315,6 +344,25 @@ class IncrementalRollup:
                     hpath(f"{stage}/_applied_b{batch_id:012d}_{run}")
                 )
                 fs.mkdirs(hpath(self._commits_dir()))
+                # Late-resolution recheck: when this merge builds PAST
+                # burned names, one final listing right before the CAS —
+                # if any of them resolved meanwhile (a stalled-but-alive
+                # legacy filler finished its fill), our merge is stale and
+                # publishing it would permanently exclude that commit's
+                # batch. Rebuild from the new tip instead. Costs one
+                # listing, and only on the burned-gap path — never on the
+                # contiguous hot path.
+                if any(
+                    s in self._burned_seqs for s in range(tip + 1, next_seq)
+                ):
+                    fresh, _ = self._scan()
+                    fresh_tip = fresh[-1][0] if fresh else -1
+                    if fresh_tip > tip:
+                        self._burned_seqs.difference_update(
+                            s for s, _, _, _, _ in fresh
+                        )
+                        fs.delete(hpath(stage), True)
+                        continue
                 committed = publish_commit(
                     fs, hpath, stage, f"{self._commits_dir()}/{token}"
                 )

@@ -78,6 +78,13 @@ class SchemaSidecar:
     #: name that is burned forever.
     _BURNED_VERSIONS: set[tuple[str, int]] = set()
 
+    #: Claim-pointer observation memory for the stall-based burned arbiter
+    #: (fsutil.claim_is_stalled), process-wide for the same reason as
+    #: _BURNED_VERSIONS. Bounded: entries are (ptr path → signature) pairs
+    #: and a long-lived driver touching many tables must not grow this
+    #: without limit (FIFO eviction, like _LEASE_OWNER_CACHE).
+    _CLAIM_SEEN: dict[str, tuple[object, float]] = {}
+
     def __init__(self, spark: SparkSession, table_path: str) -> None:
         self.spark = spark
         self.dir = f"{table_path}__schema"
@@ -159,28 +166,52 @@ class SchemaSidecar:
         stalled, last_seq = 0, -1
         while stalled < 5:
             versions = self._versions(fs, hpath)
+            # Late resolution: a version we once declared burned that now
+            # shows RESOLVED was a live filler after all — drop it so the
+            # union below includes its columns.
+            SchemaSidecar._BURNED_VERSIONS.difference_update(
+                (self.dir, s) for s, uri in versions if uri is not None
+            )
             # Unresolved-tip guard (same rationale as IncrementalRollup.
             # apply_batch): a claimed name newer than the newest parseable
             # version may be an in-flight publisher on a store where claim
             # and fill are two visible steps — unioning against the OLDER
             # version and publishing past the in-flight one would reopen
-            # the vanishing-column hole the sidecar exists to close. Wait
-            # briefly for the fill; a claim that never resolves is burned
-            # and is remembered so later commits skip the wait.
-            for _ in range(4):
-                if not versions or versions[-1][1] is not None:
-                    break
-                if (self.dir, versions[-1][0]) in SchemaSidecar._BURNED_VERSIONS:
-                    break
-                import time as _time
+            # the vanishing-column hole the sidecar exists to close.
+            # Stall-based budget (fsutil.claim_is_stalled): wait while the
+            # claim pointer shows liveness; only a claim quiescent for the
+            # full budget is burned — a fixed 4×50 ms wait burned any LIVE
+            # filler that paused >200 ms between create and close.
+            import time as _time
 
-                _time.sleep(0.05)
-                versions = self._versions(fs, hpath)
-            else:
-                if versions and versions[-1][1] is None:
+            from .fsutil import claim_is_stalled
+
+            delay = 0.05
+            while (
+                versions
+                and versions[-1][1] is None
+                and (self.dir, versions[-1][0])
+                not in SchemaSidecar._BURNED_VERSIONS
+            ):
+                while len(SchemaSidecar._CLAIM_SEEN) >= 4096:
+                    SchemaSidecar._CLAIM_SEEN.pop(
+                        next(iter(SchemaSidecar._CLAIM_SEEN))
+                    )
+                if claim_is_stalled(
+                    fs, hpath,
+                    f"{self.dir}/v{versions[-1][0]:012d}.commit",
+                    SchemaSidecar._CLAIM_SEEN,
+                ):
                     SchemaSidecar._BURNED_VERSIONS.add(
                         (self.dir, versions[-1][0])
                     )
+                    break
+                _time.sleep(delay)
+                delay = min(delay * 2, 0.4)
+                versions = self._versions(fs, hpath)
+                SchemaSidecar._BURNED_VERSIONS.difference_update(
+                    (self.dir, s) for s, uri in versions if uri is not None
+                )
             top_seq = versions[-1][0] if versions else -1
             stalled = 0 if top_seq > last_seq else stalled + 1
             last_seq = top_seq
@@ -205,11 +236,44 @@ class SchemaSidecar:
                 fs, hpath, f"{stage}/schema.json", want.json().encode("utf-8")
             )
             seq = versions[-1][0] + 1 if versions else 0
+            # Late-resolution recheck: when publishing past a burned tip,
+            # one final listing right before the CAS — if a claim resolved
+            # meanwhile (stalled-but-alive filler finished), the schema we
+            # unioned from is stale and publishing past it could narrow
+            # the sidecar. Rebuild instead. One listing, only on the
+            # burned-tip path — never when the tip was resolved.
+            if versions and versions[-1][1] is None:
+                old_resolved = max(
+                    (s for s, uri in versions if uri is not None), default=-1
+                )
+                fresh = self._versions(fs, hpath)
+                if max(
+                    (s for s, uri in fresh if uri is not None), default=-1
+                ) > old_resolved:
+                    SchemaSidecar._BURNED_VERSIONS.difference_update(
+                        (self.dir, s) for s, uri in fresh if uri is not None
+                    )
+                    try:
+                        fs.delete(hpath(stage), True)
+                    except Exception:
+                        pass
+                    continue
             if publish_commit(fs, hpath, stage, f"{self.dir}/v{seq:012d}"):
-                # Retention: keep this one + the previous (in-flight
-                # readers); drop older (burned pointers included — this is
-                # their GC).
-                for s, uri in versions[:-1]:
+                # Retention: keep this one + the newest RESOLVED
+                # predecessor (in-flight readers of the previous version
+                # stay valid); drop everything else, burned pointer names
+                # included — this is their GC. Keeping versions[-1]
+                # unconditionally retained a BURNED tip while deleting the
+                # newest parseable predecessor, silently dropping the
+                # keep-one-predecessor guarantee exactly when the tip was
+                # unreadable.
+                keep_prev = max(
+                    (s for s, uri in versions if uri is not None),
+                    default=None,
+                )
+                for s, uri in versions:
+                    if s == keep_prev:
+                        continue
                     delete_commit(fs, hpath, self.dir, f"v{s:012d}", uri)
                 try:
                     fs.delete(hpath(self.stage_root), False)
@@ -327,6 +391,25 @@ def _default_writer_id() -> str:
 _LEASE_OWNER_CACHE: dict[str, str] = {}
 _LEASE_OWNER_CACHE_MAX = 4096
 
+#: Last heartbeat touch per (lease dir, writer id), in-process rate limit
+#: so the liveness signal costs at most one small-file write per
+#: heartbeat interval per table — not one per commit. FIFO-bounded like
+#: _LEASE_OWNER_CACHE.
+_HB_LAST_TOUCH: dict[tuple[str, str], float] = {}
+
+
+def _heartbeat_interval() -> float:
+    """Seconds between owner heartbeat touches (env-overridable:
+    ``SPARK_GRAFT_HEARTBEAT_SEC``). ``take_over_if_stale`` TTLs must be
+    at least twice this — enforced in ``WriterLease.ensure`` — so a live,
+    committing writer can never look stale between touches."""
+    import os as _os
+
+    try:
+        return float(_os.environ.get("SPARK_GRAFT_HEARTBEAT_SEC", "5.0"))
+    except ValueError:
+        return 5.0
+
 
 class WriterLease:
     """Single-writer enforcement for a table path — the fencing-epoch
@@ -422,13 +505,98 @@ class WriterLease:
             pass
         return False
 
-    def ensure(self, take_over: bool = False) -> None:
+    def _touch_heartbeat(self, fs, hpath) -> None:
+        """Owner liveness signal: overwrite ``{dir}/heartbeat`` (content =
+        writer id, mtime = last activity), rate-limited in-process to one
+        write per heartbeat interval per table. Best-effort — a failed
+        touch only means staleness judgments fall back to the epoch owner
+        file's mtime (the claim time)."""
+        import time as _time
+
+        from .fsutil import write_small_file
+
+        key = (self.dir, self.writer_id)
+        now = _time.monotonic()
+        last = _HB_LAST_TOUCH.get(key)
+        if last is not None and now - last < _heartbeat_interval():
+            return
+        try:
+            write_small_file(
+                fs, hpath, f"{self.dir}/heartbeat", self.writer_id.encode()
+            )
+        except Exception:
+            return
+        while len(_HB_LAST_TOUCH) >= _LEASE_OWNER_CACHE_MAX:
+            _HB_LAST_TOUCH.pop(next(iter(_HB_LAST_TOUCH)))
+        _HB_LAST_TOUCH[key] = now
+
+    def _owner_stale(self, fs, hpath, owner: str, uri: str | None, ttl_sec: float) -> bool:
+        """True iff ``owner``'s last observable activity — heartbeat mtime
+        when the heartbeat names this owner, else its epoch owner file's
+        mtime — is at least ``ttl_sec`` old. Unjudgeable (no readable
+        timestamp) is NOT stale: self-heal must fail closed, toward the
+        loud ConcurrentWriterError, never toward taking over a writer
+        whose liveness we could not read. Clock caveat: compares the
+        store's mtimes with this driver's wall clock — pick TTLs well
+        above any plausible node clock skew (minutes, not seconds, in
+        production; the floor below only enforces the heartbeat bound)."""
+        import time as _time
+
+        from .fsutil import read_small_file
+
+        last = None
+        hb = f"{self.dir}/heartbeat"
+        try:
+            data = read_small_file(fs, hpath, self.spark, hb)
+            if data and data.decode("utf-8", "replace").strip() == owner:
+                last = fs.getFileStatus(hpath(hb)).getModificationTime()
+        except Exception:
+            last = None
+        if last is None and uri is not None:
+            try:
+                last = fs.getFileStatus(
+                    hpath(f"{uri}/owner")
+                ).getModificationTime()
+            except Exception:
+                return False
+        if last is None:
+            return False
+        return _time.time() * 1000.0 - float(last) >= ttl_sec * 1000.0
+
+    def ensure(
+        self, take_over: bool = False, take_over_if_stale: float | None = None
+    ) -> None:
         """Assert (acquiring if free) that this writer owns the table;
         raise :class:`ConcurrentWriterError` otherwise. Called at the top
-        of every data-committing method."""
+        of every data-committing method.
+
+        ``take_over_if_stale=<seconds>`` is the UNATTENDED self-heal knob:
+        when another writer owns the newest epoch but has shown no
+        activity (heartbeat/claim mtime) for at least that long, claim the
+        next epoch over it — the crashed-ad-hoc-writer recovery that
+        otherwise needs a human passing ``take_over=True`` (USAGE.md).
+        A live writer heartbeats on every commit (rate-limited to the
+        heartbeat interval), so the TTL must be ≥ 2× the heartbeat
+        interval — enforced loudly — and should be far larger in
+        production (clock skew, GC pauses). Unlike ``take_over`` this is a
+        standing policy, not a one-shot: it only ever fires against a
+        STALE owner, so a live owner is never displaced. The fenced
+        writer's own next ensure()/check() still raises — same fencing
+        residual as a manual takeover."""
         from .fsutil import delete_commit
 
         fs, hpath = self._fs()
+        if take_over_if_stale is not None:
+            floor = 2 * _heartbeat_interval()
+            if take_over_if_stale < floor:
+                raise ValueError(
+                    f"take_over_if_stale={take_over_if_stale} is below 2x "
+                    f"the heartbeat interval ({floor:.1f}s) — a live owner "
+                    "touches its heartbeat at most once per interval, so a "
+                    "smaller TTL would take over writers that are merely "
+                    "between touches. Raise the TTL (or lower "
+                    "SPARK_GRAFT_HEARTBEAT_SEC)."
+                )
         # Stall-based retry budget, like SchemaSidecar.publish: a lost
         # claim race where the epoch seq moved is progress (another
         # claimant landed — ownership gets re-evaluated against it), not a
@@ -444,18 +612,30 @@ class WriterLease:
                 seq, uri = epochs[-1]
                 owner = self._owner(fs, hpath, uri)
                 if owner == self.writer_id:
+                    self._touch_heartbeat(fs, hpath)
                     return
                 if owner is not None and not take_over:
-                    raise ConcurrentWriterError(
-                        f"table at {self.dir.removesuffix('__writer')} is "
-                        f"owned by writer {owner!r} (epoch {seq}); this "
-                        f"writer is {self.writer_id!r}. A concurrent "
-                        "read-merge-overwrite would interleave as silent "
-                        "lost updates — if the other writer is dead "
-                        "(crashed pipeline), construct the table with "
-                        "take_over=True to fence it and claim a new epoch."
-                    )
-                if owner is None and not take_over:
+                    if take_over_if_stale is not None and self._owner_stale(
+                        fs, hpath, owner, uri, take_over_if_stale
+                    ):
+                        # Stale-owner self-heal: fall through to claim the
+                        # next epoch, fencing the dead writer exactly like
+                        # a manual take_over.
+                        pass
+                    else:
+                        raise ConcurrentWriterError(
+                            f"table at {self.dir.removesuffix('__writer')} "
+                            f"is owned by writer {owner!r} (epoch {seq}); "
+                            f"this writer is {self.writer_id!r}. A "
+                            "concurrent read-merge-overwrite would "
+                            "interleave as silent lost updates — if the "
+                            "other writer is dead (crashed pipeline), "
+                            "construct the table with take_over=True to "
+                            "fence it and claim a new epoch, or pass "
+                            "take_over_if_stale=<seconds> to self-heal "
+                            "from owners with no recent heartbeat."
+                        )
+                elif owner is None and not take_over:
                     # Unresolved newest claim: either a concurrent acquire
                     # mid-fill (resolves in milliseconds) or a BURNED claim
                     # from a crashed takeover (never resolves). Don't race
@@ -477,6 +657,7 @@ class WriterLease:
                 # fails loudly on the newer one at its next ensure).
                 for s, uri in epochs[:-1]:
                     delete_commit(fs, hpath, self.dir, f"e{s:012d}", uri)
+                self._touch_heartbeat(fs, hpath)
                 return
             # Lost the claim race — re-list and re-evaluate ownership.
         raise ConcurrentWriterError(
@@ -559,6 +740,7 @@ class KeyedTable:
         merge_schema: bool = False,
         writer_id: str | None = None,
         take_over: bool = False,
+        take_over_if_stale: float | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -573,6 +755,10 @@ class KeyedTable:
         #: ``take_over=True`` claims a new epoch over a dead writer's.
         self._lease = WriterLease(spark, path, writer_id)
         self.take_over = take_over
+        #: Standing self-heal policy (never one-shot, unlike take_over):
+        #: fence an owner with no heartbeat for this many seconds — see
+        #: WriterLease.ensure. None = manual-takeover-only (the default).
+        self.take_over_if_stale = take_over_if_stale
         #: Legacy fallback knob, superseded by the schema SIDECAR: every
         #: init/upsert now persists the table's authoritative schema
         #: (``SchemaSidecar``) and ``read()`` applies it as the explicit
@@ -600,8 +786,10 @@ class KeyedTable:
         writes with no error (each re-taking the epoch before writing —
         exactly the silent lost-update pattern the lease exists to
         prevent). After consumption this writer is fenced like any other
-        if a newer takeover lands."""
-        self._lease.ensure(self.take_over)
+        if a newer takeover lands. ``take_over_if_stale`` stays armed — it
+        can only displace owners that stopped heartbeating, so it cannot
+        ping-pong between live writers."""
+        self._lease.ensure(self.take_over, self.take_over_if_stale)
         self.take_over = False
 
     # -- read ---------------------------------------------------------------
@@ -1068,6 +1256,7 @@ class DeltaLogTable:
         merge_schema: bool = False,
         writer_id: str | None = None,
         take_over: bool = False,
+        take_over_if_stale: float | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -1079,6 +1268,8 @@ class DeltaLogTable:
         #: compactions safe.
         self._lease = WriterLease(spark, path, writer_id)
         self.take_over = take_over
+        #: Standing stale-owner self-heal (see WriterLease.ensure).
+        self.take_over_if_stale = take_over_if_stale
         self.keys = list(keys)
         self.ordering = list(ordering)
         self.op_col = op_col
@@ -1109,7 +1300,7 @@ class DeltaLogTable:
     def _ensure_lease(self) -> None:
         """Single-writer assert with one-shot takeover consumption — same
         contract as KeyedTable._ensure_lease (see its docstring)."""
-        self._lease.ensure(self.take_over)
+        self._lease.ensure(self.take_over, self.take_over_if_stale)
         self.take_over = False
 
     def _base(self) -> str:
