@@ -1728,7 +1728,34 @@ class DeltaLogTable:
 
         ``compact_target_files`` bounds the new version's file count
         (small-file control: a merge at the session's shuffle fan-out
-        would leave one sliver file per partition)."""
+        would leave one sliver file per partition).
+
+        Cross-process compactor races (round 12, found by the real
+        two-process hunt): TWO compaction services on one table advance
+        the version timeline twice as fast, so one service's in-flight
+        merge can scan a delta dir the other's NEXT cycle just retired —
+        the strict read then fails with FAILED_READ_FILE (never a
+        silently row-short snapshot; see the ignoreMissingFiles pin
+        below). That failure means the OTHER compactor folded those very
+        deltas into a newer published version — progress, not damage — so
+        this method retries the whole plan against the fresh timeline a
+        bounded number of times and usually returns on the
+        nothing-left-to-fold early exit. Any other failure, and the last
+        retry, still raise."""
+        for attempt in range(3):
+            try:
+                return self._compact_once()
+            except Exception as e:
+                msg = str(e)
+                lost_inputs = (
+                    "FAILED_READ_FILE" in msg or "FileNotFoundException" in msg
+                ) and self.path in msg
+                if not lost_inputs or attempt == 2:
+                    raise
+        return None
+
+    def _compact_once(self) -> None:
+        """One compaction attempt — see ``compact`` for the contract."""
         import uuid as _uuid
 
         from .fsutil import publish_commit

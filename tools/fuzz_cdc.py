@@ -757,6 +757,100 @@ def _writers(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     return True, ""
 
 
+def _stale_writers(spark, seed: int, case_dir: str) -> tuple[bool, str]:
+    """STALE-TAKEOVER lane (round 12): the _writers interleave with the
+    ``take_over_if_stale`` self-heal axis. Staleness is simulated
+    deterministically by BACKDATING the owner's liveness files (heartbeat
+    + epoch owner mtimes, 120 s into the past, TTL 60 s) — no sleeps, no
+    env changes, exact oracle. Asserts both directions: a stale-armed
+    writer takes over a backdated (dead) owner and commits; against a
+    LIVE owner the same writer raises ConcurrentWriterError and leaves
+    zero trace. Final state equals the committed-only dict replay."""
+    import glob
+    import time as _time
+
+    from debezium_emr_hudi_deltastreamer_sample_spark import table as table_mod
+    from debezium_emr_hudi_deltastreamer_sample_spark.table import (
+        ConcurrentWriterError,
+        KeyedTable,
+    )
+
+    TTL = 60.0
+
+    def backdate(path: str) -> None:
+        old = _time.time() - 2 * TTL
+        wdir = f"{path}__writer"
+        for f in glob.glob(f"{wdir}/heartbeat"):
+            os.utime(f, (old, old))
+        for f in glob.glob(f"{wdir}/e*/owner"):
+            os.utime(f, (old, old))
+        for ptr in glob.glob(f"{wdir}/e*.commit"):
+            try:
+                content = open(ptr).read().strip()
+            except OSError:
+                continue
+            p = os.path.join(content, "owner")
+            if content and os.path.exists(p):
+                os.utime(p, (old, old))
+        # Simulated elapsed time also ages the in-process heartbeat rate
+        # limiter (a fresh commit must re-touch the backdated file).
+        table_mod._HB_LAST_TOUCH.clear()
+
+    sc = CdcGen(seed).scenario()
+    r = random.Random(seed ^ 0x57A1E)
+    spark = _case_session(spark)
+    path = f"{case_dir}/table"
+    committed: list[dict] = []
+    owner: str | None = None
+    owner_stale = False
+    for i, batch in enumerate(sc["batches"]):
+        raw = _raw_batch(spark, batch)
+        if not raw.head(1):
+            continue
+        changes = _wire_parser("json", batch["drift"])(raw)
+        if not changes.head(1):
+            continue
+        wid = r.choice(["w1", "w2"])
+        armed = r.random() < 0.5
+        if owner is not None and owner != wid and r.random() < 0.4:
+            backdate(path)
+            owner_stale = True
+        table = KeyedTable(
+            spark, path, keys=["id"], ordering=["_lsn"], op_col="op",
+            partition_by=["department"] if sc["partitioned"] else [],
+            merge_schema=sc["merge_knob"],
+            writer_id=wid,
+            take_over_if_stale=TTL if armed else None,
+        )
+        allowed = (
+            owner is None
+            or owner == wid
+            or (armed and owner_stale)
+        )
+        if allowed:
+            reps = 2 if i in sc["replays"] else 1
+            for _ in range(reps):
+                table.upsert(changes)
+            owner = wid
+            owner_stale = False  # committing touches the heartbeat
+            committed.append(batch)
+            continue
+        try:
+            table.upsert(changes)
+            return False, (
+                f"stale[batch {i}]: {wid} (armed={armed}) displaced LIVE "
+                f"owner {owner} — self-heal fired without staleness"
+            )
+        except ConcurrentWriterError:
+            pass  # fenced loudly — the contract
+    final, cols, _ = oracle_replay(committed)
+    got = _cow_table_state(spark, path, cols)
+    want = _oracle_state(final, cols)
+    if got != want:
+        return False, f"stale final mismatch (committed-only oracle): {_diff(got, want)}"
+    return True, ""
+
+
 def _mor(spark, seed: int, case_dir: str) -> tuple[bool, str]:
     """MOR lane: raw envelopes → mor_batch_processor → DeltaLogTable with
     randomized inline/async/manual compaction; final merge-on-read view vs
@@ -1036,6 +1130,7 @@ run_avro_case = _wrap(_avro)
 run_crash_case = _wrap(_crash)
 run_crashmor_case = _wrap(_crashmor)
 run_writers_case = _wrap(_writers)
+run_stale_case = _wrap(_stale_writers)
 
 LANES = {
     "cow": run_cow_case,
@@ -1046,6 +1141,7 @@ LANES = {
     "crash": run_crash_case,
     "crashmor": run_crashmor_case,
     "writers": run_writers_case,
+    "stale": run_stale_case,
 }
 
 
