@@ -43,6 +43,17 @@ SF3_QUERIES = [
     "pipe_ingest_neardup_gate",
 ]
 
+#: --stream lane: the four streaming headliners (bench.py HEADLINE tail)
+#: at sf0.1 -> sf1 — the decade where state-store setup stops dominating.
+#: Checkpoints/state dirs go to tmpfs exactly like bench.py so the lane
+#: measures the engine, not /tmp fsync.
+STREAM_QUERIES = [
+    "stream_tumbling_counts",
+    "stream_stream_join",
+    "stream_rollup_incremental",
+    "stream_cdc_upsert",
+]
+
 #: Batch-only subset (streaming queries carry state-store setup noise that
 #: swamps the scaling signal at these sizes).
 QUERIES = [
@@ -218,6 +229,22 @@ def main(argv: list[str] | None = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     sf1_only = "--sf1" in argv
     sf3_only = "--sf3" in argv
+    stream_lane = "--stream" in argv
+
+    if stream_lane:
+        # bench.py's I/O placement: streaming fixed cost is checkpoint/
+        # state-store fsync, so point TMPDIR at tmpfs for the lane.
+        import shutil
+        import tempfile
+
+        shm = os.environ.get("SPARK_GRAFT_BENCH_TMPFS", "/dev/shm")
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            lane_tmp = tempfile.mkdtemp(prefix="spark_graft_sweep_", dir=shm)
+            os.environ["TMPDIR"] = lane_tmp
+            tempfile.tempdir = None
+            import atexit
+
+            atexit.register(shutil.rmtree, lane_tmp, ignore_errors=True)
 
     if sf1_only and not os.path.exists(os.path.join(SF1_DIR, "_DONE")):
         print(
@@ -242,7 +269,11 @@ def main(argv: list[str] | None = None) -> None:
     qs = all_queries()
     spark.range(1).count()
 
-    if sf3_only:
+    if stream_lane:
+        points = [("sf0.1", "/root/testdata/sf0.1")]
+        if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
+            points.append(("sf1", SF1_DIR))
+    elif sf3_only:
         # Fifth point, graph/dedup family only: sf1 -> sf3 growth on 3x
         # data (documents/embeddings fixtures).
         points = [("sf1", SF1_DIR), ("sf3", SF3_DIR)]
@@ -255,7 +286,11 @@ def main(argv: list[str] | None = None) -> None:
         if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
             points.append(("sf1", SF1_DIR))
 
-    queries = SF3_QUERIES if sf3_only else QUERIES
+    queries = (
+        STREAM_QUERIES if stream_lane
+        else SF3_QUERIES if sf3_only
+        else QUERIES
+    )
     for a in argv:
         # --only=a,b,c : sweep a subset (chunked runs under a wall clock).
         if a.startswith("--only="):
