@@ -457,6 +457,52 @@ def read_small_file(fs, hpath, spark, path: str) -> bytes | None:
         stream.close()
 
 
+def parquet_data_exists(spark, path: str) -> bool:
+    """Cheap existence probe: does ``path`` hold at least one parquet data
+    file? One recursive FS listing, short-circuited at the first
+    ``*.parquet`` hit — ~5 ms of filesystem calls where the historical
+    DataFrame-construction probe (``spark.read.parquet`` + forced
+    analysis) paid ~90 ms of py4j/footer work per call; hot CDC paths
+    (KeyedTable.upsert, the IVM refresh) probe existence once or more per
+    batch, so the old cost was ~2 s of a 24 s five-batch IVM replay.
+
+    Contract matches the MISSING/EMPTY mapping of
+    ``read_parquet_if_present``: a missing directory or one with no
+    ``*.parquet`` file anywhere below it (Spark's writers always suffix
+    data files ``.parquet``; ``_SUCCESS``/sidecar files don't match) is
+    False; any listing failure other than not-found RAISES. A corrupt
+    FOOTER now surfaces at the subsequent read/merge instead of inside
+    the probe — still loud, and on the merge path, so a footer blip can
+    never route a caller to its bootstrap-overwrite branch (the wipe
+    hazard the narrow contract exists to prevent — this probe errs only
+    toward exists=True)."""
+    fs, hpath = hadoop_fs(spark, path)
+    p = hpath(path)
+    try:
+        if not fs.exists(p):
+            return False
+        root = fs.getFileStatus(p).getPath().toUri().getPath().rstrip("/")
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next().getPath()
+            if not f.getName().endswith(".parquet"):
+                continue
+            # Hidden/underscore path segments below the root (_temporary
+            # crash garbage, .staging) are invisible to Spark's reader —
+            # they must be invisible to the probe too, or a crashed
+            # first write's half-committed task files would flip an
+            # EMPTY verdict to exists=True.
+            rel = f.toUri().getPath()[len(root):].lstrip("/")
+            if any(seg[:1] in ("_", ".") for seg in rel.split("/")):
+                continue
+            return True
+        return False
+    except Exception as e:  # noqa: BLE001 — map only not-found to False
+        if "FileNotFound" in type(e).__name__ or "FileNotFound" in str(e):
+            return False
+        raise
+
+
 def read_parquet_if_present(spark, path: str):
     """Parquet read with the NARROW missing-vs-broken distinction used by
     every bootstrap-or-merge decision (KeyedTable.exists, the SCD2 fold):

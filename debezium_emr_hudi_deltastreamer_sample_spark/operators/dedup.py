@@ -297,29 +297,42 @@ def minhash_lsh_candidates(
     estimated Jaccard (signature agreement rate).
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
-    """
-    banded = _banded_signatures(df, id_col, num_hashes, bands)
 
-    a = banded.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col("minhash").alias("mh_a"),
+    Shape (round-12, guide §2.3 "shuffle keys and metadata instead of
+    payloads" — the same slim form `embedding_neardup_pairs` and
+    `cosine_topk_lsh` already use): the checkpointed state is ONE row per
+    doc (id, minhash) — not the ×bands exploded index — both sides of the
+    bucket self-join carry only (band, bucket, id), and the signature
+    arrays are re-attached from the checkpoint AFTER the (id, id) distinct.
+    The historical form shipped both 32-long arrays through the join and
+    evaluated the interpreted zip_with agreement once per COLLIDING BAND
+    row (then again in the projection); this one moves 8 B of id instead
+    of ~256 B of array per index row and scores each candidate pair once.
+    Banding is recomputed per side — pure bit math over the checkpoint.
+    """
+    sigs = df.select(F.col(id_col), "minhash").localCheckpoint(eager=True)
+    banded = _banded_signatures(
+        sigs, id_col, num_hashes, bands, materialize=False
     )
-    b = banded.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col(id_col).alias("id_b"),
-        F.col("minhash").alias("mh_b"),
-    )
-    # Estimate BEFORE distinct so the dedup shuffles (long, long, double)
-    # rows, not two 32-element arrays per pair.
-    return (
+    a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")),
+            "id_b",
+        )
         .withColumn("est_jaccard", _sig_agreement(num_hashes))
         .select("id_a", "id_b", "est_jaccard")
-        .distinct()
     )
 
 

@@ -562,11 +562,28 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the scale path for
     count-distinct — no exact-distinct shuffle, sketches merge
-    associatively. Accuracy asserted vs exact counts in tests/."""
+    associatively. Accuracy asserted vs exact counts in tests/.
+
+    Shape note: the approx and exact counts are computed over an explicit
+    (flag, orderkey) dedup, NOT one combined agg — combining a distinct
+    aggregate with approx_count_distinct triggers Catalyst's distinct
+    rewrite, which plants the HLL++ partial BELOW the per-key dedup
+    aggregate: one rsd=0.01 sketch buffer (1638 longs ≈ 13 KB, plan shows
+    Results [1641]) per DISTINCT (flag, orderkey) group — gigabytes of
+    aggregation buffer and shuffle for a 3-row result (measured 19.3 s at
+    sf0.1; this form 1.7 s, values bit-identical). HLL is duplicate-
+    insensitive, so sketching the deduped keys yields the identical
+    estimate, and count(key) over the dedup IS the exact distinct count.
+    One scan, sketch buffers only at the 3 final groups."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    return (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.count("l_orderkey").alias("exact_orders"),
+        )
     )
 
 

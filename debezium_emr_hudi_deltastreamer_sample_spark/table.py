@@ -796,14 +796,17 @@ class KeyedTable:
 
     def exists(self) -> bool:
         """True iff the table has readable data. Only the two MISSING/EMPTY
-        conditions map to False — any other read failure (transient FS
-        error, corrupt footer, permissions) RAISES: callers use this to
-        decide between bootstrap-overwrite and merge, and treating a blip
-        as "missing" would let an upsert wipe the table down to one
-        batch."""
-        from .fsutil import read_parquet_if_present
+        conditions map to False — any other probe failure (transient FS
+        error, permissions) RAISES: callers use this to decide between
+        bootstrap-overwrite and merge, and treating a blip as "missing"
+        would let an upsert wipe the table down to one batch. The probe is
+        one short-circuited FS listing (fsutil.parquet_data_exists) — a
+        corrupt FOOTER therefore surfaces loudly at the subsequent
+        read/merge rather than here, which still can never route a caller
+        to the bootstrap-overwrite branch."""
+        from .fsutil import parquet_data_exists
 
-        return read_parquet_if_present(self.spark, self.path) is not None
+        return parquet_data_exists(self.spark, self.path)
 
     def read(self, as_of: int | None = None) -> DataFrame:
         """Current snapshot, or — with ``keep_history`` and ``as_of=n`` —

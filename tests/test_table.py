@@ -1558,3 +1558,50 @@ def test_mor_delta_sidecar_drift_without_knob(spark, tmp_path):
         for r in t.read(optimized=True).collect()
     }
     assert got == {1: ("a2", 9), 2: ("b", None)}
+
+
+def test_parquet_data_exists_probe(spark, tmp_path):
+    """The FS-level existence probe (round-12 optimization: replaces the
+    ~90 ms DataFrame-construction probe in KeyedTable.exists) must keep the
+    MISSING/EMPTY contract: missing dir and footer-less dirs are False,
+    crash garbage under _temporary/hidden segments is invisible, real data
+    (flat or partitioned) is True."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.fsutil import (
+        parquet_data_exists,
+    )
+
+    # Missing directory.
+    assert not parquet_data_exists(spark, str(tmp_path / "missing"))
+
+    # Directory with only a _SUCCESS marker (empty write).
+    d = tmp_path / "emptyish"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    assert not parquet_data_exists(spark, str(d))
+
+    # Crash garbage: parquet files only below _temporary / hidden dirs —
+    # Spark's reader ignores them, the probe must too.
+    tdir = d / "_temporary" / "0"
+    tdir.mkdir(parents=True)
+    (tdir / "part-00000.parquet").write_bytes(b"not really parquet")
+    (d / ".hidden").mkdir()
+    (d / ".hidden" / "x.parquet").write_bytes(b"nope")
+    assert not parquet_data_exists(spark, str(d))
+
+    # Flat table.
+    flat = str(tmp_path / "flat")
+    spark.range(3).write.parquet(flat)
+    assert parquet_data_exists(spark, flat)
+
+    # Hive-partitioned table (data files one level down).
+    part = str(tmp_path / "part")
+    spark.range(4).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(part)
+    assert parquet_data_exists(spark, part)
+
+    # KeyedTable.exists agrees end to end: bootstrap then probe.
+    t = make_table(spark, tmp_path, partitioned=False)
+    assert not t.exists()
+    t.upsert(spark.createDataFrame([(1, "eu", 10, "c", 1)], CH_SCHEMA))
+    assert t.exists()
