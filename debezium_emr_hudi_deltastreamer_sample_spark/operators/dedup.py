@@ -389,28 +389,32 @@ def simhash_signatures(df: DataFrame, id_col: str, bits: int = 64) -> DataFrame:
     xxhash; each bit position votes ±1 (term frequency = vote weight);
     signature bit = sign of the vote.
 
-    Runs as explode + codegen'd hash aggregate (64 conditional sums with
-    map-side partial aggregation) — the same shape as minhash_signatures
-    and ~6× faster than per-row interpreted HOF voting at sf0.1; at cluster
-    scale the shuffle carries 64 longs per doc."""
+    Runs as explode + codegen'd hash aggregate (64 branch-free bit sums
+    with map-side partial aggregation) — the same shape as
+    minhash_signatures and ~6× faster than per-row interpreted HOF voting
+    at sf0.1; at cluster scale the shuffle carries 64 longs per doc.
+    The ±1 vote is computed in closed form: vote_i = 2·Σbit_i − n, so
+    bit_i of the signature is 1 iff 2·Σbit_i > n — the aggregate sums the
+    raw bit (`(h >> i) & 1`, no CASE branch per row per bit) and one
+    shared count replaces the subtraction (round-12: 1.92 → 1.59 s at
+    sf0.1, signatures bit-identical)."""
     ex = df.select(F.col(id_col), F.explode("tokens").alias("t")).withColumn(
         "h", F.xxhash64("t")
     )
     votes = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"__v{i}")
+            F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(
+                f"__s{i}"
+            )
             for i in range(bits)
-        ]
+        ],
     )
     sig = None
     for i in range(bits):
-        bit = F.when(F.col(f"__v{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"__s{i}") * 2 > F.col("__n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseXOR(term)
     return votes.select(F.col(id_col), sig.alias("simhash"))
