@@ -67,14 +67,49 @@ def commit_protocol(path: str) -> str:
     return "pointer" if scheme.lower() in _OBJECT_STORE_SCHEMES else "rename"
 
 
-def rename_commit(fs, hpath, stage: str, target: str) -> bool:
+def rename_commit(
+    fs,
+    hpath,
+    stage: str,
+    target: str,
+    _test_before_rename=None,
+    _test_after_rename=None,
+) -> bool:
     """Publish ``stage`` as ``target`` with CAS semantics: True iff this
     call made ``target`` exist with exactly the staged content. Returns
     False (leaving ``stage`` in place for the caller to retry or clean
-    up) when a concurrent writer holds the name."""
+    up) when a concurrent writer holds the name.
+
+    The verdict is decided by a CAS WITNESS, not by nested-dir absence: a
+    zero-byte ``._cas_<stage-uuid>`` file is written into the stage before
+    the rename, and the publish counts as won iff that witness sits at the
+    TARGET TOP LEVEL afterwards. The historical verdict ("no nested dir
+    under target ⇒ we won") had a silent lost-update window found by the
+    round-12 gate run of the threaded rollup hunt: when a lost CAS
+    degrades to LocalFileSystem's non-atomic copy-INTO (our stage becomes
+    ``target/<uuid>/``), a CONCURRENT scanner's crash-garbage heal
+    (rollup._scan / KeyedTable.snapshots delete directory members of
+    published commits) can remove that nested copy between our rename
+    returning and our nested-exists probe — the loser then saw a clean
+    target, reported True, and its batch was durably gone while the
+    (run, batch) marker it thought it published was deleted with the
+    nested dir. The witness is writer-unique (stage names are uuids), so
+    no heal or concurrent writer can fake it. On a WON publish the
+    witness is removed afterwards (post-CAS cosmetic — a crash before
+    that delete leaves a dot-file that every reader, scanner and the
+    marker regexes already ignore).
+
+    ``_test_before_rename`` / ``_test_after_rename`` are race-injection
+    seams for the deterministic regression test (create the winner between
+    the exists-probe and the rename; run the concurrent heal between the
+    rename and the verdict). Never passed in production code."""
     if fs.exists(hpath(target)):
         return False
     base = stage.rstrip("/").rsplit("/", 1)[-1]
+    witness = f"._cas_{base}"
+    fs.createNewFile(hpath(f"{stage}/{witness}"))
+    if _test_before_rename is not None:
+        _test_before_rename()
     try:
         renamed = fs.rename(hpath(stage), hpath(target))
     except Exception:
@@ -93,20 +128,31 @@ def rename_commit(fs, hpath, stage: str, target: str) -> bool:
         except Exception:
             pass
         return False
+    if _test_after_rename is not None:
+        _test_after_rename()
     if not renamed:
         return False
-    nested = f"{target}/{base}"
-    if fs.exists(hpath(nested)):
-        # POSIX move-INTO: a concurrent writer created target between the
-        # exists-probe and the rename. Undo our nested copy; the stage is
-        # consumed, so report failure with nothing left to clean. Residual
-        # window: a crash BETWEEN the rename and this delete leaves the
-        # stage nested inside the winner's commit — readers heal that via
-        # heal_nested_dirs on the listing path (commit dirs are flat by
-        # protocol, so any directory member is crash garbage).
-        fs.delete(hpath(nested), True)
-        return False
-    return True
+    if fs.exists(hpath(f"{target}/{witness}")):
+        # Our stage IS the commit. Drop the (now purposeless) witness;
+        # failure to delete is harmless — dot-files are invisible to
+        # parquet readers, list_commits, and the commit-member scans.
+        try:
+            fs.delete(hpath(f"{target}/{witness}"), False)
+        except Exception:
+            pass
+        return True
+    # Lost CAS: either our content sits nested under the winner
+    # (POSIX move-INTO / copy fallback — undo it) or a concurrent heal
+    # already removed it. Either way the name belongs to someone else.
+    # Residual window: a crash BETWEEN the rename and this delete leaves
+    # the stage nested inside the winner's commit — readers heal that via
+    # heal_nested_dirs on the listing path (commit dirs are flat by
+    # protocol, so any directory member is crash garbage).
+    try:
+        fs.delete(hpath(f"{target}/{base}"), True)
+    except Exception:
+        pass
+    return False
 
 
 def _fs_is_local(fs) -> bool:

@@ -262,3 +262,80 @@ def test_mor_read_version_schema_as_of(spark, tmp_path):
     t.compact()
     assert set(t.read_version(0).columns) == {"id", "v"}
     assert set(t.read_version(1).columns) == {"id", "v", "bonus"}
+
+
+def test_rename_cas_witness_survives_concurrent_heal(spark, tmp_path):
+    """Round-12 regression (found by the gate run of the threaded rollup
+    hunt): a lost rename-CAS degrades to POSIX move-INTO — the loser's
+    stage lands NESTED under the winner's commit — and a concurrent
+    scanner's crash-garbage heal can delete that nested dir before the
+    loser's verdict probe. The historical "no nested dir ⇒ I won" verdict
+    then returned True for a publish whose data was just deleted: a
+    silently lost batch whose (run, batch) dedup marker vanished with it.
+    The CAS witness (._cas_<stage-uuid> checked at target TOP level)
+    decides the verdict instead; the injected heal cannot fake it."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.fsutil import (
+        rename_commit,
+    )
+
+    fs, hpath = hadoop_fs(spark, str(tmp_path))
+    root = str(tmp_path)
+    target = f"{root}/commits/c0"
+    fs.mkdirs(hpath(f"{root}/commits"))
+
+    winner = _stage(fs, hpath, root, "stage_winner", b"winner")
+    loser = _stage(fs, hpath, root, "stage_loser", b"loser")
+
+    def inject_winner():
+        # The concurrent writer lands between the loser's exists-probe
+        # and its rename.
+        assert rename_commit(fs, hpath, winner, target)
+
+    def concurrent_heal():
+        # The scanner's heal removes any directory member of a published
+        # commit — including the loser's just-nested copy — before the
+        # loser's verdict probe runs.
+        for st in fs.listStatus(hpath(target)):
+            if st.isDirectory():
+                fs.delete(st.getPath(), True)
+
+    won = rename_commit(
+        fs,
+        hpath,
+        loser,
+        target,
+        _test_before_rename=inject_winner,
+        _test_after_rename=concurrent_heal,
+    )
+    assert not won, (
+        "loser reported a won CAS after the concurrent heal deleted its "
+        "nested copy — the silent lost-update the witness exists to stop"
+    )
+    # The winner's content is the commit, witness cleaned up.
+    names = sorted(
+        st.getPath().getName() for st in fs.listStatus(hpath(target))
+    )
+    assert names == ["data"], names
+    data = fs.open(hpath(f"{target}/data"))
+    try:
+        payload = bytes(data.readAllBytes())
+    finally:
+        data.close()
+    assert payload == b"winner"
+
+
+def test_rename_cas_plain_win_leaves_no_witness(spark, tmp_path):
+    from debezium_emr_hudi_deltastreamer_sample_spark.fsutil import (
+        rename_commit,
+    )
+
+    fs, hpath = hadoop_fs(spark, str(tmp_path))
+    root = str(tmp_path)
+    target = f"{root}/commits/c1"
+    fs.mkdirs(hpath(f"{root}/commits"))
+    stage = _stage(fs, hpath, root, "stage_plain", b"solo")
+    assert rename_commit(fs, hpath, stage, target)
+    names = sorted(
+        st.getPath().getName() for st in fs.listStatus(hpath(target))
+    )
+    assert names == ["data"], names
