@@ -142,6 +142,18 @@ def _run() -> None:
         else None
     )
     spark = get_spark(app_name="bench", extra_conf=extra)
+    # Self-certifying core count (additions only): `guard["cpus"]` is the
+    # HOST cpu count (os.cpu_count) and cannot prove which master ran, so a
+    # SPARK_GRAFT_CPUS=8 run used to print "cpus": 32 and the scaling
+    # harness had to *suspect* the override was ignored. Record the
+    # requested override, the master the session actually runs on, and the
+    # scheduler's defaultParallelism so the bench JSON proves its own core
+    # count.
+    guard["requested_cpus"] = int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32") or "32"
+    )
+    guard["spark_master"] = spark.sparkContext.master
+    guard["default_parallelism"] = spark.sparkContext.defaultParallelism
     qs = all_queries()
 
     # Warm the JVM + parquet footers outside the timed region.

@@ -524,6 +524,7 @@ def parquet_data_exists(spark, path: str) -> bool:
     toward exists=True)."""
     fs, hpath = hadoop_fs(spark, path)
     p = hpath(path)
+    saw_visible = False
     try:
         if not fs.exists(p):
             return False
@@ -531,8 +532,6 @@ def parquet_data_exists(spark, path: str) -> bool:
         it = fs.listFiles(p, True)
         while it.hasNext():
             f = it.next().getPath()
-            if not f.getName().endswith(".parquet"):
-                continue
             # Hidden/underscore path segments below the root (_temporary
             # crash garbage, .staging) are invisible to Spark's reader —
             # they must be invisible to the probe too, or a crashed
@@ -541,12 +540,190 @@ def parquet_data_exists(spark, path: str) -> bool:
             rel = f.toUri().getPath()[len(root):].lstrip("/")
             if any(seg[:1] in ("_", ".") for seg in rel.split("/")):
                 continue
-            return True
-        return False
+            if f.getName().endswith(".parquet"):
+                return True
+            saw_visible = True
     except Exception as e:  # noqa: BLE001 — map only not-found to False
         if "FileNotFound" in type(e).__name__ or "FileNotFound" in str(e):
             return False
         raise
+    if saw_visible:
+        # Visible data files, none suffixed ``.parquet``: this system's own
+        # writes always suffix, but an EXTERNAL writer's may not — deciding
+        # "missing" on the suffix alone would route KeyedTable.upsert to
+        # its bootstrap-overwrite branch and silently wipe that data
+        # (ADVICE r12). Fall back to the authoritative reader probe, which
+        # keeps the narrow contract: readable → True, MISSING/EMPTY →
+        # False, anything else raises.
+        return read_parquet_if_present(spark, path) is not None
+    return False
+
+
+def table_swap_journal(path: str) -> str:
+    """Sibling journal file for the stage-and-swap table publish
+    (``swap_table_dir``): present iff a swap is in flight or was torn by
+    a crash. Kept next to the table dir (like ``__schema``/``__writer``)
+    so renaming the table dir itself never moves it."""
+    return f"{path}__swap.journal"
+
+
+def recover_table_swap(spark, path: str) -> None:
+    """Heal a torn stage-and-swap publish left by a process kill.
+
+    Invariant the journal protocol guarantees: the journal is written
+    only AFTER the staged table directory is fully written, and deleted
+    only AFTER the swap is complete (or rolled back). So when a journal
+    exists, exactly one of these crash windows happened, each with one
+    correct repair:
+
+    - table dir + stage both present → crash before any rename: nothing
+      was published; drop the orphan stage and the journal (the caller's
+      at-least-once redelivery re-applies the batch).
+    - table dir missing, stage present → crash between retire and
+      publish: the staged table is COMPLETE — roll the swap forward.
+    - table dir missing, stage missing → the retired copy is the only
+      one: roll back (rename retire → table).
+    - table dir present, stage missing → the swap completed, the crash
+      hit cleanup: just clear the journal and the retired copy.
+
+    A half-written (unparseable) journal can only mean the crash hit the
+    journal write itself — before any rename — so the table is intact and
+    the journal is dropped. The one unrepairable shape (no journal
+    content AND no table dir) raises instead of guessing: silently
+    returning would let ``KeyedTable.upsert`` take its
+    bootstrap-overwrite branch and wipe the table down to one batch.
+
+    No-op (one fs.exists) when no journal is present — the steady state
+    every read/exists probe pays."""
+    import json as _json
+
+    fs, hpath = hadoop_fs(spark, path)
+    journal = table_swap_journal(path)
+    if not fs.exists(hpath(journal)):
+        return
+    stage = retire = None
+    try:
+        data = read_small_file(fs, hpath, spark, journal)
+        if data:
+            j = _json.loads(data.decode("utf-8"))
+            stage, retire = j["stage"], j["retire"]
+    except Exception:
+        stage = retire = None
+    if stage is None:
+        if fs.exists(hpath(path)):
+            fs.delete(hpath(journal), False)
+            return
+        raise RuntimeError(
+            f"torn table swap at {path}: journal unreadable and the table "
+            f"directory is missing — refusing to guess (look under "
+            f"{path}__retire / {path}__stage)"
+        )
+    have_path = fs.exists(hpath(path))
+    have_stage = fs.exists(hpath(stage))
+    if have_path and have_stage:
+        fs.delete(hpath(stage), True)
+    elif not have_path and have_stage:
+        if not fs.rename(hpath(stage), hpath(path)):
+            raise RuntimeError(
+                f"table swap recovery: roll-forward rename {stage} -> "
+                f"{path} failed"
+            )
+    elif not have_path:
+        if not (
+            retire
+            and fs.exists(hpath(retire))
+            and fs.rename(hpath(retire), hpath(path))
+        ):
+            raise RuntimeError(
+                f"torn table swap at {path}: table, stage and retired copy "
+                "all missing — refusing to let a bootstrap wipe the table"
+            )
+    fs.delete(hpath(journal), False)
+    if retire:
+        try:
+            fs.delete(hpath(retire), True)
+        except Exception:
+            pass
+
+
+def swap_table_dir(
+    spark,
+    path: str,
+    stage: str,
+    _test_after_journal=None,
+    _test_after_retire=None,
+    _test_after_publish=None,
+) -> None:
+    """Publish the fully-written directory ``stage`` AS the table ``path``
+    with two atomic directory renames instead of a second full write —
+    the stage-and-swap COW commit (guide §6): the caller computes the
+    merge ONCE straight into the stage, then this swap makes it the
+    table. Only valid where directory rename is atomic
+    (``commit_protocol(path) == "rename"``); object-store tables keep the
+    in-place overwrite.
+
+    Crash safety: every window is journaled (``table_swap_journal``) and
+    healed by ``recover_table_swap`` — strictly smaller exposure than the
+    in-place Spark overwrite it replaces, whose delete-then-rewrite
+    leaves the table empty/partial for the whole write, with no repair
+    record at all. Single-writer context (the caller holds the
+    WriterLease), so the journal needs no CAS.
+
+    ``_test_after_*`` are crash-injection seams for the deterministic
+    recovery tests; never passed in production code."""
+    import json as _json
+    import uuid as _uuid
+
+    recover_table_swap(spark, path)  # clear any stale torn swap first
+    fs, hpath = hadoop_fs(spark, path)
+    retire = f"{path}__retire/{_uuid.uuid4().hex}"
+    journal = table_swap_journal(path)
+    write_small_file(
+        fs,
+        hpath,
+        journal,
+        _json.dumps({"stage": stage, "retire": retire}).encode("utf-8"),
+    )
+    if _test_after_journal is not None:
+        _test_after_journal()
+    if fs.exists(hpath(path)):
+        fs.mkdirs(hpath(f"{path}__retire"))
+        if not fs.rename(hpath(path), hpath(retire)):
+            fs.delete(hpath(journal), False)
+            raise RuntimeError(f"table swap: could not retire {path}")
+    if _test_after_retire is not None:
+        _test_after_retire()
+    if not fs.rename(hpath(stage), hpath(path)):
+        try:
+            if fs.exists(hpath(retire)):
+                fs.rename(hpath(retire), hpath(path))
+        finally:
+            fs.delete(hpath(journal), False)
+        raise RuntimeError(
+            f"table swap: could not publish {stage} as {path}"
+        )
+    base = stage.rstrip("/").rsplit("/", 1)[-1]
+    if fs.exists(hpath(f"{path}/{base}")):
+        # The destination reappeared between retire and publish (an
+        # external writer bypassing the lease): LocalFileSystem's rename
+        # moved the stage INSIDE it. Undo and fail loudly rather than
+        # serve a nested half-table.
+        fs.delete(hpath(f"{path}/{base}"), True)
+        fs.delete(hpath(journal), False)
+        raise RuntimeError(
+            f"table swap: {path} was recreated mid-swap by a writer "
+            "outside the lease — publish aborted"
+        )
+    if _test_after_publish is not None:
+        _test_after_publish()
+    fs.delete(hpath(journal), False)
+    try:
+        fs.delete(hpath(retire), True)
+        # Drop the (now empty) __retire parent; non-recursive delete
+        # refuses a non-empty dir, so a concurrent retire is never touched.
+        fs.delete(hpath(f"{path}__retire"), False)
+    except Exception:
+        pass
 
 
 def read_parquet_if_present(spark, path: str):

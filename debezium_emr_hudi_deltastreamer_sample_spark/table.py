@@ -804,8 +804,15 @@ class KeyedTable:
         corrupt FOOTER therefore surfaces loudly at the subsequent
         read/merge rather than here, which still can never route a caller
         to the bootstrap-overwrite branch."""
-        from .fsutil import parquet_data_exists
+        from .fsutil import parquet_data_exists, recover_table_swap
 
+        # Heal a torn stage-and-swap publish FIRST: a crash between the
+        # swap's two renames leaves the table dir missing with the staged
+        # table complete — without the roll-forward this probe would say
+        # False and route the next upsert to bootstrap-overwrite, the
+        # exact wipe hazard the narrow contract guards. One fs.exists in
+        # the steady state.
+        recover_table_swap(self.spark, self.path)
         return parquet_data_exists(self.spark, self.path)
 
     def read(self, as_of: int | None = None) -> DataFrame:
@@ -820,6 +827,12 @@ class KeyedTable:
         written into the stage so commit and schema publish atomically) —
         pre-embed commits fall back to footer inference, which is safe
         for them because snapshot dirs are flat single-job writes."""
+        from .fsutil import recover_table_swap
+
+        # Same torn-swap heal as exists() (one fs.exists steady-state):
+        # a reader of a crashed writer's table must see the rolled-forward
+        # (or rolled-back) state, never a missing dir.
+        recover_table_swap(self.spark, self.path)
         reader = self.spark.read
         if as_of is None:
             persisted = self.schema_sidecar.current()
@@ -885,20 +898,78 @@ class KeyedTable:
         """One immutable snapshot commit per write (only when
         ``keep_history`` > 0): stage, rename into the timeline, trim to the
         newest ``keep_history`` commits — same protocol as
-        streaming.rollup, same object-store-rename caveat."""
+        streaming.rollup, same object-store-rename caveat.
+
+        Contract (unchanged): every call site passes the table's CURRENT
+        full content. On the staged-swap path that lets the stage be
+        built by HARD-LINKING the just-published table's immutable parquet
+        files — O(file count) metadata ops instead of a second full write
+        per commit (the Hudi-timeline cost this used to pay); ``df`` then
+        contributes only its schema (the embedded schema-as-of). Elsewhere
+        (partitioned tables, object stores) the stage is written from
+        ``df`` exactly as before."""
         if not self.keep_history:
             return
+        if self._staged_swap():
+            self._publish_snapshot_commit(
+                self._stage_snapshot_links, df.schema
+            )
+        else:
+            self._publish_snapshot_commit(
+                lambda stage: df.write.mode("overwrite").parquet(stage),
+                df.schema,
+            )
+
+    def _stage_snapshot_links(self, stage: str) -> None:
+        """Populate one snapshot stage with hard links to the table's
+        current visible files. Safe because data files are immutable: a
+        later upsert RETIRES the whole table dir (unlinking its names)
+        and publishes fresh uuid-staged files — the snapshot's links keep
+        the old bytes alive, and retention's recursive delete only drops
+        link counts. Only reached via ``_staged_swap`` (non-partitioned →
+        the table dir is flat, matching the flat-snapshot contract that
+        ``heal_nested_dirs`` enforces). Stores without link(2) fall back
+        to an FS-level copy — still no plan re-execution."""
+        import os as _os
+
+        from .fsutil import _fs_is_local, _local_os_path, hadoop_fs
+
+        fs, hpath = hadoop_fs(self.spark, self.path)
+        fs.mkdirs(hpath(stage))
+        src_os = _local_os_path(self.path) if _fs_is_local(fs) else None
+        dst_os = _local_os_path(stage) if src_os is not None else None
+        for st in fs.listStatus(hpath(self.path)):
+            name = st.getPath().getName()
+            if st.isDirectory() or name[:1] in ("_", "."):
+                continue
+            if src_os is not None and dst_os is not None:
+                _os.link(
+                    _os.path.join(src_os, name), _os.path.join(dst_os, name)
+                )
+            else:
+                self.spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs,
+                    st.getPath(),
+                    fs,
+                    hpath(f"{stage}/{name}"),
+                    False,
+                    self.spark._jsc.hadoopConfiguration(),
+                )
+
+    def _publish_snapshot_commit(self, populate, schema) -> None:
+        """The snapshot commit engine: stage (via ``populate``), embed the
+        schema-as-of, CAS-publish into the timeline, trim retention."""
         import uuid as _uuid
 
         from .fsutil import delete_commit, hadoop_fs, publish_commit
 
         fs, hpath = hadoop_fs(self.spark, self.path)
         stage = f"{self.path}__stage/{_uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(stage)
-        # Schema-as-of rides INSIDE the commit (after the write — overwrite
-        # staging clears the dir): read(as_of=n) serves commit n with
-        # commit n's own schema, not the current sidecar's.
-        _embed_commit_schema(self.spark, stage, df.schema)
+        populate(stage)
+        # Schema-as-of rides INSIDE the commit (after the populate —
+        # overwrite staging clears the dir): read(as_of=n) serves commit n
+        # with commit n's own schema, not the current sidecar's.
+        _embed_commit_schema(self.spark, stage, schema)
         fs.mkdirs(hpath(f"{self.path}__snapshots"))
         # Allocation counts BURNED pointer names too (content=None) — a
         # crash between claim and fill wastes a seq forever; reallocating
@@ -915,8 +986,8 @@ class KeyedTable:
             # (move-INTO undo), re-list, and retry with a fresh number
             # rather than silently losing the commit.
             if not fs.exists(hpath(stage)):
-                df.write.mode("overwrite").parquet(stage)
-                _embed_commit_schema(self.spark, stage, df.schema)
+                populate(stage)
+                _embed_commit_schema(self.spark, stage, schema)
             existing = self._snapshot_commits()
         else:
             fs.delete(hpath(stage), True)
@@ -957,6 +1028,23 @@ class KeyedTable:
 
     # -- write --------------------------------------------------------------
 
+    def _staged_swap(self) -> bool:
+        """True iff full-table rewrites go through the stage-and-swap
+        publish (write the merge ONCE into a staged dir, two atomic
+        renames) instead of checkpoint + in-place overwrite (TWO full
+        materializations per batch — the round-12 verdict's top remaining
+        structural cost). Applicability:
+
+        - non-partitioned only: the swap's atomicity unit is the whole
+          table dir; partitioned tables keep the partition-pruned dynamic
+          overwrite, whose whole point is NOT rewriting the full table.
+        - rename commit protocol only (HDFS/local): object stores fake
+          directory rename as copy+delete — there the in-place overwrite
+          is no worse and the swap buys nothing."""
+        from .fsutil import commit_protocol
+
+        return not self.partition_by and commit_protocol(self.path) == "rename"
+
     def _write(self, df: DataFrame, mode: str) -> None:
         # The one COW data-commit choke point (init/upsert/compact/
         # compact_history all land here): assert single-writer ownership
@@ -965,10 +1053,29 @@ class KeyedTable:
         # after, so a takeover that lands mid-write fences this writer
         # loudly rather than letting it keep publishing.
         self._ensure_lease()
-        writer = df.write.mode(mode)
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self.path)
+        if mode == "overwrite" and self._staged_swap():
+            # Stage-and-swap: compute df straight into a staged dir (ONE
+            # materialization — no localCheckpoint pass, and df may read
+            # the very files the swap replaces, since they are untouched
+            # until the rename), then publish with two atomic renames
+            # (fsutil.swap_table_dir; crash windows journaled + healed by
+            # recover_table_swap). Halves the per-batch full-table work.
+            import uuid as _uuid
+
+            from .fsutil import swap_table_dir
+
+            stage = f"{self.path}__stage/{_uuid.uuid4().hex}"
+            df.write.mode("overwrite").parquet(stage)
+            # Fenced writers must not PUBLISH: re-check between the
+            # (invisible) stage write and the swap, so a takeover landing
+            # mid-write raises with the table still on the old state.
+            self._lease.check()
+            swap_table_dir(self.spark, self.path, stage)
+        else:
+            writer = df.write.mode(mode)
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(self.path)
         self._lease.check()
 
     def _row_columns(self, changes: DataFrame) -> list[str]:
@@ -983,11 +1090,14 @@ class KeyedTable:
         # Refuse up front (single-writer): a fenced writer must not even
         # widen the sidecar; _write re-checks as the last-line defense.
         self._ensure_lease()
-        if self.keep_history:
+        if self.keep_history and not self._staged_swap():
             # The snapshot publish re-executes this plan; materialize it
             # so a nondeterministic input (rand(), unordered limit,
             # equal-ordering precombine ties upstream) cannot publish a
-            # snapshot that diverges from the table just written.
+            # snapshot that diverges from the table just written. On the
+            # staged-swap path the snapshot is hard-linked from the files
+            # the stage write materialized, so the plan never re-executes
+            # — no checkpoint needed.
             df = df.localCheckpoint(eager=True)
         # Two-phase schema commit for a table REPLACE: widen the sidecar
         # to union(old, new) BEFORE the write, then RESET it to exactly
@@ -1041,12 +1151,13 @@ class KeyedTable:
             if self.op_col and self.op_col in changes.columns:
                 latest = latest.filter(F.col(self.op_col) != "d")
             bootstrap = latest.select(*self._row_columns(changes))
-            if self.keep_history:
+            if self.keep_history and not self._staged_swap():
                 # Same materialize-before-publish contract as init(): the
                 # publish re-executes the plan, and a precombine with
                 # equal-ordering ties picks nondeterministically per
                 # execution — the snapshot must be the rows the table
-                # actually holds.
+                # actually holds. (Staged swap: snapshot = hard links to
+                # the written files; the plan never re-executes.)
                 bootstrap = bootstrap.localCheckpoint(eager=True)
             # Bootstrap ≡ table replace: same two-phase schema commit as
             # init (widen before the write, reset after), so a crash on a
@@ -1074,8 +1185,14 @@ class KeyedTable:
         merged = merge_upsert(
             current, changes, self.keys, self.ordering, op_col=self.op_col
         )
-        # Merge reads the files the write replaces — break the lineage.
-        merged = merged.localCheckpoint(eager=True)
+        if not self._staged_swap():
+            # In-place overwrite: the merge reads the files the write
+            # replaces — break the lineage with a full materialization.
+            # The staged swap needs neither: the merge computes straight
+            # into the stage while its input files sit untouched, and the
+            # snapshot (keep_history) hard-links the staged files instead
+            # of re-executing the plan.
+            merged = merged.localCheckpoint(eager=True)
         # WIDEN the sidecar before any data write: if the write fails
         # mid-way the sidecar is at worst wider than the files (null-fill,
         # harmless); writing drifted files first and crashing before the
@@ -1168,7 +1285,12 @@ class KeyedTable:
         row-group min/max stats in BOTH dimensions at once. Bits are
         sized from the column maxima so large keys keep their locality
         (fixed-width slices silently collapse the curve)."""
-        current = self.read().localCheckpoint(eager=True)
+        current = self.read()
+        if not self._staged_swap():
+            # In-place overwrite reads the files it replaces — break the
+            # lineage. The staged swap leaves them untouched until the
+            # rename, so the compaction is one pass, not two.
+            current = current.localCheckpoint(eager=True)
         n_out = target_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions")
         )
