@@ -57,47 +57,51 @@ def build_bloom(
     df: DataFrame, col: str, fp_rate: float = 0.01, max_items: int = 5_000_000
 ) -> tuple[np.ndarray, int, int]:
     """Build the bit array from ``df[col]`` (the SMALL side — benchmark
-    grams). Collected to the driver via toLocalIterator so memory is
-    bounded by one partition, not the set; ``max_items`` is a guard rail —
-    a side bigger than that belongs in the exact semi-join or a
-    partitioned filter. Returns (bits_as_uint64_words, m_bits, k)."""
-    # Persist before the count: sizing needs n up front, and without the
-    # cache the count job and the toLocalIterator pass would each execute
-    # the (typically shuffle-heavy distinct-gram) plan from scratch.
-    # NULL grams must not enter the filter: str(None) would insert the
-    # hash of the literal "None", colliding with that real token on the
-    # probe side (and SQL semantics say NULL matches nothing anyway).
-    df = df.filter(F.col(col).isNotNull()).persist()
-    n = df.count()
+    grams), hashing EXECUTOR-SIDE in one pass (round-13, guide §4/§5):
+    a ``mapInPandas`` computes the blake2b double-hash pairs per
+    partition — the per-item Python hashing runs parallel on executors —
+    and only 16 B/item of hashes cross to the driver, never the gram
+    strings. One execution of the (typically shuffle-heavy distinct-gram)
+    plan instead of the historical persist + count + toLocalIterator
+    (two passes, driver-serial hashing). ``n`` falls out of the collected
+    length, so sizing needs no separate count; ``max_items`` keeps the
+    same guard-rail contract (16 B × max_items = 80 MB driver ceiling).
+    Bit-identical to the historical build: same hash pairs, same (m, k)
+    from the same n, and OR is order-insensitive.
+
+    NULL grams must not enter the filter: str(None) would insert the
+    hash of the literal "None", colliding with that real token on the
+    probe side (and SQL semantics say NULL matches nothing anyway)."""
+
+    def hash_parts(batches):
+        for pdf in batches:
+            h1, h2 = _hash_pair(pdf[col].to_numpy())
+            yield pd.DataFrame(
+                {"h1": h1.view("int64"), "h2": h2.view("int64")}
+            )
+
+    pairs = (
+        df.filter(F.col(col).isNotNull())
+        .select(col)
+        .mapInPandas(hash_parts, schema="h1 long, h2 long")
+        .toPandas()
+    )
+    n = len(pairs)
     if n > max_items:
-        df.unpersist()
         raise ValueError(
             f"bloom build side has {n} items > max_items={max_items}; "
             "use the exact broadcast semi-join or shard the filter"
         )
     m, k = bloom_params(n, fp_rate)
     words = np.zeros((m + 63) // 64, dtype=np.uint64)
-    batch: list = []
-
-    def flush(batch):
-        if not batch:
-            return
-        h1, h2 = _hash_pair(batch)
+    if n:
+        h1 = pairs["h1"].to_numpy().view("uint64")
+        h2 = pairs["h2"].to_numpy().view("uint64")
         for i in range(k):
             idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
             w, b = np.divmod(idx, np.uint64(64))
-            # unbuffered |= handles duplicate word indices within one batch
+            # unbuffered |= handles duplicate word indices within one pass
             np.bitwise_or.at(words, w.astype(np.int64), np.uint64(1) << b)
-
-    try:
-        for row in df.select(col).toLocalIterator():
-            batch.append(row[0])
-            if len(batch) >= 100_000:
-                flush(batch)
-                batch = []
-        flush(batch)
-    finally:
-        df.unpersist()
     return words, m, k
 
 

@@ -989,7 +989,22 @@ def _exact_pairs_blocked(
     aid = min, bid = max; same-block pairs are masked to the upper
     triangle — no duplicates, no post-distinct shuffle. Only qualifying
     pairs (sim ≥ threshold) cross back from Python. The inner broadcast
-    temp is sliced to ≤ ~32 MB per step regardless of block size."""
+    temp is sliced to ≤ ~32 MB per step regardless of block size.
+
+    Null handling matches the historical broadcast form (ADVICE r12): a
+    null id or null vector never pairs — there it fell out of the
+    ``aid < bid`` join condition / null sim; here those rows are dropped
+    before packing (np.int64 packing would otherwise raise on None).
+    The (id, vec) projection is materialized once (localCheckpoint) so
+    the sizing count and the packing aggregate share one execution of
+    the upstream plan instead of two."""
+    embeddings = (
+        embeddings.select(
+            F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+        )
+        .filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .localCheckpoint(eager=True)
+    )
     n = embeddings.count()
     nb = max(1, -(-n // block))
     packed = (

@@ -2104,12 +2104,19 @@ def llm_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w", F.lit(-1)
         )
     ]
-    exists = False
-    for b in batches:
+    # Each commit lands as a NEW version directory read by the next merge —
+    # the rollup's staged-commit shape (write v(i), retire v(i-1)) instead
+    # of checkpoint + in-place overwrite, which paid TWO full index
+    # materializations per batch (the checkpoint existed only because the
+    # merge read the files the overwrite replaced; a versioned write reads
+    # v(i-1) while writing v(i), so the lineage break is free). Round-13
+    # optimization: 4 batches = 4 index writes, was 8 materializations.
+    prev: str | None = None
+    for i, b in enumerate(batches):
         delta = b.groupBy("ng").agg(F.sum("w").alias("df"))
-        if exists:
+        if prev is not None:
             merged = (
-                spark.read.parquet(idx)
+                spark.read.parquet(prev)
                 .unionByName(delta)
                 .groupBy("ng")
                 .agg(F.sum("df").alias("df"))
@@ -2117,9 +2124,15 @@ def llm_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             merged = delta.filter(F.col("df") > 0)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(idx)
-        exists = True
-    return spark.read.parquet(idx)
+        cur = f"{idx}_v{i}"
+        merged.write.mode("overwrite").parquet(cur)
+        if prev is not None:
+            # v(i) is fully written — retire v(i-1) (bounds the on-disk
+            # footprint to one retiring + one live version, like rollup
+            # retention).
+            _shutil.rmtree(prev, ignore_errors=True)
+        prev = cur
+    return spark.read.parquet(prev)
 
 
 @_q(

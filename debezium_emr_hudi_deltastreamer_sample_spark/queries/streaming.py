@@ -1068,7 +1068,12 @@ from .cdc import ORACLES as _CDC_ORACLES
 #: regenerating it (one percentile job + three coalesce(1) JSON writes,
 #: ~1.3 s) was fixed cost on every stream_scd2_fold call. Consumers only
 #: list and read the dir; each replay keeps its own checkpoint/table dirs.
-_SCD2_FEED_CACHE: dict[tuple[str, float, int], str] = {}
+#: Value is (dir, {file name: size} manifest recorded at generation time):
+#: a hit is honored only when every manifest file still exists at its
+#: recorded size — a tmp cleaner deleting/truncating b*.json between
+#: calls would otherwise replay an empty/partial feed and produce a WRONG
+#: SCD2 table instead of an error (ADVICE r12).
+_SCD2_FEED_CACHE: dict[tuple[str, float, int], tuple[str, dict[str, int]]] = {}
 
 
 def _scd2_feed(sess: SparkSession, sf_dir: str) -> str:
@@ -1089,8 +1094,18 @@ def _scd2_feed(sess: SparkSession, sf_dir: str) -> str:
         cache_key = None
     if cache_key is not None:
         hit = _SCD2_FEED_CACHE.get(cache_key)
-        if hit is not None and os.path.isdir(hit):
-            return hit
+        if hit is not None:
+            src, manifest = hit
+            try:
+                intact = os.path.isdir(src) and all(
+                    os.path.getsize(os.path.join(src, name)) == size
+                    for name, size in manifest.items()
+                )
+            except OSError:
+                intact = False
+            if intact:
+                return src
+            _SCD2_FEED_CACHE.pop(cache_key, None)  # regenerate below
     ev = _t(sess, sf_dir, "events")
     src = _tmp("scd2_src")
     for i, (lo, hi) in enumerate(_ts_terciles(ev)):
@@ -1114,7 +1129,11 @@ def _scd2_feed(sess: SparkSession, sf_dir: str) -> str:
             os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
         shutil.rmtree(staging, ignore_errors=True)
     if cache_key is not None:
-        _SCD2_FEED_CACHE[cache_key] = src
+        manifest = {
+            name: os.path.getsize(os.path.join(src, name))
+            for name in os.listdir(src)
+        }
+        _SCD2_FEED_CACHE[cache_key] = (src, manifest)
     return src
 
 

@@ -221,3 +221,56 @@ def test_parquet_data_exists_external_suffixless_files(spark, tmp_path):
     (junk / "data.txt").write_text("not parquet at all")
     with pytest.raises(Exception):
         parquet_data_exists(spark, str(junk))
+
+
+def test_blocked_exact_pairs_tolerate_null_ids_and_vectors(spark):
+    """ADVICE r12: the block-pair cosine kernel must DROP null-id /
+    null-vector rows (matching the historical broadcast form, where they
+    fell out of the join condition / null sim) instead of raising from
+    np.int64 packing."""
+    from debezium_emr_hudi_deltastreamer_sample_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (None, [1.0, 0.0, 0.0]),  # null id: must never pair
+        (4, None),  # null vector: must never pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = sorted(
+        (r.aid, r.bid)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.9, approx=False
+        ).collect()
+    )
+    assert pairs == [(1, 2)]
+
+
+def test_scd2_feed_cache_regenerates_on_truncated_file(spark, sf_tiny):
+    """ADVICE r12: a cache hit whose staged tercile files were deleted or
+    truncated (tmp cleaner) must regenerate, not replay a partial feed."""
+    import os
+
+    from debezium_emr_hudi_deltastreamer_sample_spark.queries import (
+        streaming as qstreaming,
+    )
+
+    qstreaming._SCD2_FEED_CACHE.clear()
+    src1 = qstreaming._scd2_feed(spark, sf_tiny)
+    files = sorted(os.listdir(src1))
+    assert files, "feed should stage at least one tercile file"
+    # Unmolested hit: same dir comes back.
+    assert qstreaming._scd2_feed(spark, sf_tiny) == src1
+    # Truncate one staged file: the hit must be rejected and regenerated.
+    victim = os.path.join(src1, files[0])
+    with open(victim, "w") as fh:
+        fh.write("")
+    src2 = qstreaming._scd2_feed(spark, sf_tiny)
+    assert src2 != src1
+    assert sorted(os.listdir(src2)) == files
+    sizes = {f: os.path.getsize(os.path.join(src2, f)) for f in files}
+    assert all(s > 0 for s in sizes.values())
+    qstreaming._SCD2_FEED_CACHE.clear()

@@ -147,6 +147,16 @@ QUERIES = [
     "tpch_q12_late_priority_lines",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_promotable_suppliers",
+    # Round 13 (VERDICT r12 item 3): prove the round-12 structural fixes
+    # at the sf1 decade — the dedup-first approx-distinct rewrite (was the
+    # sweep's worst non-replay query at 19 s) and the block-pair exact
+    # cosine kernel; plus the stage-and-swap COW paths (time travel's
+    # linked snapshots, the compact roundtrip).
+    "agg_approx_distinct",
+    "llm_embed_neardup",
+    "cdc_time_travel",
+    "table_compact_roundtrip",
+    "llm_index_maintain",
 ]
 
 
