@@ -392,9 +392,13 @@ def scd2_batch_processor(
         # failure (transient FS error, corrupt footer, permissions) must
         # abort the batch so foreachBatch retries it — swallowing it
         # would fold this batch against nothing and the final overwrite
-        # would replace the whole versioned history with it.
-        from ..fsutil import read_parquet_if_present
+        # would replace the whole versioned history with it. Heal any
+        # torn stage-and-swap publish from a killed predecessor FIRST —
+        # a torn swap reads as MISSING and would likewise fold this batch
+        # against nothing (one fs.exists in the steady state).
+        from ..fsutil import read_parquet_if_present, recover_table_swap
 
+        recover_table_swap(spark, table_path)
         hist = read_parquet_if_present(spark, table_path)
         if hist is not None:
             open_rows = hist.filter("is_current").select(
@@ -472,8 +476,25 @@ def scd2_batch_processor(
             out = closed.unionByName(new_versions.select(*cols))
         else:
             out = new_versions.select(*cols)
-        # The fold reads the same files the write replaces — materialize
-        # before overwrite (same contract as upsert_batch_processor).
-        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(table_path)
+        # The fold reads the same files the write replaces. On
+        # rename-protocol stores, stage-and-swap (one materialization,
+        # journaled atomic publish — same round-13 optimization as
+        # KeyedTable._write); elsewhere the historical materialize-then-
+        # overwrite (two materializations, but object-store rename is
+        # copy+delete so the swap buys nothing there).
+        from ..fsutil import commit_protocol
+
+        if commit_protocol(table_path) == "rename":
+            import uuid as _uuid
+
+            from ..fsutil import swap_table_dir
+
+            stage = f"{table_path}__stage/{_uuid.uuid4().hex}"
+            out.write.mode("overwrite").parquet(stage)
+            swap_table_dir(spark, table_path, stage)
+        else:
+            out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                table_path
+            )
 
     return process
